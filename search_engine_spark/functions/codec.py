@@ -1,0 +1,108 @@
+"""Posting-segment compression: delta-gap doc_ids + LEB128 varints.
+
+SURVEY.md A7 / BASELINE.json north_star: posting lists are stored as
+"delta-gap + varint-compressed" segments. There is no Spark builtin for
+this (SURVEY.md section 4), so it is a numpy-vectorized codec used
+inside Arrow-batched UDFs — never per-row Python.
+
+Encoding: unsigned LEB128 (7 data bits per byte, high bit = continue).
+doc_ids within a segment are sorted ascending and stored as
+first-value + gaps (gap >= 1 because doc_ids are distinct per term);
+tfs are stored as raw varints (tf >= 1).
+
+Both directions are fully vectorized: encode computes per-value byte
+lengths then fills one byte-plane at a time; decode segments the byte
+stream on terminator bytes (high bit clear) and accumulates 7-bit
+limbs with cumulative group arithmetic. Roundtrip is property-tested
+(tests/test_codec.py, hypothesis-style randomized).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_VARINT_BYTES = 10  # 64-bit values need at most ceil(64/7) = 10 bytes
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64/int64 array (all values must be >= 0)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bitlen/7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    nz = tmp > 0
+    while nz.any():
+        nbits[nz] += 1
+        tmp >>= np.uint64(1)
+        nz = tmp > 0
+    nbytes = np.maximum((nbits + 6) // 7, 1)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)))
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    tmp = v.copy()
+    remaining = nbytes.copy()
+    pos = offsets[:-1].copy()
+    plane = 0
+    while (remaining > 0).any():
+        live = remaining > 0
+        b = (tmp[live] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (remaining[live] > 1).astype(np.uint8) << 7
+        out[pos[live] + plane] = b | cont
+        tmp[live] >>= np.uint64(7)
+        remaining[live] -= 1
+        plane += 1
+        if plane > _MAX_VARINT_BYTES:  # pragma: no cover - safety
+            raise ValueError("varint overflow")
+    return out.tobytes()
+
+
+def decode_varints(buf: bytes) -> np.ndarray:
+    """Decode a LEB128 byte string back to a uint64 array."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (raw & 0x80) == 0
+    n = int(is_end.sum())
+    # group id of each byte = number of terminators strictly before it
+    gid = np.zeros(raw.size, dtype=np.int64)
+    gid[1:] = np.cumsum(is_end[:-1])
+    # position of each byte within its group
+    group_starts = np.zeros(n, dtype=np.int64)
+    ends = np.flatnonzero(is_end)
+    group_starts[1:] = ends[:-1] + 1
+    within = np.arange(raw.size, dtype=np.int64) - group_starts[gid]
+    vals = np.zeros(n, dtype=np.uint64)
+    limbs = (raw & 0x7F).astype(np.uint64) << (
+        np.uint64(7) * within.astype(np.uint64)
+    )
+    np.add.at(vals, gid, limbs)
+    return vals
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+    """Compress one posting segment.
+
+    doc_ids must be strictly increasing (sorted, distinct per term —
+    guaranteed by the (term, doc_id) sort upstream, SURVEY.md O1).
+    Returns (doc_id_blob, tf_blob).
+    """
+    d = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    if d.size and not (np.diff(d) > 0).all():
+        raise ValueError("doc_ids must be strictly increasing")
+    gaps = np.empty_like(d)
+    if d.size:
+        gaps[0] = d[0]
+        np.subtract(d[1:], d[:-1], out=gaps[1:])
+    return (
+        encode_varints(gaps.astype(np.uint64)),
+        encode_varints(np.ascontiguousarray(tfs, dtype=np.uint64)),
+    )
+
+
+def decode_postings(doc_blob: bytes, tf_blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Decompress one segment -> (doc_ids int64 asc, tfs int64)."""
+    gaps = decode_varints(doc_blob).astype(np.int64)
+    doc_ids = np.cumsum(gaps)
+    tfs = decode_varints(tf_blob).astype(np.int64)
+    return doc_ids, tfs
