@@ -1,0 +1,114 @@
+"""BM25 scoring plans (SURVEY.md A8, J1-J3, O2).
+
+Canonical BM25 variant (SURVEY.md risk R2 — frozen here until the
+reference mount is populated, then swap THIS module only):
+
+    idf(t)    = ln(1 + (N - df + 0.5) / (df + 0.5))     [always > 0]
+    tfnorm    = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    score     = sum over query terms of idf * tfnorm
+    k1 = 1.2, b = 0.75 (fixed, BASELINE.json)
+    candidates: conjunctive AND (posting-list intersection)
+    query terms: deduplicated (each unique term contributes once)
+    tie-break: score desc, doc_id asc; float64 throughout
+
+``bm25_exhaustive`` scores straight off flat postings (no index) — it
+is both the M1 end-to-end slice and the ground-truth the compressed
+index + WAND paths must reproduce exactly (equivalence tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from search_engine_spark import B, K1
+from search_engine_spark.functions.text import analyze
+
+
+def idf_expr(df_col, n_docs_col):
+    """Robertson-plus-one idf as a Column expression."""
+    return F.log(
+        F.lit(1.0)
+        + (n_docs_col - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
+    )
+
+
+def tfnorm_expr(tf_col, doclen_col, avgdl_col, k1: float = K1, b: float = B):
+    """BM25 tf saturation / length normalization as a Column expression."""
+    return (
+        tf_col.cast("double") * F.lit(k1 + 1.0)
+        / (
+            tf_col.cast("double")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * doclen_col.cast("double") / avgdl_col)
+        )
+    )
+
+
+def analyze_query(qtext: str, *, stem: bool = True) -> list[str]:
+    """Query analysis — the SAME text kernel as documents (SURVEY 3.2),
+    deduplicated preserving first-seen order."""
+    seen: dict[str, None] = {}
+    for t in analyze(qtext, stem=stem):
+        seen.setdefault(t, None)
+    return list(seen)
+
+
+def bm25_exhaustive(
+    spark: SparkSession,
+    postings_flat: DataFrame,
+    qtext_or_terms,
+    *,
+    k: int = 10,
+    stem: bool = True,
+    mode: str = "and",
+) -> DataFrame:
+    """Score a query straight off flat postings (term, doc_id, tf, doclen).
+
+    Plan shape (all JVM-side once postings exist):
+      broadcast join with the (tiny) query-term set        [J2 analogue]
+      -> broadcast join with per-term df + 1-row stats     [J1]
+      -> partial score projection (whole-stage codegen)    [A8]
+      -> groupBy(doc_id) sum + distinct-term count         [J3 AND via
+         group-filter: n_terms matched == |q|]
+      -> TakeOrderedAndProject(k, score desc, doc_id asc)  [O2/O4]
+
+    No Python crosses the scoring path; the only UDF in the lifecycle
+    was tokenization upstream.
+    """
+    if isinstance(qtext_or_terms, str):
+        qterms = analyze_query(qtext_or_terms, stem=stem)
+    else:
+        qterms = list(dict.fromkeys(qtext_or_terms))
+    n_terms = len(qterms)
+    if n_terms == 0:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    qdf = spark.createDataFrame([(t,) for t in qterms], "term string")
+    cand = postings_flat.join(F.broadcast(qdf), "term")
+
+    # per-term df and collection stats computed over the SAME postings
+    # (cheap second aggs; at scale these come from the dictionary table)
+    dfs = postings_flat.groupBy("term").agg(F.count("*").alias("df"))
+    stats = postings_flat.select("doc_id", "doclen").dropDuplicates(["doc_id"]).agg(
+        F.count("*").alias("n_docs"), F.avg("doclen").alias("avgdl")
+    )
+
+    scored = (
+        cand.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "partial",
+            idf_expr(F.col("df"), F.col("n_docs"))
+            * tfnorm_expr(F.col("tf"), F.col("doclen"), F.col("avgdl")),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("partial").alias("score"),
+        F.count("*").alias("n_matched"),  # (term, doc) unique -> count = distinct terms
+    )
+    if mode == "and":
+        agg = agg.filter(F.col("n_matched") == n_terms)
+    return (
+        agg.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
