@@ -1,0 +1,470 @@
+"""Driver-contract query battery: Spark callables + DuckDB oracle SQL.
+
+One entry per implemented operator family (SURVEY.md section 2 /
+section 3.3). Both sides follow the same conventions (see
+__spark_entry__.py docstring): whitespace tokenization, identical
+aliases, floats rounded to 6, counts as long/BIGINT, exact-decimal
+sums for large-magnitude money aggregates (double summation order
+differs between engines; decimal sums are order-independent).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from search_engine_spark import B, K1
+from search_engine_spark.operators.aggregates import (
+    collection_stats,
+    doc_lengths,
+    document_frequencies,
+    postings_from_text,
+    split_terms,
+    term_frequencies,
+)
+from search_engine_spark.plans.scoring import bm25_exhaustive, idf_expr, tfnorm_expr
+
+STOPWORDS = ("the", "a", "of", "to", "and")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-token postings with doclen, oracle-comparable."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = term_frequencies(split_terms(docs))
+    dl = doc_lengths(tf)
+    return tf.join(dl, "doc_id").select("term", "doc_id", "tf", "doclen")
+
+
+# SQL CTE prelude shared by the IR oracles
+_TOK_CTE = """
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok2 GROUP BY term, doc_id),
+dl AS (SELECT doc_id, count(*)::BIGINT AS doclen FROM tok2 GROUP BY doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# IR core (documents)
+# ---------------------------------------------------------------------------
+
+def q_term_frequency(spark, sf_dir):
+    return term_frequencies(split_terms(_t(spark, sf_dir, "documents")))
+
+
+SQL_TERM_FREQUENCY = f"""
+WITH {_TOK_CTE}
+SELECT term, doc_id, tf FROM tf
+"""
+
+
+def q_document_frequency(spark, sf_dir):
+    return document_frequencies(
+        term_frequencies(split_terms(_t(spark, sf_dir, "documents")))
+    )
+
+
+SQL_DOCUMENT_FREQUENCY = f"""
+WITH {_TOK_CTE}
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
+"""
+
+
+def q_doc_lengths(spark, sf_dir):
+    return doc_lengths(term_frequencies(split_terms(_t(spark, sf_dir, "documents"))))
+
+
+SQL_DOC_LENGTHS = f"""
+WITH {_TOK_CTE}
+SELECT doc_id, doclen FROM dl
+"""
+
+
+def q_collection_stats(spark, sf_dir):
+    st = collection_stats(
+        doc_lengths(term_frequencies(split_terms(_t(spark, sf_dir, "documents"))))
+    )
+    return st.select("n_docs", F.round("avgdl", 6).alias("avgdl"))
+
+
+SQL_COLLECTION_STATS = f"""
+WITH {_TOK_CTE}
+SELECT count(*)::BIGINT AS n_docs, round(avg(doclen), 6) AS avgdl FROM dl
+"""
+
+
+def _bm25_sql(terms: list[str], k: int) -> str:
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH {_TOK_CTE},
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(doclen) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+q AS (SELECT * FROM (VALUES {vals}) AS t(term)),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (tf.tf * {K1 + 1.0} / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / s.avgdl)))
+           AS partial
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfs USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(partial), 6) AS score
+FROM scored
+GROUP BY doc_id
+HAVING count(*) = {len(terms)}
+ORDER BY sum(partial) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def _bm25_spark(spark, sf_dir, qtext: str, k: int) -> DataFrame:
+    res = bm25_exhaustive(spark, _postings(spark, sf_dir), qtext, k=k, stem=False)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_bm25_topk(spark, sf_dir):
+    return _bm25_spark(spark, sf_dir, "spark join", 10)
+
+
+SQL_BM25_TOPK = _bm25_sql(["spark", "join"], 10)
+
+
+def q_bm25_single_term(spark, sf_dir):
+    return _bm25_spark(spark, sf_dir, "window", 10)
+
+
+SQL_BM25_SINGLE_TERM = _bm25_sql(["window"], 10)
+
+
+def q_intersect_and(spark, sf_dir):
+    """J3: posting-list intersection — docs containing ALL three terms."""
+    terms = ["spark", "join", "filter"]
+    tf = term_frequencies(split_terms(_t(spark, sf_dir, "documents")))
+    qdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    return (
+        tf.join(F.broadcast(qdf), "term")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") == len(terms))
+        .select("doc_id")
+    )
+
+
+SQL_INTERSECT_AND = f"""
+WITH {_TOK_CTE}
+SELECT doc_id FROM tf WHERE term IN ('spark', 'join', 'filter')
+GROUP BY doc_id HAVING count(*) = 3
+"""
+
+
+def q_lang_counts(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+SQL_LANG_COUNTS = "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang"
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: dedup / quality / similarity
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_text(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, keep lowest doc_id."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT_TEXT = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+       count(*)::BIGINT AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Per-doc quality signals: token count + stopword ratio."""
+    tok = split_terms(_t(spark, sf_dir, "documents"))
+    return tok.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.when(F.col("term").isin(*STOPWORDS), 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("stopword_ratio"),
+    )
+
+
+SQL_QUALITY_SCORE = f"""
+WITH {_TOK_CTE}
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(sum(CASE WHEN term IN {STOPWORDS} THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS stopword_ratio
+FROM tok2 GROUP BY doc_id
+"""
+
+
+def _cosine_cols(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    nb = F.sqrt(F.aggregate(
+        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    return dot / (na * nb)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs vec_id=0 (SURVEY-adjacent ANN
+    baseline; the LSH-bucketed scale path is a rows-only query)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(_cosine_cols(F.col("embedding"), F.col("qv")), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))), 6) AS cos
+FROM embeddings CROSS JOIN q
+ORDER BY list_dot_product(embedding::DOUBLE[], qv)
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product(qv, qv))) DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def q_embedding_norms(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    l2 = F.sqrt(F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    return emb.select("vec_id", F.round(l2, 6).alias("l2_norm"))
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT vec_id,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+         AS l2_norm
+FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window / dedup-by-recency / relational coverage
+# ---------------------------------------------------------------------------
+
+def q_latest_event_per_user(spark, sf_dir):
+    """P3 latest-snapshot dedup pattern (row_number over recency)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+SQL_LATEST_EVENT_PER_USER = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_hourly_event_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+SQL_HOURLY_EVENT_COUNTS = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape; money sums via exact decimal (order-independent)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(dec("l_quantity")).cast("double"), 6).alias("sum_qty"),
+        F.round(F.sum(dec("l_extendedprice")).cast("double"), 6).alias("sum_base_price"),
+        F.round(
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+                .cast("decimal(18,8)")
+            ).cast("double"),
+            6,
+        ).alias("sum_disc_price"),
+        F.count("*").cast("long").alias("count_order"),
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round((sum(l_quantity::DECIMAL(18,4)))::DOUBLE, 6) AS sum_qty,
+       round((sum(l_extendedprice::DECIMAL(18,4)))::DOUBLE, 6) AS sum_base_price,
+       round((sum((l_extendedprice::DECIMAL(18,4)
+                   * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(18,8)))::DOUBLE, 6)
+         AS sum_disc_price,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """3-way join: orders x customer x nation (broadcast dims)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 6)
+            .alias("revenue"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name,
+       round((sum(o_totalprice::DECIMAL(18,4)))::DOUBLE, 6) AS revenue,
+       count(*)::BIGINT AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_top_customers_per_nation(spark, sf_dir):
+    """Top-3 per group via ranking window (O2 batch pattern)."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", F.round("c_acctbal", 6).alias("acctbal"), "rn")
+    )
+
+
+SQL_TOP_CUSTOMERS_PER_NATION = """
+SELECT c_nationkey, c_custkey, round(c_acctbal, 6) AS acctbal, rn FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer
+) WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Engine-path (full analyzer) — rows-only checks, no SQL equivalent
+# ---------------------------------------------------------------------------
+
+def q_bm25_stemmed_topk(spark, sf_dir):
+    """Full engine analyzer (Unicode tokenize + Porter stem) BM25.
+    Porter stemming is not ANSI-SQL-expressible -> rows-only check;
+    rank identity is enforced by the pytest golden suite instead."""
+    docs = _t(spark, sf_dir, "documents")
+    postings = postings_from_text(docs, stem=True)
+    return bm25_exhaustive(spark, postings, "sparking joins", k=10, stem=True)
+
+
+QUERIES = {
+    "term_frequency": q_term_frequency,
+    "document_frequency": q_document_frequency,
+    "doc_lengths": q_doc_lengths,
+    "collection_stats": q_collection_stats,
+    "bm25_topk": q_bm25_topk,
+    "bm25_single_term": q_bm25_single_term,
+    "intersect_and": q_intersect_and,
+    "lang_counts": q_lang_counts,
+    "dedup_exact_text": q_dedup_exact_text,
+    "quality_score": q_quality_score,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_norms": q_embedding_norms,
+    "latest_event_per_user": q_latest_event_per_user,
+    "hourly_event_counts": q_hourly_event_counts,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_customers_per_nation": q_top_customers_per_nation,
+    "bm25_stemmed_topk": q_bm25_stemmed_topk,
+}
+
+ORACLES = {
+    "term_frequency": SQL_TERM_FREQUENCY,
+    "document_frequency": SQL_DOCUMENT_FREQUENCY,
+    "doc_lengths": SQL_DOC_LENGTHS,
+    "collection_stats": SQL_COLLECTION_STATS,
+    "bm25_topk": SQL_BM25_TOPK,
+    "bm25_single_term": SQL_BM25_SINGLE_TERM,
+    "intersect_and": SQL_INTERSECT_AND,
+    "lang_counts": SQL_LANG_COUNTS,
+    "dedup_exact_text": SQL_DEDUP_EXACT_TEXT,
+    "quality_score": SQL_QUALITY_SCORE,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "embedding_norms": SQL_EMBEDDING_NORMS,
+    "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
+    "hourly_event_counts": SQL_HOURLY_EVENT_COUNTS,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "top_customers_per_nation": SQL_TOP_CUSTOMERS_PER_NATION,
+    # bm25_stemmed_topk intentionally omitted (non-SQL analyzer)
+}
