@@ -1,0 +1,193 @@
+"""Deduplication operators (SURVEY.md P3 + training-data dedup family).
+
+latest_snapshot  — recency dedup (Common-Crawl recrawls): keep the
+                   newest row per url via a ranking window.
+exact_dedup      — content-hash groupBy (exact duplicates).
+minhash_signatures / minhash_lsh_pairs — shingle -> minhash -> banded
+                   LSH bucket join for near-duplicate candidate pairs.
+simhash64        — 64-bit SimHash fingerprints.
+ngram_jaccard_pairs — exact n-gram Jaccard on LSH candidates (verify
+                   step after minhash_lsh_pairs).
+
+Scale notes: every pairwise step is restricted to LSH bucket
+collisions (band join), never a cross join; bucket join keys are
+(band_id, band_hash) so Catalyst shuffles both sides on the same key.
+The only UDF is the shingle/minhash kernel (Arrow-batched numpy).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+_MERSENNE = (1 << 61) - 1
+
+
+def latest_snapshot(df: DataFrame, key: str = "url", ts: str = "warc_ts") -> DataFrame:
+    """One row per key, newest ts wins (deterministic tie-break on ts)."""
+    w = W.partitionBy(key).orderBy(F.desc(ts))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_dedup(df: DataFrame, content_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per exact content; adds n_copies."""
+    keep = df.groupBy(F.md5(F.col(content_col)).alias("_h")).agg(
+        F.min(id_col).alias(id_col), F.count("*").cast("long").alias("n_copies")
+    )
+    return df.join(keep.select(id_col, "n_copies"), id_col, "inner")
+
+
+def _minhash_params(num_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < n:
+        shingles = {" ".join(toks)} if toks else set()
+    else:
+        shingles = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    if not shingles:
+        return np.zeros(1, dtype=np.uint64)
+    # Python's hash is salted per-process; use a stable FNV-1a instead
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        h = np.uint64(1469598103934665603)
+        for byte in s.encode():
+            h = np.uint64((int(h) ^ byte) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 64, shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>) — Arrow-batched numpy minhash kernel."""
+    a, b = _minhash_params(num_hashes)
+    narrow = df.select(id_col, text_col)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                sh = _shingle_hashes(text or "", shingle_n)
+                # (a*x + b) mod p, min over shingles, per hash function
+                vals = (
+                    (sh[None, :] % _MERSENNE) * (a[:, None] % _MERSENNE) + b[:, None]
+                ) % _MERSENNE
+                sigs.append(vals.min(axis=1).astype("int64"))
+                ids.append(did)
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "sig": sigs})
+
+    return narrow.mapInPandas(gen, "doc_id long, sig array<long>")
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame, *, bands: int = 16, rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH.
+
+    Explode each signature into (band_id, band_hash) keys; docs sharing
+    any full band collide. Self-join on the band key (shuffle co-
+    partitioned, never a cross join), keep a < b, distinct pairs.
+    """
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    l = banded.alias("l")
+    r = banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, *, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens (tf-weighted)."""
+    narrow = df.select(id_col, text_col)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").split()
+                acc = np.zeros(64, dtype=np.int64)
+                from collections import Counter
+                for tok, w in Counter(toks).items():
+                    h = np.uint64(1469598103934665603)
+                    for byte in tok.encode():
+                        h = np.uint64((int(h) ^ byte) * 1099511628211
+                                      & 0xFFFFFFFFFFFFFFFF)
+                    bits = (int(h) >> np.arange(64)) & 1
+                    acc += np.where(bits == 1, w, -w)
+                fp = int((acc > 0).astype(np.uint64) @ (1 << np.arange(64, dtype=np.uint64))
+                         & np.uint64(0x7FFFFFFFFFFFFFFF))
+                ids.append(did)
+                hashes.append(fp)
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "simhash": pd.Series(hashes, dtype="int64")})
+
+    return narrow.mapInPandas(gen, "doc_id long, simhash long")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, candidates: DataFrame, *, id_col: str = "doc_id",
+    text_col: str = "text", shingle_n: int = 3, threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (the verify step after
+    LSH). Shingles exploded JVM-side; intersection/union via aggs."""
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     F.split(F.col(text_col), " ").alias("t"))
+    n = shingle_n
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("t") - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("t", i + 1, n)),
+            )
+        ).alias("sh"),
+    ).distinct()
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a_sh = shingles.withColumnRenamed("doc_id", "a")
+    b_sh = shingles.withColumnRenamed("doc_id", "b")
+    inter = (
+        candidates.join(a_sh, "a").join(b_sh, ["b", "sh"])
+        .groupBy("a", "b").agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a")
+                   .withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b")
+              .withColumnRenamed("n_sh", "nb"), "b")
+        .withColumn("jaccard", F.col("n_inter")
+                    / (F.col("na") + F.col("nb") - F.col("n_inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1,0 +1,359 @@
+"""Materialized inverted index build (SURVEY.md section 3.1, M2/M3).
+
+Two checkpointed stages, both single Spark jobs over ALL pending work
+(no driver-side per-bucket loop — at 1000 executors the scheduler, not
+the driver, spreads the buckets):
+
+Stage A — tokenize + stats (one pass over the corpus):
+    pages/documents -> fused mapInPandas text kernel (map-side tf
+    combine) -> postings_flat parquet PARTITIONED BY bucket
+    (bucket = pmod(xxhash64(term), n_buckets) — the physical layout IS
+    the query-time partition-pruning structure), plus docs / dictionary
+    (exact df, cf) / stats (n_docs, avgdl) tables.
+
+Stage B — segment + compress (shuffle on (term, salt)):
+    read pending buckets (partition-pruned) -> salt hot terms (df above
+    threshold; salt = pmod(xxhash64(doc_id), n_salts) so one stopword's
+    postings spread over n_salts tasks — SURVEY.md section 4, stopword-
+    skew row) -> repartition(term, salt) -> sortWithinPartitions
+    (bucket, term, salt, doc_id) -> streaming segmenter mapInPandas
+    (fixed-size segments, delta-gap + varint blobs, per-segment
+    max_tfnorm for block-max WAND) -> parquet partitionBy(bucket) with
+    dynamic partition overwrite (idempotent re-runs) -> manifest rows.
+
+Memory safety at 10^12 docs: the segmenter streams Arrow batches and
+never holds more than one partial segment per live (term, salt) group;
+the sort spills via UnsafeExternalSorter; hot groups are bounded by
+salting. doclen is carried into the segments (doclens blob) so query
+scoring and WAND need NO doc-side join (SURVEY.md J4 'preferred').
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from search_engine_spark import B, K1
+from search_engine_spark.functions.codec import encode_postings, encode_varints
+from search_engine_spark.operators.aggregates import postings_from_text
+from search_engine_spark.plans.manifest import Manifest
+
+SEGMENT_SCHEMA = (
+    "bucket int, term string, salt int, seg int, n int, doc_ids binary,"
+    " tfs binary, doclens binary, max_tfnorm double, first_doc long, last_doc long"
+)
+
+DEFAULT_SEGMENT_SIZE = 4096
+
+
+def _bucket_expr(term_col, n_buckets: int):
+    return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast("int")
+
+
+class IndexPaths:
+    def __init__(self, index_dir: str):
+        self.root = index_dir
+        self.flat = os.path.join(index_dir, "postings_flat")
+        self.postings = os.path.join(index_dir, "postings")
+        self.dictionary = os.path.join(index_dir, "dictionary")
+        self.docs = os.path.join(index_dir, "docs")
+        self.stats = os.path.join(index_dir, "stats")
+
+
+def _stage_a(
+    spark: SparkSession,
+    source: DataFrame,
+    paths: IndexPaths,
+    *,
+    n_buckets: int,
+    stem: bool,
+    id_col: str,
+    text_col: str,
+    html_col: str | None,
+) -> None:
+    flat = postings_from_text(
+        source, id_col=id_col, text_col=text_col, html_col=html_col, stem=stem
+    ).withColumn("bucket", _bucket_expr(F.col("term"), n_buckets))
+    # One wide pass; partitioned write doubles as the term-hash shuffle
+    # materialization and the stage-A checkpoint.
+    flat.write.mode("overwrite").partitionBy("bucket").parquet(paths.flat)
+
+    flat = spark.read.parquet(paths.flat)
+    dictionary = flat.groupBy("term", "bucket").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    dictionary.write.mode("overwrite").parquet(paths.dictionary)
+
+    docs = flat.select("doc_id", "doclen").dropDuplicates(["doc_id"])
+    docs.write.mode("overwrite").parquet(paths.docs)
+
+    stats = spark.read.parquet(paths.docs).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("doclen").alias("avgdl"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(paths.stats)
+
+
+def _make_segmenter(segment_size: int, avgdl: float, n_buckets: int):
+    k1, b = K1, B
+
+    def tfnorm(tf: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        tff = tf.astype(np.float64)
+        return tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
+
+    def segment_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_rows: list[tuple] = []
+        cur_key: tuple | None = None
+        cur_seg = 0
+        buf_d: list[np.ndarray] = []
+        buf_t: list[np.ndarray] = []
+        buf_l: list[np.ndarray] = []
+        buf_n = 0
+
+        def emit(doc: np.ndarray, tf: np.ndarray, dl: np.ndarray) -> None:
+            nonlocal cur_seg
+            term, salt = cur_key
+            dblob, tblob = encode_postings(doc, tf)
+            lblob = encode_varints(dl.astype(np.uint64))
+            # bucket recomputed JVM-side on write is not possible here;
+            # carried via xxhash64 parity column instead (see caller) —
+            # we stash bucket from the input rows.
+            out_rows.append(
+                (
+                    int(cur_bucket), term, int(salt), int(cur_seg), int(doc.size),
+                    dblob, tblob, lblob,
+                    float(tfnorm(tf, dl).max()), int(doc[0]), int(doc[-1]),
+                )
+            )
+            cur_seg += 1
+
+        def flush_full(final: bool) -> None:
+            nonlocal buf_d, buf_t, buf_l, buf_n
+            if buf_n == 0:
+                return
+            d = np.concatenate(buf_d) if len(buf_d) > 1 else buf_d[0]
+            t = np.concatenate(buf_t) if len(buf_t) > 1 else buf_t[0]
+            l = np.concatenate(buf_l) if len(buf_l) > 1 else buf_l[0]
+            pos = 0
+            n = d.size
+            while n - pos >= segment_size or (final and pos < n):
+                end = min(pos + segment_size, n)
+                emit(d[pos:end], t[pos:end], l[pos:end])
+                pos = end
+            if pos < n:
+                buf_d, buf_t, buf_l = [d[pos:]], [t[pos:]], [l[pos:]]
+                buf_n = n - pos
+            else:
+                buf_d, buf_t, buf_l = [], [], []
+                buf_n = 0
+
+        cur_bucket = -1
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            terms = pdf["term"].to_numpy()
+            salts = pdf["salt"].to_numpy()
+            buckets = pdf["bucket"].to_numpy()
+            docs = pdf["doc_id"].to_numpy()
+            tfs = pdf["tf"].to_numpy()
+            dls = pdf["doclen"].to_numpy()
+            # contiguous (term, salt) runs within the sorted batch
+            change = np.empty(len(pdf), dtype=bool)
+            change[0] = True
+            change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(pdf))
+            for s, e in zip(starts, ends):
+                key = (terms[s], int(salts[s]))
+                if key != cur_key:
+                    flush_full(final=True)
+                    cur_key = key
+                    cur_bucket = int(buckets[s])
+                    cur_seg = 0
+                buf_d.append(docs[s:e])
+                buf_t.append(tfs[s:e])
+                buf_l.append(dls[s:e])
+                buf_n += e - s
+                if buf_n >= segment_size:
+                    flush_full(final=False)
+            if len(out_rows) >= 1000:
+                yield pd.DataFrame(
+                    out_rows,
+                    columns=[
+                        "bucket", "term", "salt", "seg", "n", "doc_ids",
+                        "tfs", "doclens", "max_tfnorm", "first_doc", "last_doc",
+                    ],
+                )
+                out_rows = []
+        flush_full(final=True)
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    "bucket", "term", "salt", "seg", "n", "doc_ids",
+                    "tfs", "doclens", "max_tfnorm", "first_doc", "last_doc",
+                ],
+            )
+
+    return segment_partition
+
+
+def _stage_b(
+    spark: SparkSession,
+    paths: IndexPaths,
+    pending_buckets: list[int],
+    *,
+    segment_size: int,
+    salt_threshold: int,
+    max_salts: int,
+    run_id: str,
+) -> None:
+    t0 = time.time()
+    stats = spark.read.parquet(paths.stats).collect()[0]
+    avgdl = float(stats.avgdl)
+    n_buckets_total = 1 + int(
+        spark.read.parquet(paths.dictionary).agg(F.max("bucket")).collect()[0][0]
+    )
+
+    flat = spark.read.parquet(paths.flat).filter(
+        F.col("bucket").isin(pending_buckets)  # partition pruning
+    )
+    # hot terms (stopword skew): n_salts = ceil(df / salt_threshold), capped
+    hot = (
+        spark.read.parquet(paths.dictionary)
+        .filter(F.col("df") > salt_threshold)
+        .select(
+            "term",
+            F.least(
+                F.ceil(F.col("df") / salt_threshold).cast("int"), F.lit(max_salts)
+            ).alias("n_salts"),
+        )
+    )
+    salted = (
+        flat.join(F.broadcast(hot), "term", "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("n_salts").isNotNull(),
+                F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("n_salts")
+    )
+    n_parts = max(spark.sparkContext.defaultParallelism * 2, len(pending_buckets))
+    segmenter = _make_segmenter(segment_size, avgdl, n_buckets_total)
+    segments = (
+        salted.repartition(n_parts, "term", "salt")
+        .sortWithinPartitions("bucket", "term", "salt", "doc_id")
+        .mapInPandas(segmenter, SEGMENT_SCHEMA)
+    )
+    (
+        segments.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(paths.postings)
+    )
+    wall = time.time() - t0
+
+    # lineage metrics per bucket, read back from the committed segments
+    seg = spark.read.parquet(paths.postings).filter(
+        F.col("bucket").isin(pending_buckets)
+    )
+    metrics = (
+        seg.groupBy("bucket")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("n").cast("long").alias("n_postings"),
+            F.count("*").cast("long").alias("n_segments"),
+            F.sum(
+                F.octet_length("doc_ids") + F.octet_length("tfs")
+                + F.octet_length("doclens")
+            ).cast("long").alias("bytes"),
+        )
+        .collect()
+    )
+    by_bucket = {r.bucket: r for r in metrics}
+    now = __import__("datetime").datetime.now(__import__("datetime").timezone.utc)
+    rows = []
+    for bkt in pending_buckets:
+        r = by_bucket.get(bkt)
+        rows.append(
+            (
+                run_id, int(bkt), "done",
+                int(r.n_terms) if r else 0,
+                int(r.n_postings) if r else 0,
+                int(r.n_segments) if r else 0,
+                int(r.bytes) if r else 0,
+                wall / max(len(pending_buckets), 1),
+                now,
+            )
+        )
+    Manifest(spark, paths.root).append(rows)
+
+
+def build_index(
+    spark: SparkSession,
+    source: DataFrame,
+    index_dir: str,
+    *,
+    n_buckets: int = 64,
+    segment_size: int = DEFAULT_SEGMENT_SIZE,
+    stem: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    html_col: str | None = None,
+    salt_threshold: int = 1_000_000,
+    max_salts: int = 32,
+    resume: bool = False,
+    limit_buckets: int | None = None,
+    run_id: str | None = None,
+) -> dict:
+    """Build (or resume) the compressed inverted index at index_dir.
+
+    limit_buckets: process at most this many pending buckets in stage B
+    (failure-injection hook for the resume tests — a crashed cluster
+    looks exactly like a partial bucket set plus a manifest).
+    Returns a summary dict.
+    """
+    paths = IndexPaths(index_dir)
+    run_id = run_id or uuid.uuid4().hex[:12]
+
+    if not resume and os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+
+    stage_a_done = resume and all(
+        os.path.exists(os.path.join(p, "_SUCCESS"))
+        for p in (paths.flat, paths.dictionary, paths.docs, paths.stats)
+    )
+    if not stage_a_done:
+        _stage_a(
+            spark, source, paths,
+            n_buckets=n_buckets, stem=stem,
+            id_col=id_col, text_col=text_col, html_col=html_col,
+        )
+
+    all_buckets = spark.read.parquet(paths.dictionary).select("bucket").distinct()
+    pending_df = Manifest(spark, index_dir).pending(all_buckets)  # J5 anti-join
+    pending = sorted(r.bucket for r in pending_df.collect())
+    if limit_buckets is not None:
+        pending = pending[:limit_buckets]
+    if pending:
+        _stage_b(
+            spark, paths, pending,
+            segment_size=segment_size, salt_threshold=salt_threshold,
+            max_salts=max_salts, run_id=run_id,
+        )
+    return {
+        "run_id": run_id,
+        "buckets_built": len(pending),
+        "stage_a_skipped": stage_a_done,
+    }

@@ -1,0 +1,142 @@
+"""Query the materialized index (SURVEY.md section 3.2, distributed path).
+
+Plan shape:
+    dictionary lookup (term IN qterms -> df, bucket)      [J1, tiny]
+    -> postings scan WHERE bucket IN (...) AND term IN (...)
+       (static partition pruning on bucket dirs + parquet row-group
+        pruning on the sorted term column)                 [J2]
+    -> decode UDF: segments -> (term, doc_id, tf, doclen)  [Arrow]
+    -> partial score projection (idf broadcast-joined)     [A8]
+    -> groupBy(doc_id) HAVING matched == |q| -> sum        [J3 AND]
+    -> TakeOrderedAndProject(k, score desc, doc_id asc)    [O2/O4]
+
+No doc-side join anywhere: doclen was baked into the segments at build
+time. Must be result-identical to plans.scoring.bm25_exhaustive — the
+equivalence is property-tested.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from search_engine_spark import B, K1
+from search_engine_spark.functions.codec import decode_postings, decode_varints
+from search_engine_spark.plans.build_index import IndexPaths
+from search_engine_spark.plans.scoring import analyze_query
+
+DECODED_SCHEMA = "term string, doc_id long, tf int, doclen int"
+
+
+def _decode_segments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        terms: list[np.ndarray] = []
+        docs: list[np.ndarray] = []
+        tfs: list[np.ndarray] = []
+        dls: list[np.ndarray] = []
+        for row in pdf.itertuples(index=False):
+            d, t = decode_postings(row.doc_ids, row.tfs)
+            l = decode_varints(row.doclens).astype(np.int64)
+            terms.append(np.full(d.size, row.term, dtype=object))
+            docs.append(d)
+            tfs.append(t)
+            dls.append(l)
+        if not docs:
+            yield pd.DataFrame(
+                {"term": [], "doc_id": [], "tf": [], "doclen": []}
+            ).astype({"doc_id": "int64", "tf": "int32", "doclen": "int32"})
+            continue
+        yield pd.DataFrame(
+            {
+                "term": np.concatenate(terms),
+                "doc_id": np.concatenate(docs),
+                "tf": np.concatenate(tfs).astype("int32"),
+                "doclen": np.concatenate(dls).astype("int32"),
+            }
+        )
+
+
+class IndexReader:
+    """Handle to a built index directory."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.paths = IndexPaths(index_dir)
+        st = spark.read.parquet(self.paths.stats).collect()[0]
+        self.n_docs = int(st.n_docs)
+        self.avgdl = float(st.avgdl)
+
+    def lookup_terms(self, qterms: list[str]) -> list:
+        """J1: dictionary rows for the query's terms (tiny collect)."""
+        if not qterms:
+            return []
+        return (
+            self.spark.read.parquet(self.paths.dictionary)
+            .filter(F.col("term").isin(qterms))
+            .collect()
+        )
+
+    def decoded_postings(self, qterms: list[str], buckets: list[int]) -> DataFrame:
+        segs = self.spark.read.parquet(self.paths.postings).filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(qterms)
+        )
+        return segs.select("term", "doc_ids", "tfs", "doclens").mapInPandas(
+            _decode_segments, DECODED_SCHEMA
+        )
+
+    def search(self, qtext_or_terms, *, k: int = 10, stem: bool = True,
+               mode: str = "and") -> DataFrame:
+        spark = self.spark
+        if isinstance(qtext_or_terms, str):
+            qterms = analyze_query(qtext_or_terms, stem=stem)
+        else:
+            qterms = list(dict.fromkeys(qtext_or_terms))
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        if not qterms:
+            return empty
+        dict_rows = self.lookup_terms(qterms)
+        found = {r.term for r in dict_rows}
+        if mode == "and" and not set(qterms) <= found:
+            return empty  # a missing term makes the intersection empty
+        qterms = [t for t in qterms if t in found]
+        if not qterms:
+            return empty
+        n_terms = len(qterms)
+        idf_rows = [
+            (r.term, math.log(1.0 + (self.n_docs - r.df + 0.5) / (r.df + 0.5)))
+            for r in dict_rows if r.term in set(qterms)
+        ]
+        idf_df = spark.createDataFrame(idf_rows, "term string, idf double")
+        buckets = sorted({r.bucket for r in dict_rows})
+
+        decoded = self.decoded_postings(qterms, buckets)
+        scored = decoded.join(F.broadcast(idf_df), "term").withColumn(
+            "partial",
+            F.col("idf")
+            * (
+                F.col("tf").cast("double") * F.lit(K1 + 1.0)
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(K1)
+                    * (
+                        F.lit(1.0 - B)
+                        + F.lit(B) * F.col("doclen").cast("double") / F.lit(self.avgdl)
+                    )
+                )
+            ),
+        )
+        agg = scored.groupBy("doc_id").agg(
+            F.sum("partial").alias("score"), F.count("*").alias("n_matched")
+        )
+        if mode == "and":
+            agg = agg.filter(F.col("n_matched") == n_terms)
+        return (
+            agg.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )

@@ -1,0 +1,123 @@
+"""M2/M3: materialized index build, query path, salting, resume
+(SURVEY.md 5.3-5.5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.aggregates import postings_from_text
+from search_engine_spark.plans.build_index import build_index
+from search_engine_spark.plans.index_query import IndexReader
+from search_engine_spark.plans.manifest import Manifest
+from search_engine_spark.plans.scoring import bm25_exhaustive
+from tests.test_bm25 import QUERIES
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, documents, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index"))
+    # small segments + aggressive salting so multi-segment and salted
+    # paths are exercised even on 500 docs
+    build_index(
+        spark, documents, d, n_buckets=8, segment_size=64, stem=False,
+        salt_threshold=50, max_salts=4,
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def reader(spark, index_dir):
+    return IndexReader(spark, index_dir)
+
+
+@pytest.fixture(scope="module")
+def flat(spark, documents):
+    p = postings_from_text(documents, stem=False).cache()
+    p.count()
+    yield p
+    p.unpersist()
+
+
+def _decoded_set(reader, spark):
+    dic = spark.read.parquet(reader.paths.dictionary)
+    terms = [r.term for r in dic.select("term").distinct().collect()]
+    buckets = [r.bucket for r in dic.select("bucket").distinct().collect()]
+    return {
+        (r.term, r.doc_id, r.tf, r.doclen)
+        for r in reader.decoded_postings(terms, buckets).collect()
+    }
+
+
+def test_index_roundtrip_postings(spark, reader, flat):
+    """Compressed segments decode to exactly the flat postings."""
+    want = {(r.term, r.doc_id, r.tf, r.doclen) for r in flat.collect()}
+    assert _decoded_set(reader, spark) == want
+
+
+def test_segments_are_bounded_and_sorted(spark, reader):
+    segs = spark.read.parquet(reader.paths.postings)
+    bad = segs.filter(F.col("n") > 64).count()
+    assert bad == 0
+    r = segs.filter(F.col("n") > 1).first()
+    assert r.first_doc < r.last_doc
+
+
+def test_salting_engaged(spark, reader):
+    """With threshold 50, hot terms must have split into >1 salt."""
+    segs = spark.read.parquet(reader.paths.postings)
+    n_salted = segs.filter(F.col("salt") > 0).count()
+    assert n_salted > 0
+
+
+@pytest.mark.parametrize("qid,qtext,k", QUERIES)
+def test_index_query_equals_exhaustive(spark, reader, flat, qid, qtext, k):
+    got = reader.search(qtext, k=k, stem=False).collect()
+    want = bm25_exhaustive(spark, flat, qtext, k=k, stem=False).collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in want], f"qid={qid}"
+    for g, w in zip(got, want):
+        assert g.score == pytest.approx(w.score, abs=1e-9)
+
+
+def test_unsalted_build_identical(spark, documents, tmp_path_factory, reader):
+    d2 = str(tmp_path_factory.mktemp("index_unsalted"))
+    build_index(
+        spark, documents, d2, n_buckets=8, segment_size=64, stem=False,
+        salt_threshold=10**9,
+    )
+    r2 = IndexReader(spark, d2)
+    assert _decoded_set(r2, spark) == _decoded_set(reader, spark)
+    segs = spark.read.parquet(r2.paths.postings)
+    assert segs.filter(F.col("salt") > 0).count() == 0
+
+
+def test_resume_after_partial_build(spark, documents, tmp_path_factory, reader):
+    """Crash-and-resume: build 3 buckets, 'crash', resume the rest.
+    Final index must decode identically; manifest shows both runs."""
+    d3 = str(tmp_path_factory.mktemp("index_resume"))
+    s1 = build_index(
+        spark, documents, d3, n_buckets=8, segment_size=64, stem=False,
+        salt_threshold=50, max_salts=4, limit_buckets=3, run_id="run-one",
+    )
+    assert s1["buckets_built"] == 3
+    m = Manifest(spark, d3).read()
+    assert m.filter(F.col("status") == "done").count() == 3
+
+    s2 = build_index(
+        spark, documents, d3, n_buckets=8, segment_size=64, stem=False,
+        salt_threshold=50, max_salts=4, resume=True, run_id="run-two",
+    )
+    assert s2["stage_a_skipped"] is True
+    assert s2["buckets_built"] == 5
+    r3 = IndexReader(spark, d3)
+    assert _decoded_set(r3, spark) == _decoded_set(reader, spark)
+    runs = {r.run_id for r in Manifest(spark, d3).read().collect()}
+    assert runs == {"run-one", "run-two"}
+    # resuming a complete index is a no-op
+    s3 = build_index(spark, documents, d3, resume=True)
+    assert s3["buckets_built"] == 0
+
+
+def test_manifest_metrics(spark, reader, flat):
+    m = Manifest(spark, reader.paths.root).read()
+    total = m.agg(F.sum("n_postings")).collect()[0][0]
+    assert total == flat.count()
+    assert m.filter(F.col("bytes") <= 0).count() == 0
