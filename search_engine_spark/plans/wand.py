@@ -1,0 +1,197 @@
+"""Local low-latency query path: block-max pruned top-k over the
+compressed index (SURVEY.md section 3.2, M4).
+
+This path crosses NO process boundary — a thin pyarrow reader opens
+only the parquet row groups of the query's (bucket, term) keys and
+evaluates entirely in numpy. That is what makes millisecond p50
+feasible; a Spark job pays a ~100ms+ scheduling floor (the distributed
+IndexReader path remains the correctness/batch path and must return
+identical results — property-tested).
+
+Algorithm (block-max WAND adapted to conjunctive evaluation — the
+reference intersects posting lists, so candidates must contain ALL
+terms):
+
+1. dictionary lookup -> df, bucket per term; any missing term -> [].
+2. pick the rarest term r (shortest list — classic intersect order).
+3. process r's segments in DESCENDING score-bound order; maintain a
+   top-k heap with threshold theta. For each segment s:
+       UB(s) = idf_r * max_tfnorm(s) + sum_{t != r} idf_t * maxbound_t
+   if the heap is full and UB(s) <= theta, the segment cannot contribute
+   — skipped without decoding (block-max prune).
+4. surviving segments are decoded; candidates intersected against the
+   other terms' lists (decoded lazily, once, with per-term doc-range
+   segment skipping vs the rarest list's span); exact BM25 on the
+   intersection; heap updated.
+
+Exactness: the prune only discards segments whose best possible score
+cannot beat the current k-th score; tie-safety uses strict '<' so
+equal-score docs are never lost. pruned == unpruned is property-tested
+on randomized corpora/queries (tests/test_wand.py).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.dataset as ds
+import pyarrow.parquet as pq
+
+from search_engine_spark import B, K1
+from search_engine_spark.functions.codec import decode_postings, decode_varints
+from search_engine_spark.plans.scoring import analyze_query
+
+
+class LocalSearcher:
+    """In-process searcher over a built index directory.
+
+    Loads dictionary + stats into memory at construction (the
+    dictionary is vocabulary-sized — small relative to postings; at a
+    true 10^12-doc deployment this object lives on a serving node and
+    the dictionary would be memory-mapped / sharded the same way).
+    """
+
+    def __init__(self, index_dir: str):
+        self.root = index_dir
+        st = pq.read_table(os.path.join(index_dir, "stats")).to_pandas()
+        self.n_docs = int(st.n_docs.iloc[0])
+        self.avgdl = float(st.avgdl.iloc[0])
+        d = pq.read_table(
+            os.path.join(index_dir, "dictionary"),
+            columns=["term", "df", "bucket"],
+        ).to_pandas()
+        self._df = dict(zip(d.term, d.df.astype(int)))
+        self._bucket = dict(zip(d.term, d.bucket.astype(int)))
+        self._dataset = ds.dataset(
+            os.path.join(index_dir, "postings"), format="parquet",
+            partitioning="hive",
+        )
+
+    def _idf(self, term: str) -> float:
+        df = self._df[term]
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def _segments(self, term: str) -> pd.DataFrame:
+        """All segment rows for a term (metadata + blobs), row-group
+        pruned by (bucket partition dir, term column stats)."""
+        flt = (ds.field("bucket") == self._bucket[term]) & (
+            ds.field("term") == term
+        )
+        return self._dataset.to_table(
+            filter=flt,
+            columns=["term", "seg", "salt", "n", "doc_ids", "tfs", "doclens",
+                     "max_tfnorm", "first_doc", "last_doc"],
+        ).to_pandas()
+
+    def _tfnorm(self, tf: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        tff = tf.astype(np.float64)
+        return tff * (K1 + 1.0) / (
+            tff + K1 * (1.0 - B + B * dl.astype(np.float64) / self.avgdl)
+        )
+
+    def search(
+        self, qtext_or_terms, *, k: int = 10, stem: bool = True,
+        prune: bool = True,
+    ) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score), score desc then doc_id asc.
+
+        prune=False disables the block-max skip (used by the
+        equivalence property tests)."""
+        if isinstance(qtext_or_terms, str):
+            qterms = analyze_query(qtext_or_terms, stem=stem)
+        else:
+            qterms = list(dict.fromkeys(qtext_or_terms))
+        if not qterms or any(t not in self._df for t in qterms):
+            return []
+        idf = {t: self._idf(t) for t in qterms}
+
+        # rarest term drives the intersection
+        rarest = min(qterms, key=lambda t: self._df[t])
+        others = [t for t in qterms if t != rarest]
+        r_segs = self._segments(rarest)
+        if len(r_segs) == 0:
+            return []
+
+        # lazily-decoded other-term lists, restricted to the rarest span
+        r_lo = int(r_segs.first_doc.min())
+        r_hi = int(r_segs.last_doc.max())
+        other_lists: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        other_maxbound: dict[str, float] = {}
+
+        def load_other(t: str):
+            if t in other_lists:
+                return other_lists[t]
+            segs = self._segments(t)
+            keep = segs[(segs.last_doc >= r_lo) & (segs.first_doc <= r_hi)]
+            if len(keep) == 0:
+                other_lists[t] = (np.empty(0, np.int64),) * 3
+                return other_lists[t]
+            docs, tfs, dls = [], [], []
+            for row in keep.itertuples(index=False):
+                dd, tt = decode_postings(row.doc_ids, row.tfs)
+                docs.append(dd)
+                tfs.append(tt)
+                dls.append(decode_varints(row.doclens).astype(np.int64))
+            d = np.concatenate(docs)
+            order = np.argsort(d, kind="stable")
+            other_lists[t] = (
+                d[order], np.concatenate(tfs)[order], np.concatenate(dls)[order]
+            )
+            return other_lists[t]
+
+        for t in others:
+            segs = self._segments(t)
+            other_maxbound[t] = idf[t] * (
+                float(segs.max_tfnorm.max()) if len(segs) else 0.0
+            )
+        others_ub = sum(other_maxbound.values())
+
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+
+        def theta() -> float:
+            return heap[0][0] if len(heap) == k else -math.inf
+
+        def offer(doc: int, score: float) -> None:
+            item = (score, -doc)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+
+        # descending bound order grows theta fastest
+        r_segs = r_segs.assign(ub=idf[rarest] * r_segs.max_tfnorm + others_ub)
+        r_segs = r_segs.sort_values("ub", ascending=False)
+        skipped = 0
+        for row in r_segs.itertuples(index=False):
+            # strict '<': a segment whose bound EQUALS theta may hold an
+            # equal-score doc with a smaller doc_id (tie-break winner)
+            if prune and len(heap) == k and row.ub < theta():
+                skipped += 1
+                continue  # block-max prune: cannot beat current top-k
+            cand, ctf = decode_postings(row.doc_ids, row.tfs)
+            cdl = decode_varints(row.doclens).astype(np.int64)
+            scores = idf[rarest] * self._tfnorm(ctf, cdl)
+            alive = np.ones(cand.size, dtype=bool)
+            for t in others:
+                od, otf, odl = load_other(t)
+                if od.size == 0:
+                    alive[:] = False
+                    break
+                pos = np.searchsorted(od, cand)
+                pos_c = np.clip(pos, 0, od.size - 1)
+                hit = od[pos_c] == cand
+                alive &= hit
+                if not alive.any():
+                    break
+                scores = scores + np.where(
+                    hit, idf[t] * self._tfnorm(otf[pos_c], odl[pos_c]), 0.0
+                )
+            for doc, sc in zip(cand[alive], scores[alive]):
+                offer(int(doc), float(sc))
+        self.last_segments_skipped = skipped
+        out = sorted(heap, key=lambda it: (-it[0], -it[1]))
+        return [(-nd, s) for s, nd in out]

@@ -1,0 +1,71 @@
+"""M4: block-max WAND local path — equivalence properties (SURVEY.md 5.4)."""
+
+import numpy as np
+import pytest
+
+from search_engine_spark.plans.build_index import build_index
+from search_engine_spark.plans.wand import LocalSearcher
+from tests.oracle import brute_force_topk
+from tests.test_bm25 import QUERIES
+from tests.test_index import index_dir  # noqa: F401 (module fixture reuse)
+
+
+@pytest.fixture(scope="module")
+def searcher(index_dir):  # noqa: F811
+    return LocalSearcher(index_dir)
+
+
+@pytest.mark.parametrize("qid,qtext,k", QUERIES)
+def test_wand_equals_oracle(searcher, corpus_docs, qid, qtext, k):
+    got = searcher.search(qtext, k=k, stem=False)
+    qterms = list(dict.fromkeys(qtext.lower().split()))
+    want = brute_force_topk(corpus_docs, qterms, k=k)
+    assert [d for d, _ in got] == [d for d, _ in want], f"qid={qid}"
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9)
+
+
+@pytest.fixture(scope="module")
+def corpus_docs(documents_pdf):
+    return list(zip(documents_pdf.doc_id.tolist(), documents_pdf.text.tolist()))
+
+
+@pytest.mark.parametrize("qid,qtext,k", QUERIES)
+def test_prune_is_exact(searcher, qid, qtext, k):
+    pruned = searcher.search(qtext, k=k, stem=False, prune=True)
+    full = searcher.search(qtext, k=k, stem=False, prune=False)
+    assert pruned == full
+
+
+def test_pruning_actually_skips(searcher):
+    searcher.search("the", k=3, stem=False, prune=True)
+    # 500 docs contain 'the' -> multiple 64-posting segments; with k=3
+    # the threshold must exclude at least one segment
+    assert searcher.last_segments_skipped > 0
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_randomized_equivalence(spark, tmp_path_factory, seed):
+    """Random corpus + random queries: WAND == brute force, exactly."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    probs = np.arange(1, 31, dtype=float) ** -1.1
+    probs /= probs.sum()
+    docs = []
+    for did in range(120):
+        n = int(rng.integers(1, 60))
+        docs.append((did, " ".join(rng.choice(vocab, p=probs, size=n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    d = str(tmp_path_factory.mktemp(f"rand{seed}"))
+    build_index(spark, df, d, n_buckets=4, segment_size=16, stem=False,
+                salt_threshold=20, max_salts=3)
+    s = LocalSearcher(d)
+    for _ in range(15):
+        qlen = int(rng.integers(1, 4))
+        qterms = list(rng.choice(vocab, size=qlen, replace=False))
+        k = int(rng.integers(1, 15))
+        got = s.search(qterms, k=k, stem=False)
+        want = brute_force_topk(docs, qterms, k=k)
+        assert [x for x, _ in got] == [x for x, _ in want], (qterms, k)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9)
