@@ -414,6 +414,202 @@ SELECT c_nationkey, c_custkey, round(c_acctbal, 6) AS acctbal, rn FROM (
 """
 
 
+def q_token_stats(spark, sf_dir):
+    from search_engine_spark.operators.textstats import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_STATS = f"""
+WITH {_TOK_CTE},
+chars AS (SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         round(avg(length(term)), 6) AS avg_token_len
+  FROM tok2 GROUP BY doc_id
+)
+SELECT c.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, c.n_chars,
+       coalesce(a.avg_token_len, 0.0) AS avg_token_len
+FROM chars c LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_union_partial_runs(spark, sf_dir):
+    """U1: SPIMI-style partial-run union — tf over union of two halves
+    must equal tf over the whole corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    h1 = docs.filter(F.col("doc_id") % 2 == 0)
+    h2 = docs.filter(F.col("doc_id") % 2 == 1)
+    return term_frequencies(split_terms(h1.unionByName(h2)))
+
+
+SQL_UNION_PARTIAL_RUNS = """
+WITH both_halves AS (
+  SELECT * FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT * FROM documents WHERE doc_id % 2 = 1
+), tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM both_halves
+)
+SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok
+WHERE term <> '' GROUP BY term, doc_id
+"""
+
+
+def q_except_regression(spark, sf_dir):
+    """U2: exceptAll diff of two builds — postings of the withheld doc."""
+    docs = _t(spark, sf_dir, "documents")
+    full = term_frequencies(split_terms(docs))
+    partial = term_frequencies(split_terms(docs.filter(F.col("doc_id") != 0)))
+    return full.exceptAll(partial)
+
+
+SQL_EXCEPT_REGRESSION = f"""
+WITH {_TOK_CTE},
+tf_partial AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf
+  FROM tok2 WHERE doc_id <> 0 GROUP BY term, doc_id
+)
+SELECT term, doc_id, tf FROM tf
+EXCEPT ALL
+SELECT term, doc_id, tf FROM tf_partial
+"""
+
+
+def q_bm25_topk_or(spark, sf_dir):
+    """Disjunctive (OR) BM25 variant — no intersection filter."""
+    res = bm25_exhaustive(
+        spark, _postings(spark, sf_dir), "spark zzzz window", k=10,
+        stem=False, mode="or",
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+SQL_BM25_TOPK_OR = f"""
+WITH {_TOK_CTE},
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(doclen) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+q AS (SELECT * FROM (VALUES ('spark'), ('zzzz'), ('window')) AS t(term)),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (tf.tf * {K1 + 1.0} / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / s.avgdl)))
+           AS partial
+  FROM tf JOIN q USING (term) JOIN dfs USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(partial), 6) AS score
+FROM scored GROUP BY doc_id
+ORDER BY sum(partial) DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_sessionization(spark, sf_dir):
+    """Session assignment: 30-min inactivity gap splits sessions
+    (lag + conditional cumsum over an ordered window)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+SQL_SESSIONIZATION = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_avg_price_by_brand(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+        F.round(F.min("p_retailprice"), 6).alias("min_price"),
+        F.round(F.max("p_retailprice"), 6).alias("max_price"),
+    )
+
+
+SQL_AVG_PRICE_BY_BRAND = """
+SELECT p_brand, count(*)::BIGINT AS n_parts,
+       round(avg(p_retailprice), 6) AS avg_price,
+       round(min(p_retailprice), 6) AS min_price,
+       round(max(p_retailprice), 6) AS max_price
+FROM part GROUP BY p_brand
+"""
+
+
+def q_orders_with_late_ship(spark, sf_dir):
+    """Left-semi join (EXISTS): orders having a lineitem shipped after
+    the order's date + 90 days."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == o.o_orderkey,
+    ).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).select("l_orderkey").distinct()
+    return o.join(late, o.o_orderkey == late.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+SQL_ORDERS_WITH_LATE_SHIP = """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+)
+"""
+
+
+def q_customer_order_counts(spark, sf_dir):
+    """Left-outer join + zero-fill: every customer with order count."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cnt = o.groupBy("o_custkey").agg(F.count("*").cast("long").alias("n"))
+    return c.join(cnt, c.c_custkey == cnt.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_orders"),
+    )
+
+
+SQL_CUSTOMER_ORDER_COUNTS = """
+SELECT c_custkey, coalesce(cnt.n, 0)::BIGINT AS n_orders
+FROM customer LEFT JOIN (
+  SELECT o_custkey, count(*)::BIGINT AS n FROM orders GROUP BY o_custkey
+) cnt ON c_custkey = cnt.o_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Engine-path (full analyzer) — rows-only checks, no SQL equivalent
 # ---------------------------------------------------------------------------
@@ -425,6 +621,56 @@ def q_bm25_stemmed_topk(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     postings = postings_from_text(docs, stem=True)
     return bm25_exhaustive(spark, postings, "sparking joins", k=10, stem=True)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """Near-dup candidates via MinHash+LSH (rows-only: minhash permu-
+    tations are not SQL-expressible; exactness covered by pytest)."""
+    from search_engine_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(minhash_signatures(docs, num_hashes=32), bands=8)
+
+
+def q_simhash_fingerprints(spark, sf_dir):
+    from search_engine_spark.operators.dedup import simhash64
+
+    return simhash64(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    from search_engine_spark.operators.textstats import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_content_fingerprints(spark, sf_dir):
+    from search_engine_spark.operators.textstats import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_lsh_cosine_topk(spark, sf_dir):
+    """ANN scale path: LSH-bucketed cosine top-k (approximate by
+    design -> rows-only; recall property is pytest-checked)."""
+    from search_engine_spark.operators.similarity import lsh_bucket_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return lsh_bucket_topk(emb, qs, k=5, n_planes=6)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-payload feature extraction plumbing (decode stubbed —
+    no media libs in this container; schema/batching are real)."""
+    from search_engine_spark.operators.multimodal import (
+        extract_features,
+        make_media_table,
+    )
+
+    return extract_features(make_media_table(spark, 200))
 
 
 QUERIES = {
@@ -445,7 +691,21 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_customers_per_nation": q_top_customers_per_nation,
+    "token_stats": q_token_stats,
+    "union_partial_runs": q_union_partial_runs,
+    "except_regression": q_except_regression,
+    "bm25_topk_or": q_bm25_topk_or,
+    "sessionization": q_sessionization,
+    "avg_price_by_brand": q_avg_price_by_brand,
+    "orders_with_late_ship": q_orders_with_late_ship,
+    "customer_order_counts": q_customer_order_counts,
     "bm25_stemmed_topk": q_bm25_stemmed_topk,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "lang_id": q_lang_id,
+    "content_fingerprints": q_content_fingerprints,
+    "lsh_cosine_topk": q_lsh_cosine_topk,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES = {
@@ -466,5 +726,17 @@ ORACLES = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "top_customers_per_nation": SQL_TOP_CUSTOMERS_PER_NATION,
-    # bm25_stemmed_topk intentionally omitted (non-SQL analyzer)
+    "token_stats": SQL_TOKEN_STATS,
+    "union_partial_runs": SQL_UNION_PARTIAL_RUNS,
+    "except_regression": SQL_EXCEPT_REGRESSION,
+    "bm25_topk_or": SQL_BM25_TOPK_OR,
+    "sessionization": SQL_SESSIONIZATION,
+    "avg_price_by_brand": SQL_AVG_PRICE_BY_BRAND,
+    "orders_with_late_ship": SQL_ORDERS_WITH_LATE_SHIP,
+    "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
+    # intentionally rows-only (non-SQL-expressible):
+    # bm25_stemmed_topk (Porter stemmer), minhash_lsh_pairs,
+    # simhash_fingerprints, lang_id (char-ngram kernel),
+    # content_fingerprints (xxhash64 differs from DuckDB hash),
+    # lsh_cosine_topk (approximate), multimodal_features (binary kernel)
 }

@@ -132,22 +132,32 @@ def simhash64(df: DataFrame, *, id_col: str = "doc_id",
     """64-bit SimHash over whitespace tokens (tf-weighted)."""
     narrow = df.select(id_col, text_col)
 
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def _fnv64(s: str) -> int:
+        h = 1469598103934665603
+        for byte in s.encode():
+            h = ((h ^ byte) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+        return h
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
         for pdf in batches:
             ids, hashes = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                toks = (text or "").split()
+                counts = Counter((text or "").split())
                 acc = np.zeros(64, dtype=np.int64)
-                from collections import Counter
-                for tok, w in Counter(toks).items():
-                    h = np.uint64(1469598103934665603)
-                    for byte in tok.encode():
-                        h = np.uint64((int(h) ^ byte) * 1099511628211
-                                      & 0xFFFFFFFFFFFFFFFF)
-                    bits = (int(h) >> np.arange(64)) & 1
-                    acc += np.where(bits == 1, w, -w)
-                fp = int((acc > 0).astype(np.uint64) @ (1 << np.arange(64, dtype=np.uint64))
-                         & np.uint64(0x7FFFFFFFFFFFFFFF))
+                if counts:
+                    hs = np.array([_fnv64(t) for t in counts], dtype=np.uint64)
+                    ws = np.array(list(counts.values()), dtype=np.int64)
+                    bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+                    acc = ((2 * bits - 1) * ws[:, None]).sum(axis=0)
+                fp_u = np.uint64(0)
+                for i in np.flatnonzero(acc > 0):
+                    fp_u |= np.uint64(1) << np.uint64(i)
+                # reinterpret as signed two's-complement -> Spark long
+                fp = int(fp_u.astype(np.int64))
                 ids.append(did)
                 hashes.append(fp)
             yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),

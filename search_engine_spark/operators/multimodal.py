@@ -1,0 +1,128 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as `binary` columns with a metadata struct —
+the Spark-side contract (schema, partitioning, Arrow batch shape, UDF
+signatures) is real and tested; the actual codec work is STUBBED
+because no image/audio libraries exist in this container. Each stub is
+clearly marked: `decode_image_stub` produces a deterministic fake
+(seeded from the payload hash) with the same output schema a real
+decoder would emit, and `decode_image_real` raises NotImplementedError
+pointing at the swap site.
+
+At 100 TB the rules encoded here: never shuffle payload bytes you can
+drop first (select metadata-only before wide ops); size Arrow batches
+by BYTES not rows for multi-MB payloads (maxRecordsPerBatch alone is
+insufficient — `rebatch_by_bytes` does the split inside mapInPandas);
+feature extraction emits fixed-size vectors so downstream is columnar.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, mime string,"
+    " width int, height int, duration_ms int"
+)
+FEATURE_DIM = 32
+
+
+def make_media_table(spark, n: int, *, partitions: int = 4) -> DataFrame:
+    """Deterministic synthetic media rows (payload = seeded bytes)."""
+    base = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = ["image", "audio", "video"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                kind = kinds[i % 3]
+                payload = hashlib.sha256(f"media{i}".encode()).digest() * (4 + i % 7)
+                rows.append((
+                    i, kind, payload,
+                    {"image": "image/png", "audio": "audio/wav",
+                     "video": "video/mp4"}[kind],
+                    64 + i % 512 if kind != "audio" else 0,
+                    64 + (i * 3) % 512 if kind != "audio" else 0,
+                    (i * 37) % 60000 if kind != "image" else 0,
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "mime", "width", "height",
+                "duration_ms",
+            ])
+
+    return base.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def rebatch_by_bytes(batches: Iterator[pd.DataFrame], payload_col: str,
+                     max_bytes: int = 64 << 20) -> Iterator[pd.DataFrame]:
+    """Split incoming Arrow batches so each holds <= max_bytes of
+    payload — row-count caps don't protect against multi-MB blobs."""
+    for pdf in batches:
+        sizes = pdf[payload_col].map(len).to_numpy()
+        cum = np.cumsum(sizes)
+        start = 0
+        base = 0
+        for i in range(len(pdf)):
+            if cum[i] - base > max_bytes and i > start:
+                yield pdf.iloc[start:i]
+                start = i
+                base = cum[i - 1]
+        if start < len(pdf):
+            yield pdf.iloc[start:]
+
+
+def decode_image_real(payload: bytes) -> np.ndarray:  # pragma: no cover
+    """Swap site for a real decoder (PIL/opencv not in this container)."""
+    raise NotImplementedError(
+        "image decoding requires an image library; deterministic stub "
+        "decode_image_stub carries the pipeline in this environment"
+    )
+
+
+def decode_image_stub(payload: bytes) -> np.ndarray:
+    """Deterministic fake decode: payload hash seeds a tiny 'pixel'
+    array with the same dtype/shape contract a real decoder has."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+
+def extract_features(df: DataFrame, *, payload_col: str = "payload",
+                     id_col: str = "media_id") -> DataFrame:
+    """binary payload -> fixed-size float feature vector (Arrow-batched;
+    byte-bounded rebatching; stubbed decode)."""
+    narrow = df.select(id_col, payload_col)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in rebatch_by_bytes(batches, payload_col):
+            ids, feats = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_image_stub(bytes(payload))
+                flat = px.astype(np.float64).ravel()
+                vec = np.resize(flat, FEATURE_DIM) / 255.0
+                ids.append(int(mid))
+                feats.append(vec.astype("float32"))
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "features": feats})
+
+    return narrow.mapInPandas(gen, "media_id long, features array<float>")
+
+
+def frame_sample_plan(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling PLAN: explode per-video timestamps to one
+    row per sampled frame (pure built-ins — sequence/explode); the
+    frame decode itself is the stubbed kernel above."""
+    vids = df.filter(F.col("kind") == "video")
+    return vids.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )

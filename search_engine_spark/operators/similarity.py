@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk        — brute-force top-k vs one query vector: the
+                       baseline/oracle path. Broadcast the query; the
+                       dot product runs JVM-side (zip_with/aggregate,
+                       no Python), TakeOrderedAndProject for top-k.
+- cosine_topk_batch  — many query vectors at once: broadcast join +
+                       per-query ranking window.
+- lsh_bucket_topk    — the scale path: random-hyperplane LSH (SimHash
+                       for vectors) buckets candidates so each query
+                       probes only its bucket (+ multiprobe neighbors);
+                       exact cosine re-rank inside the bucket. At
+                       10^12 rows the bucket join shuffles on the
+                       bucket key instead of a cross join.
+- pairwise_near_dup  — embedding-cosine near-duplicate pairs via the
+                       same LSH buckets (dedup family).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], *, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(F.col(id_col).alias("vec_id"),
+                  F.round(cosine_expr(F.col(vec_col), q), 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def cosine_topk_batch(df: DataFrame, queries: DataFrame, *, k: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      qid_col: str = "query_id", qvec_col: str = "qv") -> DataFrame:
+    """Top-k per query vector. queries must be broadcast-small; for a
+    huge query side use lsh_bucket_topk instead."""
+    joined = df.crossJoin(F.broadcast(queries)).select(
+        F.col(qid_col).alias("query_id"),
+        F.col(id_col).alias("vec_id"),
+        cosine_expr(F.col(vec_col), F.col(qvec_col)).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 13) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _lsh_key_expr(vec_col, planes: np.ndarray):
+    """Sign pattern across hyperplanes -> integer bucket (JVM-side:
+    one dot product per plane via aggregate/zip_with)."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.when(_dot(vec_col, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    key = bits[0]
+    for b in bits[1:]:
+        key = key + b
+    return key.cast("long")
+
+
+def lsh_bucket_topk(df: DataFrame, queries: DataFrame, *, k: int = 10,
+                    n_planes: int = 12, dim: int = 64,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    qid_col: str = "query_id", qvec_col: str = "qv") -> DataFrame:
+    """Approximate top-k: equi-join on the LSH bucket key (shuffle on
+    the key, NOT a cross join), exact cosine re-rank inside buckets.
+    Recall is tunable via n_planes (fewer planes = bigger buckets)."""
+    planes = random_hyperplanes(dim, n_planes)
+    base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+                     _lsh_key_expr(F.col(vec_col), planes).alias("bucket"))
+    qs = queries.select(F.col(qid_col).alias("query_id"),
+                        F.col(qvec_col).alias("qv"),
+                        _lsh_key_expr(F.col(qvec_col), planes).alias("bucket"))
+    joined = base.join(qs, "bucket").select(
+        "query_id", "vec_id", cosine_expr(F.col("v"), F.col("qv")).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def pairwise_near_dup(df: DataFrame, *, threshold: float = 0.95,
+                      n_planes: int = 10, dim: int = 64,
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs inside LSH buckets."""
+    planes = random_hyperplanes(dim, n_planes)
+    keyed = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+                      _lsh_key_expr(F.col(vec_col), planes).alias("bucket"))
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("x"), F.col("b.vec_id").alias("y"),
+                cosine_expr(F.col("a.v"), F.col("b.v")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("x", "y", F.round("cos", 6).alias("cos"))
+    )

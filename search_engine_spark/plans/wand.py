@@ -55,7 +55,10 @@ class LocalSearcher:
     the dictionary would be memory-mapped / sharded the same way).
     """
 
-    def __init__(self, index_dir: str):
+    _COLUMNS = ["term", "seg", "salt", "n", "doc_ids", "tfs", "doclens",
+                "max_tfnorm", "first_doc", "last_doc"]
+
+    def __init__(self, index_dir: str, *, cache_terms: int = 256):
         self.root = index_dir
         st = pq.read_table(os.path.join(index_dir, "stats")).to_pandas()
         self.n_docs = int(st.n_docs.iloc[0])
@@ -70,22 +73,54 @@ class LocalSearcher:
             os.path.join(index_dir, "postings"), format="parquet",
             partitioning="hive",
         )
+        # Footer-built row-group index: one pass over parquet metadata
+        # at open time -> per-query reads touch ONLY the row groups
+        # whose term range covers the query term (the on-disk seek
+        # structure; the reference's analogue is its term->offset
+        # dictionary [PK, SURVEY.md 1.2]). Files are written sorted by
+        # (term, doc_id), so ranges are tight.
+        self._rg: dict[int, list[tuple[str, int, str, str]]] = {}
+        self._files: dict[str, pq.ParquetFile] = {}
+        for frag in self._dataset.get_fragments():
+            path = frag.path
+            bucket = int(path.split("bucket=")[1].split("/")[0])
+            pf = pq.ParquetFile(path)
+            self._files[path] = pf
+            term_idx = pf.schema_arrow.get_field_index("term")
+            md = pf.metadata
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(term_idx).statistics
+                lo = stats.min if stats is not None else None
+                hi = stats.max if stats is not None else None
+                self._rg.setdefault(bucket, []).append((path, rg, lo, hi))
+        self._term_cache: dict[str, pd.DataFrame] = {}
+        self._cache_terms = cache_terms
 
     def _idf(self, term: str) -> float:
         df = self._df[term]
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
     def _segments(self, term: str) -> pd.DataFrame:
-        """All segment rows for a term (metadata + blobs), row-group
-        pruned by (bucket partition dir, term column stats)."""
-        flt = (ds.field("bucket") == self._bucket[term]) & (
-            ds.field("term") == term
+        """All segment rows for a term (metadata + blobs), read from
+        exactly the row groups whose stats admit the term; LRU-cached
+        per term for the serving hot set."""
+        hit = self._term_cache.get(term)
+        if hit is not None:
+            return hit
+        parts = []
+        for path, rg, lo, hi in self._rg.get(self._bucket[term], ()):
+            if (lo is None or lo <= term) and (hi is None or term <= hi):
+                tbl = self._files[path].read_row_groups([rg], columns=self._COLUMNS)
+                pdf = tbl.to_pandas()
+                parts.append(pdf[pdf.term == term])
+        out = (
+            pd.concat(parts, ignore_index=True)
+            if parts else pd.DataFrame(columns=self._COLUMNS)
         )
-        return self._dataset.to_table(
-            filter=flt,
-            columns=["term", "seg", "salt", "n", "doc_ids", "tfs", "doclens",
-                     "max_tfnorm", "first_doc", "last_doc"],
-        ).to_pandas()
+        if len(self._term_cache) >= self._cache_terms:
+            self._term_cache.pop(next(iter(self._term_cache)))
+        self._term_cache[term] = out
+        return out
 
     def _tfnorm(self, tf: np.ndarray, dl: np.ndarray) -> np.ndarray:
         tff = tf.astype(np.float64)

@@ -1,0 +1,202 @@
+"""Training-data pipeline operators: dedup family, similarity,
+textstats, multimodal plumbing, streaming ingest."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from search_engine_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    make_media_table,
+    rebatch_by_bytes,
+)
+from search_engine_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_batch,
+    lsh_bucket_topk,
+    pairwise_near_dup,
+)
+from search_engine_spark.operators.textstats import (
+    fingerprint,
+    lang_id,
+    quality_signals,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+        (3, "completely different text about spark dataframes and shuffles"),
+        (4, "another unrelated document mentioning window functions only"),
+        (5, "the quick brown fox jumps over the lazy dog again and often"),  # near dup
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_exact_dedup(dup_corpus):
+    out = exact_dedup(dup_corpus)
+    ids = {r.doc_id for r in out.collect()}
+    assert 0 in ids and 1 not in ids
+    assert {r.n_copies for r in out.filter(F.col("doc_id") == 0).collect()} == {2}
+
+
+def test_minhash_identical_signatures(dup_corpus):
+    sigs = {r.doc_id: tuple(r.sig) for r in minhash_signatures(dup_corpus).collect()}
+    assert sigs[0] == sigs[1]  # identical text -> identical signature
+    # near-dup shares most minhashes; unrelated shares few
+    agree = lambda a, b: sum(x == y for x, y in zip(sigs[a], sigs[b]))  # noqa: E731
+    assert agree(0, 2) > agree(0, 3)
+
+
+def test_minhash_lsh_pairs(spark, dup_corpus):
+    sigs = minhash_signatures(dup_corpus)
+    pairs = {(r.a, r.b) for r in minhash_lsh_pairs(sigs).collect()}
+    assert (0, 1) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_ngram_jaccard_verify(spark, dup_corpus):
+    sigs = minhash_signatures(dup_corpus)
+    cand = minhash_lsh_pairs(sigs)
+    verified = ngram_jaccard_pairs(dup_corpus, cand, threshold=0.99)
+    got = {(r.a, r.b): r.jaccard for r in verified.collect()}
+    assert got.get((0, 1)) == 1.0
+
+
+def test_simhash_near_dup_distance(dup_corpus):
+    h = {r.doc_id: r.simhash for r in simhash64(dup_corpus).collect()}
+    assert h[0] == h[1]
+    ham = lambda a, b: bin((h[a] ^ h[b]) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(0, 2) < ham(0, 3)
+
+
+def test_cosine_topk_self(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    top = cosine_topk(emb, qv, k=5).collect()
+    assert top[0].vec_id == 0 and top[0].cos == pytest.approx(1.0)
+
+
+def test_lsh_topk_recall(spark):
+    """LSH path must put the exact top-1 (self) in its bucket and keep
+    reasonable recall vs brute force."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qrows = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    exact = cosine_topk_batch(emb, qrows, k=5)
+    approx = lsh_bucket_topk(emb, qrows, k=5, n_planes=6)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    # self-hit always survives LSH (identical vector -> identical bucket)
+    for q in range(5):
+        assert (q, q) in a
+    assert len(e & a) >= 5  # at least the self-hits overlap
+
+
+def test_pairwise_near_dup_self_similarity(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # duplicate a vector under a new id -> must be found as near-dup
+    dup = emb.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    out = pairwise_near_dup(emb.unionByName(dup), threshold=0.999)
+    assert (7, 10007) in {(r.x, r.y) for r in out.collect()}
+
+
+def test_token_stats_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat the cat"), (2, ""), (3, "unique words only here")],
+        "doc_id long, text string",
+    )
+    ts = {r.doc_id: r for r in token_stats(df).collect()}
+    assert ts[1].n_tokens == 4 and ts[2].n_tokens == 0
+    assert ts[3].avg_token_len == pytest.approx((6 + 5 + 4 + 4) / 4, abs=1e-6)
+    qs = {r.doc_id: r for r in quality_signals(df).collect()}
+    assert qs[1].stopword_ratio == pytest.approx(0.5)
+    assert qs[1].distinct_ratio == pytest.approx(0.5)
+    assert qs[3].distinct_ratio == pytest.approx(1.0)
+
+
+def test_fingerprint_stability(spark):
+    df = spark.createDataFrame(
+        [(1, "a  b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    fp = {r.doc_id: r for r in fingerprint(df).collect()}
+    assert fp[1].fp_raw != fp[2].fp_raw
+    assert fp[1].fp_norm == fp[2].fp_norm  # whitespace-normalized match
+    assert fp[2].fp_norm != fp[3].fp_norm
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the weather in the northern region then gets rather warm"),
+            (2, "les enfants mangent ensemble dans le jardin pendant"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in lang_id(df).collect()}
+    assert out[1].lang_pred == "en"
+    assert out[2].lang_pred == "fr"
+    assert out[3].lang_pred == "und" and out[3].lang_conf == 0.0
+
+
+def test_media_pipeline(spark):
+    media = make_media_table(spark, 30)
+    assert media.count() == 30
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r.features) == 32
+    # deterministic: same payload -> same features
+    again = {r.media_id: list(r.features) for r in extract_features(media).collect()}
+    first = {r.media_id: list(r.features) for r in feats}
+    assert again == first
+    frames = frame_sample_plan(media, every_ms=10000)
+    assert frames.count() > 0
+    assert frames.filter(F.col("frame_ts_ms") % 10000 != 0).count() == 0
+
+
+def test_rebatch_by_bytes():
+    import pandas as pd
+
+    pdf = pd.DataFrame({"payload": [b"x" * 100] * 10, "i": range(10)})
+    out = list(rebatch_by_bytes(iter([pdf]), "payload", max_bytes=250))
+    assert sum(len(p) for p in out) == 10
+    assert all(p.payload.map(len).sum() <= 300 for p in out)
+    assert len(out) >= 4
+
+
+def test_streaming_incremental_ingest(spark, tmp_path):
+    import pandas as pd
+
+    from search_engine_spark.streaming.incremental import start_incremental_ingest
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pd.DataFrame({"doc_id": [1, 2], "text": ["spark join fast", "join slow"]}).to_parquet(
+        inp / "batch1.parquet"
+    )
+    staging = str(tmp_path / "staging")
+    q = start_incremental_ingest(
+        spark, str(inp), staging, n_buckets=4, stem=False
+    )
+    q.awaitTermination(60)
+    flat = spark.read.option("basePath", staging).parquet(staging + "/epoch=*")
+    rows = {(r.term, r.doc_id): r.tf for r in flat.collect()}
+    assert rows[("join", 1)] == 1 and rows[("join", 2)] == 1
+    assert ("spark", 1) in rows
