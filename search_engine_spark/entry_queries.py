@@ -610,6 +610,166 @@ FROM customer LEFT JOIN (
 """
 
 
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (the verify step of the
+    dedup family, SURVEY-adjacent training-data op). Candidates here
+    are all shingle-sharing pairs (exact, oracle-comparable); the
+    scale path feeds LSH candidates (minhash_lsh_pairs) instead."""
+    from search_engine_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("t") - 3, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("t", i + 1, 3)),
+            )
+        ).alias("sh"),
+    ).distinct()
+    cand = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+    return ngram_jaccard_pairs(docs, cand, shingle_n=3, threshold=0.5)
+
+
+SQL_NGRAM_JACCARD_PAIRS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+       FROM t, unnest(generate_series(1, greatest(len(w)-2, 1))) AS g(i)),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS n_inter
+          FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT a, b, round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+"""
+
+
+def q_cosine_pairs_topk(spark, sf_dir):
+    """Embedding near-dup: 20 most-similar vector pairs by exact
+    cosine (brute force a<b; the LSH-bucketed variant is the scale
+    path — lsh_cosine_topk)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    cos = _cosine_cols(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("a", "b", cos.alias("_c"))
+        .orderBy(F.desc("_c"), "a", "b")
+        .limit(20)
+        .select("a", "b", F.round("_c", 6).alias("cos"))
+    )
+
+
+SQL_COSINE_PAIRS_TOPK = """
+WITH c AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+           AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT a, b, round(cos, 6) AS cos FROM c
+ORDER BY cos DESC, a, b LIMIT 20
+"""
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join, filtered, revenue top-10."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    rev = F.sum(
+        (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+        .cast("decimal(18,8)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(rev.cast("double"), 6).alias("revenue"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+       round((sum((l_extendedprice::DECIMAL(18,4)
+              * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(18,8)))::DOUBLE, 6)
+         AS revenue,
+       strftime(min(o_orderdate), '%Y-%m-%d') AS orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_event_props_json(spark, sf_dir):
+    """JSON scalar extraction over the events stream table."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+SQL_EVENT_PROPS_JSON = """
+SELECT event_type, round(avg(json_extract(props, '$.k')::BIGINT), 6) AS avg_k,
+       count(*)::BIGINT AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_orders_rollup(spark, sf_dir):
+    """OLAP rollup: order counts + revenue by (year, priority) with
+    subtotal and grand-total rows."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate").cast("int")
+    )
+    return o.rollup("yr", "o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 6
+        ).alias("revenue"),
+    )
+
+
+SQL_ORDERS_ROLLUP = """
+SELECT year(o_orderdate)::INT AS yr, o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       round((sum(o_totalprice::DECIMAL(18,4)))::DOUBLE, 6) AS revenue
+FROM orders GROUP BY ROLLUP(yr, o_orderpriority)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Engine-path (full analyzer) — rows-only checks, no SQL equivalent
 # ---------------------------------------------------------------------------
@@ -699,6 +859,11 @@ QUERIES = {
     "avg_price_by_brand": q_avg_price_by_brand,
     "orders_with_late_ship": q_orders_with_late_ship,
     "customer_order_counts": q_customer_order_counts,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "cosine_pairs_topk": q_cosine_pairs_topk,
+    "shipping_priority": q_shipping_priority,
+    "event_props_json": q_event_props_json,
+    "orders_rollup": q_orders_rollup,
     "bm25_stemmed_topk": q_bm25_stemmed_topk,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
@@ -734,6 +899,11 @@ ORACLES = {
     "avg_price_by_brand": SQL_AVG_PRICE_BY_BRAND,
     "orders_with_late_ship": SQL_ORDERS_WITH_LATE_SHIP,
     "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "cosine_pairs_topk": SQL_COSINE_PAIRS_TOPK,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "event_props_json": SQL_EVENT_PROPS_JSON,
+    "orders_rollup": SQL_ORDERS_ROLLUP,
     # intentionally rows-only (non-SQL-expressible):
     # bm25_stemmed_topk (Porter stemmer), minhash_lsh_pairs,
     # simhash_fingerprints, lang_id (char-ngram kernel),

@@ -65,11 +65,13 @@ class IndexReader:
     """Handle to a built index directory."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
+        from search_engine_spark.plans.build_index import _read_meta
+
         self.spark = spark
         self.paths = IndexPaths(index_dir)
-        st = spark.read.parquet(self.paths.stats).collect()[0]
-        self.n_docs = int(st.n_docs)
-        self.avgdl = float(st.avgdl)
+        meta = _read_meta(spark, self.paths)
+        self.n_docs = int(meta["n_docs"])
+        self.avgdl = float(meta["avgdl"])
 
     def lookup_terms(self, qterms: list[str]) -> list:
         """J1: dictionary rows for the query's terms (tiny collect)."""

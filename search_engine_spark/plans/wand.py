@@ -94,6 +94,13 @@ class LocalSearcher:
                 hi = stats.max if stats is not None else None
                 self._rg.setdefault(bucket, []).append((path, rg, lo, hi))
         self._term_cache: dict[str, pd.DataFrame] = {}
+        # decoded (docs, tfs, doclens) per term — serving-path hot-set
+        # cache so repeated queries skip varint decode entirely
+        self._decoded_cache: dict[str, tuple] = {}
+        # per-(salt, seg) decodes of driving-term segments (kept
+        # segment-granular so block-max pruning still avoids decoding
+        # cold segments on first contact)
+        self._seg_decoded: dict[str, dict] = {}
         self._cache_terms = cache_terms
 
     def _idf(self, term: str) -> float:
@@ -160,6 +167,10 @@ class LocalSearcher:
         def load_other(t: str):
             if t in other_lists:
                 return other_lists[t]
+            hit = self._decoded_cache.get(t)
+            if hit is not None:
+                other_lists[t] = hit
+                return hit
             segs = self._segments(t)
             keep = segs[(segs.last_doc >= r_lo) & (segs.first_doc <= r_hi)]
             if len(keep) == 0:
@@ -173,10 +184,16 @@ class LocalSearcher:
                 dls.append(decode_varints(row.doclens).astype(np.int64))
             d = np.concatenate(docs)
             order = np.argsort(d, kind="stable")
-            other_lists[t] = (
+            out = (
                 d[order], np.concatenate(tfs)[order], np.concatenate(dls)[order]
             )
-            return other_lists[t]
+            # cache only full-span decodes (subsets depend on the query)
+            if len(keep) == len(segs):
+                if len(self._decoded_cache) >= self._cache_terms:
+                    self._decoded_cache.pop(next(iter(self._decoded_cache)))
+                self._decoded_cache[t] = out
+            other_lists[t] = out
+            return out
 
         for t in others:
             segs = self._segments(t)
@@ -197,18 +214,31 @@ class LocalSearcher:
             elif item > heap[0]:
                 heapq.heapreplace(heap, item)
 
+        if rarest not in self._seg_decoded and len(self._seg_decoded) >= self._cache_terms:
+            self._seg_decoded.pop(next(iter(self._seg_decoded)))
+        seg_cache = self._seg_decoded.setdefault(rarest, {})
+
         # descending bound order grows theta fastest
         r_segs = r_segs.assign(ub=idf[rarest] * r_segs.max_tfnorm + others_ub)
         r_segs = r_segs.sort_values("ub", ascending=False)
         skipped = 0
-        for row in r_segs.itertuples(index=False):
+        n_rows = len(r_segs)
+        for i, row in enumerate(r_segs.itertuples(index=False)):
             # strict '<': a segment whose bound EQUALS theta may hold an
             # equal-score doc with a smaller doc_id (tie-break winner)
             if prune and len(heap) == k and row.ub < theta():
-                skipped += 1
-                continue  # block-max prune: cannot beat current top-k
-            cand, ctf = decode_postings(row.doc_ids, row.tfs)
-            cdl = decode_varints(row.doclens).astype(np.int64)
+                # bounds are sorted descending: everything after this
+                # row is pruned too — stop instead of scanning on
+                skipped += n_rows - i
+                break
+            skey = (row.salt, row.seg)
+            hit = seg_cache.get(skey)
+            if hit is None:
+                cand, ctf = decode_postings(row.doc_ids, row.tfs)
+                cdl = decode_varints(row.doclens).astype(np.int64)
+                seg_cache[skey] = (cand, ctf, cdl)
+            else:
+                cand, ctf, cdl = hit
             scores = idf[rarest] * self._tfnorm(ctf, cdl)
             alive = np.ones(cand.size, dtype=bool)
             for t in others:
@@ -225,7 +255,15 @@ class LocalSearcher:
                 scores = scores + np.where(
                     hit, idf[t] * self._tfnorm(otf[pos_c], odl[pos_c]), 0.0
                 )
-            for doc, sc in zip(cand[alive], scores[alive]):
+            ca, sa = cand[alive], scores[alive]
+            if ca.size > k:
+                # vectorized per-segment top-k: the heap only ever
+                # needs a segment's k best by (score desc, doc_id asc);
+                # lexsort keeps the tie-break exact. Cuts the Python
+                # offer loop from |segment| to k iterations.
+                order_k = np.lexsort((ca, -sa))[:k]
+                ca, sa = ca[order_k], sa[order_k]
+            for doc, sc in zip(ca, sa):
                 offer(int(doc), float(sc))
         self.last_segments_skipped = skipped
         out = sorted(heap, key=lambda it: (-it[0], -it[1]))

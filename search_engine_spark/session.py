@@ -28,6 +28,12 @@ def get_spark(app: str = "search_engine_spark", *, cores: int | None = None,
         # bound Arrow batches so Python workers stay memory-safe on
         # hot-term groups (SURVEY.md section 4, spill row)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # smaller split target than the 128m default: the corpus files
+        # are few locally and the tokenize stage is CPU-bound Python —
+        # splits must outnumber cores or the UDF stage under-parallelizes
+        # (cluster deployments with many input files can raise this)
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_SPLIT_BYTES", "33554432"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
