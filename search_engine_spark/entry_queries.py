@@ -770,6 +770,22 @@ FROM orders GROUP BY ROLLUP(yr, o_orderpriority)
 """
 
 
+def q_windowed_event_counts(spark, sf_dir):
+    """Batch path of the streaming windowed-aggregation operator
+    (same function handles a watermarked stream — tests prove
+    stream == batch on finite input)."""
+    from search_engine_spark.streaming.windows import windowed_event_counts
+
+    return windowed_event_counts(_t(spark, sf_dir, "events"))
+
+
+SQL_WINDOWED_EVENT_COUNTS = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Engine-path (full analyzer) — rows-only checks, no SQL equivalent
 # ---------------------------------------------------------------------------
@@ -864,6 +880,7 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "event_props_json": q_event_props_json,
     "orders_rollup": q_orders_rollup,
+    "windowed_event_counts": q_windowed_event_counts,
     "bm25_stemmed_topk": q_bm25_stemmed_topk,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
@@ -904,6 +921,7 @@ ORACLES = {
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "event_props_json": SQL_EVENT_PROPS_JSON,
     "orders_rollup": SQL_ORDERS_ROLLUP,
+    "windowed_event_counts": SQL_WINDOWED_EVENT_COUNTS,
     # intentionally rows-only (non-SQL-expressible):
     # bm25_stemmed_topk (Porter stemmer), minhash_lsh_pairs,
     # simhash_fingerprints, lang_id (char-ngram kernel),

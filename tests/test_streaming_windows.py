@@ -1,0 +1,69 @@
+"""Watermarked event-time windows: streaming result == batch result
+on the same finite input (the availableNow trigger drains the file
+source, the complete-mode snapshot lands the final state)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from search_engine_spark.streaming.windows import (
+    run_stream_to_batch,
+    sliding_window_rates,
+    windowed_event_counts,
+)
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+
+
+def test_stream_equals_batch(spark, events, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("stream_win"))
+    in_dir = os.path.join(tmp, "in")
+    events.write.mode("overwrite").parquet(in_dir)
+
+    out_dir = os.path.join(tmp, "out")
+    run_stream_to_batch(
+        spark, in_dir, EVENTS_SCHEMA,
+        lambda s: windowed_event_counts(s, window="1 hour", watermark="2 hours"),
+        os.path.join(tmp, "ckpt"), out_dir,
+    )
+    got = {
+        (r.win_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r.win_start, r.event_type): (r.n, r.sum_value)
+        for r in windowed_event_counts(events).collect()
+    }
+    assert got == want and len(got) > 0
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_plan_has_watermark(spark, events, tmp_path):
+    in_dir = str(tmp_path / "in")
+    events.limit(100).write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(in_dir)
+    agg = windowed_event_counts(stream, watermark="2 hours")
+    assert agg.isStreaming
+    plan = agg._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan  # late-data bound is in the plan
+
+
+def test_sliding_windows_overlap(spark, events):
+    rates = sliding_window_rates(
+        events, window="2 hours", slide="1 hour"
+    ).collect()
+    # every event lands in exactly 2 overlapping windows
+    total = sum(r.n for r in rates)
+    assert total == 2 * events.count()
