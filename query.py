@@ -17,13 +17,29 @@ import time
 
 
 def main() -> None:
+    import os
+    import sys
+
     ap = argparse.ArgumentParser()
     ap.add_argument("qtext")
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--no-stem", action="store_true")
     ap.add_argument("--distributed", action="store_true")
+    ap.add_argument("--mode", choices=["and", "or"], default="and",
+                    help="and = posting-list intersection (reference "
+                         "semantics); or = disjunctive BM25 (distributed "
+                         "path only)")
     args = ap.parse_args()
+
+    if not os.path.isdir(args.index_dir) or not os.path.isdir(
+        os.path.join(args.index_dir, "postings")
+    ):
+        ap.error(f"--index-dir {args.index_dir!r} is not a built index "
+                 "(no postings/ table) — build one with build_index.py")
+    if args.mode == "or" and not args.distributed:
+        ap.error("--mode or requires --distributed (the local WAND path "
+                 "implements the reference's conjunctive semantics)")
 
     stem = not args.no_stem
     t0 = time.time()
@@ -35,7 +51,7 @@ def main() -> None:
         hits = [
             (r.doc_id, r.score)
             for r in IndexReader(spark, args.index_dir)
-            .search(args.qtext, k=args.k, stem=stem).collect()
+            .search(args.qtext, k=args.k, stem=stem, mode=args.mode).collect()
         ]
         spark.stop()
     else:
