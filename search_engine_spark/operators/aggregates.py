@@ -20,13 +20,12 @@ absorbs most term skew before the exchange (SURVEY.md section 4).
 
 from __future__ import annotations
 
-from collections import Counter
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from search_engine_spark.functions.text import analyze, extract_text
+from search_engine_spark.functions.text import extract_text, term_counts
 
 POSTINGS_SCHEMA = "doc_id long, term string, tf int, doclen int"
 
@@ -52,34 +51,40 @@ def postings_from_text(
     narrow = df.select(*cols)  # column pruning BEFORE the opaque UDF
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        memo: dict[str, str] = {}  # partition-level: Porter amortizes
         for pdf in batches:
-            memo: dict[str, str] = {}
-            out_ids: list[int] = []
-            out_terms: list[str] = []
-            out_tfs: list[int] = []
-            out_dls: list[int] = []
             texts = pdf[text_col]
             htmls = pdf[html_col] if html_col else None
+            ids_in = pdf[id_col].to_numpy()
+            doc_ids: list[int] = []
+            n_terms: list[int] = []
+            dls: list[int] = []
+            terms: list[str] = []
+            tfs: list[int] = []
             for i in range(len(pdf)):
                 txt = texts.iat[i]
                 if (txt is None or txt != txt) and htmls is not None:
                     txt = extract_text(htmls.iat[i])
-                toks = analyze(txt, stem=stem, memo=memo)
-                dl = len(toks)
+                dl, counts = term_counts(txt, stem=stem, memo=memo)
                 if dl == 0:
                     continue
-                did = int(pdf[id_col].iat[i])
-                counts = Counter(toks)
-                out_ids.extend([did] * len(counts))
-                out_terms.extend(counts.keys())
-                out_tfs.extend(counts.values())
-                out_dls.extend([dl] * len(counts))
+                doc_ids.append(int(ids_in[i]))
+                n_terms.append(len(counts))
+                dls.append(dl)
+                terms.extend(counts.keys())
+                tfs.extend(counts.values())
+            # repeated columns built with np.repeat (C-level) instead of
+            # per-doc list extends — the output is ~|distinct terms| per
+            # doc rows, so construction cost matters as much as analysis
+            reps = np.asarray(n_terms, dtype=np.int64)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(out_ids, dtype="int64"),
-                    "term": pd.Series(out_terms, dtype="object"),
-                    "tf": pd.Series(out_tfs, dtype="int32"),
-                    "doclen": pd.Series(out_dls, dtype="int32"),
+                    "doc_id": np.repeat(np.asarray(doc_ids, np.int64), reps),
+                    "term": pd.Series(terms, dtype="object"),
+                    "tf": np.asarray(tfs, dtype=np.int32),
+                    "doclen": np.repeat(np.asarray(dls, np.int32), reps),
                 }
             )
 
