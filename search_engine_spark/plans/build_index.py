@@ -47,7 +47,8 @@ from search_engine_spark.plans.manifest import Manifest
 
 SEGMENT_SCHEMA = (
     "bucket int, term string, salt int, seg int, n int, doc_ids binary,"
-    " tfs binary, doclens binary, max_tfnorm double, first_doc long, last_doc long"
+    " tfs binary, doclens binary, max_tfnorm double, first_doc long,"
+    " last_doc long, n_bytes int"
 )
 
 DEFAULT_SEGMENT_SIZE = 4096
@@ -98,7 +99,16 @@ def _stage_a(
         F.count("*").cast("long").alias("df"),
         F.sum("tf").cast("long").alias("cf"),
     )
-    dictionary.write.mode("overwrite").parquet(paths.dictionary)
+    # bucket-partitioned, one file per bucket, term-sorted within the
+    # file: query-time term lookups prune to the term's bucket dir and
+    # then to the matching parquet row groups (J1 at scale)
+    (
+        dictionary.repartition(n_buckets, "bucket")
+        .sortWithinPartitions("bucket", "term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(paths.dictionary)
+    )
 
     docs = flat.select("doc_id", "doclen").dropDuplicates(["doc_id"])
     docs.write.mode("overwrite").parquet(paths.docs)
@@ -180,14 +190,14 @@ def _make_segmenter(segment_size: int, avgdl: float, n_buckets: int):
             term, salt = cur_key
             dblob, tblob = encode_postings(doc, tf)
             lblob = encode_varints(dl.astype(np.uint64))
-            # bucket recomputed JVM-side on write is not possible here;
-            # carried via xxhash64 parity column instead (see caller) —
-            # we stash bucket from the input rows.
+            # n_bytes denormalized so the manifest metrics pass reads a
+            # pruned int column instead of decompressing every blob
             out_rows.append(
                 (
                     int(cur_bucket), term, int(salt), int(cur_seg), int(doc.size),
                     dblob, tblob, lblob,
                     float(tfnorm(tf, dl).max()), int(doc[0]), int(doc[-1]),
+                    len(dblob) + len(tblob) + len(lblob),
                 )
             )
             cur_seg += 1
@@ -246,7 +256,7 @@ def _make_segmenter(segment_size: int, avgdl: float, n_buckets: int):
                     out_rows,
                     columns=[
                         "bucket", "term", "salt", "seg", "n", "doc_ids",
-                        "tfs", "doclens", "max_tfnorm", "first_doc", "last_doc",
+                        "tfs", "doclens", "max_tfnorm", "first_doc", "last_doc", "n_bytes",
                     ],
                 )
                 out_rows = []
@@ -256,7 +266,7 @@ def _make_segmenter(segment_size: int, avgdl: float, n_buckets: int):
                 out_rows,
                 columns=[
                     "bucket", "term", "salt", "seg", "n", "doc_ids",
-                    "tfs", "doclens", "max_tfnorm", "first_doc", "last_doc",
+                    "tfs", "doclens", "max_tfnorm", "first_doc", "last_doc", "n_bytes",
                 ],
             )
 
@@ -347,10 +357,7 @@ def _stage_b(
             F.countDistinct("term").alias("n_terms"),
             F.sum("n").cast("long").alias("n_postings"),
             F.count("*").cast("long").alias("n_segments"),
-            F.sum(
-                F.octet_length("doc_ids") + F.octet_length("tfs")
-                + F.octet_length("doclens")
-            ).cast("long").alias("bytes"),
+            F.sum("n_bytes").cast("long").alias("bytes"),
         )
         .collect()
     )
