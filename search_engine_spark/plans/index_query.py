@@ -72,14 +72,30 @@ class IndexReader:
         meta = _read_meta(spark, self.paths)
         self.n_docs = int(meta["n_docs"])
         self.avgdl = float(meta["avgdl"])
+        self.n_buckets = int(meta["n_buckets"])
 
     def lookup_terms(self, qterms: list[str]) -> list:
-        """J1: dictionary rows for the query's terms (tiny collect)."""
+        """J1: dictionary rows for the query's terms.
+
+        Buckets are computed first (tiny local-ish job — xxhash64 must
+        match the JVM's) so the dictionary read partition-prunes to the
+        query terms' bucket dirs; within a file, the term-sorted row
+        groups prune further. At a 10^8-term vocabulary this touches a
+        handful of row groups, not the dictionary."""
         if not qterms:
             return []
+        from search_engine_spark.plans.build_index import _bucket_expr
+
+        qdf = self.spark.createDataFrame([(t,) for t in qterms], "term string")
+        buckets = [
+            r.b
+            for r in qdf.select(
+                _bucket_expr(F.col("term"), self.n_buckets).alias("b")
+            ).distinct().collect()
+        ]
         return (
             self.spark.read.parquet(self.paths.dictionary)
-            .filter(F.col("term").isin(qterms))
+            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(qterms))
             .collect()
         )
 
