@@ -826,6 +826,19 @@ def q_content_fingerprints(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_ivf_cosine_topk(spark, sf_dir):
+    """ANN scale path #2: IVF coarse quantizer (distributed k-means
+    cells, driver-side probe selection, exact re-rank inside probed
+    cells). Approximate by design -> rows-only; nprobe=all ==
+    brute-force is pytest-checked."""
+    from search_engine_spark.operators.similarity import ivf_build, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, cents = ivf_build(emb, n_centroids=8)
+    qv = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+    return ivf_topk(assigned, cents, qv, k=10, nprobe=3)
+
+
 def q_lsh_cosine_topk(spark, sf_dir):
     """ANN scale path: LSH-bucketed cosine top-k (approximate by
     design -> rows-only; recall property is pytest-checked)."""
@@ -887,6 +900,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "content_fingerprints": q_content_fingerprints,
     "lsh_cosine_topk": q_lsh_cosine_topk,
+    "ivf_cosine_topk": q_ivf_cosine_topk,
     "multimodal_features": q_multimodal_features,
 }
 

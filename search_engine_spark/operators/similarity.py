@@ -113,6 +113,62 @@ def lsh_bucket_topk(df: DataFrame, queries: DataFrame, *, k: int = 10,
     )
 
 
+def ivf_build(
+    df: DataFrame, *, n_centroids: int = 16, max_iter: int = 10, seed: int = 7,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: distributed k-means (Spark ML Lloyd's)
+    assigns every vector to its nearest centroid.
+
+    Returns (df + `centroid` int column, centroids ndarray). In a real
+    deployment the returned table is written partitionBy(centroid) so
+    query-time probes partition-prune; centroids (tiny) live with the
+    index metadata. The scale story vs LSH: cells adapt to the data
+    distribution, and nprobe tunes recall without rebuilding."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.withColumn(
+        "_features",
+        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+    )
+    km = KMeans(k=n_centroids, maxIter=max_iter, seed=seed,
+                featuresCol="_features", predictionCol="_centroid").fit(feats)
+    assigned = (
+        km.transform(feats)
+        .withColumn("centroid", F.col("_centroid").cast("int"))
+        .drop("_features", "_centroid")
+    )
+    centroids = np.vstack([np.asarray(c) for c in km.clusterCenters()])
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame, centroids: np.ndarray, query_vec: list[float] | np.ndarray,
+    *, k: int = 10, nprobe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe the nprobe nearest cells (chosen
+    driver-side against the tiny centroid table), exact cosine re-rank
+    inside them. The centroid filter is a partition-prunable predicate
+    when `assigned` is stored partitionBy(centroid)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    sims = centroids @ q / (
+        np.linalg.norm(centroids, axis=1) * np.linalg.norm(q) + 1e-12
+    )
+    probes = [int(i) for i in np.argsort(-sims)[:nprobe]]
+    qarr = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        assigned.filter(F.col("centroid").isin(probes))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine_expr(F.col(vec_col), qarr), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def pairwise_near_dup(df: DataFrame, *, threshold: float = 0.95,
                       n_planes: int = 10, dim: int = 64,
                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

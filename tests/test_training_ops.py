@@ -200,3 +200,25 @@ def test_streaming_incremental_ingest(spark, tmp_path):
     rows = {(r.term, r.doc_id): r.tf for r in flat.collect()}
     assert rows[("join", 1)] == 1 and rows[("join", 2)] == 1
     assert ("spark", 1) in rows
+
+
+def test_ivf_topk_all_probes_is_exact(spark):
+    """Probing every IVF cell must reproduce brute-force top-k exactly
+    (the approximation comes only from skipped cells)."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned, cents = ivf_build(emb, n_centroids=4)
+    qv = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+    exact = [(r.vec_id, r.cos) for r in cosine_topk(emb, qv, k=5).collect()]
+    allp = [(r.vec_id, r.cos) for r in ivf_topk(assigned, cents, qv, k=5, nprobe=4).collect()]
+    assert allp == exact
+    # partial probing returns a subset of some cells, still sane
+    part = [r.vec_id for r in ivf_topk(assigned, cents, qv, k=5, nprobe=2).collect()]
+    assert len(part) == 5 and len(set(part) & {v for v, _ in exact}) >= 1
