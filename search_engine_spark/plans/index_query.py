@@ -158,3 +158,81 @@ class IndexReader:
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
+
+    def search_batch(
+        self, queries: dict, *, k: int = 10, stem: bool = True,
+        mode: str = "and",
+    ) -> DataFrame:
+        """Batch mode (SURVEY.md 3.2/O2): ALL queries in ONE Spark job.
+
+        The postings scan covers the union of the queries' terms
+        (still bucket-pruned); a broadcast (query_id, term, idf) map
+        fans each decoded posting out to the queries containing its
+        term; ranking is a per-query row_number window. Returns
+        (query_id, rank, doc_id, score).
+        """
+        spark = self.spark
+        from pyspark.sql import Window as W
+
+        analyzed = {
+            qid: (analyze_query(q, stem=stem) if isinstance(q, str)
+                  else list(dict.fromkeys(q)))
+            for qid, q in queries.items()
+        }
+        all_terms = sorted({t for ts in analyzed.values() for t in ts})
+        empty = spark.createDataFrame(
+            [], "query_id string, rank long, doc_id long, score double"
+        )
+        if not all_terms:
+            return empty
+        dict_rows = self.lookup_terms(all_terms)
+        found = {r.term: r for r in dict_rows}
+        # conjunctive semantics: a query with any unknown term is empty
+        live = {
+            qid: ts for qid, ts in analyzed.items()
+            if ts and (mode != "and" or all(t in found for t in ts))
+        }
+        live = {qid: [t for t in ts if t in found] for qid, ts in live.items()}
+        live = {qid: ts for qid, ts in live.items() if ts}
+        if not live:
+            return empty
+        qterm_rows = [
+            (str(qid), t,
+             math.log(1.0 + (self.n_docs - found[t].df + 0.5) / (found[t].df + 0.5)),
+             len(ts))
+            for qid, ts in live.items() for t in ts
+        ]
+        qmap = spark.createDataFrame(
+            qterm_rows, "query_id string, term string, idf double, n_terms int"
+        )
+        need = sorted({t for ts in live.values() for t in ts})
+        buckets = sorted({found[t].bucket for t in need})
+        decoded = self.decoded_postings(need, buckets)
+        scored = decoded.join(F.broadcast(qmap), "term").withColumn(
+            "partial",
+            F.col("idf")
+            * (
+                F.col("tf").cast("double") * F.lit(K1 + 1.0)
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(K1)
+                    * (
+                        F.lit(1.0 - B)
+                        + F.lit(B) * F.col("doclen").cast("double") / F.lit(self.avgdl)
+                    )
+                )
+            ),
+        )
+        agg = scored.groupBy("query_id", "doc_id").agg(
+            F.sum("partial").alias("score"),
+            F.count("*").alias("n_matched"),
+            F.first("n_terms").alias("n_terms"),
+        )
+        if mode == "and":
+            agg = agg.filter(F.col("n_matched") == F.col("n_terms"))
+        w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            agg.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+        )

@@ -121,3 +121,23 @@ def test_manifest_metrics(spark, reader, flat):
     total = m.agg(F.sum("n_postings")).collect()[0][0]
     assert total == flat.count()
     assert m.filter(F.col("bytes") <= 0).count() == 0
+
+
+def test_search_batch_equals_per_query(spark, reader):
+    """Batch mode (one Spark job for all queries) must return exactly
+    the per-query results, including the conjunctive empty case."""
+    queries = {
+        "q1": "spark join",
+        "q2": "data",
+        "q3": "zzznotaword spark",  # unknown term -> empty under AND
+    }
+    batch = {
+        (r.query_id, r.rank): (r.doc_id, round(r.score, 9))
+        for r in reader.search_batch(queries, k=5).collect()
+    }
+    single = {}
+    for qid, q in queries.items():
+        for rank, r in enumerate(reader.search(q, k=5).collect(), 1):
+            single[(qid, rank)] = (r.doc_id, round(r.score, 9))
+    assert batch == single
+    assert not any(qid == "q3" for qid, _ in batch)
