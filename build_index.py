@@ -34,6 +34,11 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
 
+    import os
+
+    if not os.path.exists(args.input):
+        ap.error(f"--input {args.input!r} does not exist")
+
     from pyspark.sql import functions as F
 
     from search_engine_spark.operators.dedup import latest_snapshot

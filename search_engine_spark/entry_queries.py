@@ -770,6 +770,60 @@ FROM orders GROUP BY ROLLUP(yr, o_orderpriority)
 """
 
 
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join graph (region->nation matched by BOTH
+    customer and supplier sides), date-range filter, revenue per
+    nation. Exercises Catalyst join ordering over a star+snowflake."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    rev = F.sum(
+        (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+        .cast("decimal(18,8)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n),
+            (c.c_nationkey == n.n_nationkey) & (s.s_nationkey == n.n_nationkey),
+        )
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(rev.cast("double"), 6).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       round((sum((l_extendedprice::DECIMAL(18,4)
+              * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(18,8)))::DOUBLE, 6)
+         AS revenue,
+       count(*)::BIGINT AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
 def q_windowed_event_counts(spark, sf_dir):
     """Batch path of the streaming windowed-aggregation operator
     (same function handles a watermarked stream — tests prove
@@ -894,6 +948,7 @@ QUERIES = {
     "event_props_json": q_event_props_json,
     "orders_rollup": q_orders_rollup,
     "windowed_event_counts": q_windowed_event_counts,
+    "local_supplier_volume": q_local_supplier_volume,
     "bm25_stemmed_topk": q_bm25_stemmed_topk,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
@@ -936,6 +991,7 @@ ORACLES = {
     "event_props_json": SQL_EVENT_PROPS_JSON,
     "orders_rollup": SQL_ORDERS_ROLLUP,
     "windowed_event_counts": SQL_WINDOWED_EVENT_COUNTS,
+    "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     # intentionally rows-only (non-SQL-expressible):
     # bm25_stemmed_topk (Porter stemmer), minhash_lsh_pairs,
     # simhash_fingerprints, lang_id (char-ngram kernel),
