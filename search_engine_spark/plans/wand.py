@@ -195,12 +195,30 @@ class LocalSearcher:
             other_lists[t] = out
             return out
 
+        # per-rarest-segment bound contributions of the other terms:
+        # instead of one GLOBAL max bound per other term, use the max
+        # over only the other term's segments whose doc range overlaps
+        # the rarest segment's [first_doc, last_doc] — strictly tighter
+        # (a non-overlapping segment cannot co-score any candidate), so
+        # exactness is preserved while more segments prune.
+        r_first = r_segs.first_doc.to_numpy()
+        r_last = r_segs.last_doc.to_numpy()
+        others_ub_vec = np.zeros(len(r_segs), dtype=np.float64)
         for t in others:
             segs = self._segments(t)
-            other_maxbound[t] = idf[t] * (
-                float(segs.max_tfnorm.max()) if len(segs) else 0.0
+            if len(segs) == 0:
+                other_maxbound[t] = 0.0
+                continue
+            tf_ = segs.first_doc.to_numpy()
+            tl_ = segs.last_doc.to_numpy()
+            tb_ = segs.max_tfnorm.to_numpy()
+            other_maxbound[t] = idf[t] * float(tb_.max())
+            # overlap(s_r, s_t): first_t <= last_r AND last_t >= first_r
+            overlap = (tf_[None, :] <= r_last[:, None]) & (
+                tl_[None, :] >= r_first[:, None]
             )
-        others_ub = sum(other_maxbound.values())
+            contrib = np.where(overlap, tb_[None, :], 0.0).max(axis=1)
+            others_ub_vec += idf[t] * contrib
 
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
 
@@ -219,7 +237,9 @@ class LocalSearcher:
         seg_cache = self._seg_decoded.setdefault(rarest, {})
 
         # descending bound order grows theta fastest
-        r_segs = r_segs.assign(ub=idf[rarest] * r_segs.max_tfnorm + others_ub)
+        r_segs = r_segs.assign(
+            ub=idf[rarest] * r_segs.max_tfnorm.to_numpy() + others_ub_vec
+        )
         r_segs = r_segs.sort_values("ub", ascending=False)
         skipped = 0
         n_rows = len(r_segs)
