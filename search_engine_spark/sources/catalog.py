@@ -74,3 +74,20 @@ class Catalog:
         if self.iceberg:  # pragma: no cover
             return self.spark.catalog.tableExists(table)
         return os.path.isdir(self.path(table))
+
+
+def register_index_views(spark: SparkSession, index_dir: str,
+                         prefix: str = "") -> list[str]:
+    """Expose a built index's tables to spark.sql as temp views
+    (postings_flat / postings / dictionary / docs / stats / manifest —
+    whichever exist). The engine's tables are plain columnar tables;
+    any ad-hoc SQL over them composes with the DataFrame operators."""
+    names = []
+    for t in ("postings_flat", "postings", "dictionary", "docs", "stats",
+              "manifest"):
+        p = os.path.join(index_dir, t)
+        if os.path.isdir(p):
+            view = f"{prefix}{t}"
+            spark.read.parquet(p).createOrReplaceTempView(view)
+            names.append(view)
+    return names

@@ -141,3 +141,39 @@ def test_search_batch_equals_per_query(spark, reader):
             single[(qid, rank)] = (r.doc_id, round(r.score, 9))
     assert batch == single
     assert not any(qid == "q3" for qid, _ in batch)
+
+
+def test_sql_surface_bm25_matches_index(spark, reader):
+    """The index tables are plain SQL-queryable views: a pure spark.sql
+    BM25 over postings_flat must reproduce the compressed-index path."""
+    from search_engine_spark.plans.scoring import analyze_query
+    from search_engine_spark.sources.catalog import register_index_views
+
+    views = register_index_views(spark, reader.paths.root)
+    assert "postings_flat" in views and "dictionary" in views
+    terms = analyze_query("spark join", stem=True)
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    sql_hits = spark.sql(f"""
+        WITH st AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl
+                    FROM (SELECT DISTINCT doc_id, doclen FROM postings_flat)),
+        dfs AS (SELECT term, count(*) AS df FROM postings_flat
+                WHERE term IN ({in_list}) GROUP BY term),
+        scored AS (
+          SELECT p.doc_id,
+                 ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+                   * p.tf * 2.2
+                   / (p.tf + 1.2 * (0.25 + 0.75 * p.doclen / st.avgdl))
+                   AS partial
+          FROM postings_flat p
+          JOIN dfs ON p.term = dfs.term CROSS JOIN st
+          WHERE p.term IN ({in_list})
+        )
+        SELECT doc_id, sum(partial) AS score, count(*) AS n_matched
+        FROM scored GROUP BY doc_id
+        HAVING n_matched = {len(terms)}
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """).collect()
+    idx_hits = reader.search("spark join", k=10).collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in sql_hits] == [
+        (r.doc_id, round(r.score, 9)) for r in idx_hits
+    ]
