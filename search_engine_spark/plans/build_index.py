@@ -93,7 +93,20 @@ def _stage_a(
     # alone); with it each bucket is one task's single file.
     flat = flat.repartition(n_buckets, "bucket")
     flat.write.mode("overwrite").partitionBy("bucket").parquet(paths.flat)
+    _stage_a_stats(spark, paths, n_buckets=n_buckets,
+                   salt_threshold=salt_threshold)
 
+
+def _stage_a_stats(
+    spark: SparkSession,
+    paths: IndexPaths,
+    *,
+    n_buckets: int,
+    salt_threshold: int,
+) -> None:
+    """Derive dictionary / docs / stats / hot_terms / meta from the
+    (possibly appended-to) flat postings — shared by the fresh build
+    and extend_index."""
     flat = spark.read.parquet(paths.flat)
     dictionary = flat.groupBy("term", "bucket").agg(
         F.count("*").cast("long").alias("df"),
@@ -446,3 +459,75 @@ def build_index(
         "buckets_built": len(pending),
         "stage_a_skipped": stage_a_done,
     }
+
+
+def extend_index(
+    spark: SparkSession,
+    new_source: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    html_col: str | None = None,
+    stem: bool = True,
+    segment_size: int = DEFAULT_SEGMENT_SIZE,
+    max_salts: int = 32,
+    run_id: str | None = None,
+) -> dict:
+    """Incrementally add documents to an existing index and converge to
+    the index a full rebuild over the union corpus would produce.
+
+    Mechanics: tokenize ONLY the new docs and append their postings to
+    the flat table's bucket partitions; recompute the derived tables
+    (dictionary/docs/stats/hot_terms/meta) from the full flat; mark the
+    touched buckets invalidated in the manifest; re-run stage B for
+    exactly those buckets (dynamic partition overwrite regenerates each
+    touched bucket from the full old+new flat rows — untouched buckets'
+    segments keep their original doclen normalization only if avgdl is
+    unchanged, so stage B is re-run for ALL buckets whenever avgdl
+    moves materially; BM25's length normalization depends on the
+    collection-wide avgdl).
+
+    doc_ids of new docs must not collide with existing ones (caller
+    offsets by meta['n_docs'] — see operators.ids.assign_dense_ids).
+    """
+    paths = IndexPaths(index_dir)
+    run_id = run_id or uuid.uuid4().hex[:12]
+    meta = _read_meta(spark, paths)
+    n_buckets = int(meta["n_buckets"])
+    salt_threshold = int(meta.get("salt_threshold", 1_000_000))
+    old_avgdl = float(meta["avgdl"])
+
+    new_flat = postings_from_text(
+        new_source, id_col=id_col, text_col=text_col, html_col=html_col,
+        stem=stem,
+    ).withColumn("bucket", _bucket_expr(F.col("term"), n_buckets))
+    (
+        new_flat.repartition(n_buckets, "bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(paths.flat)
+    )
+    _stage_a_stats(spark, paths, n_buckets=n_buckets,
+                   salt_threshold=salt_threshold)
+
+    new_avgdl = float(_read_meta(spark, paths)["avgdl"])
+    if abs(new_avgdl - old_avgdl) / max(old_avgdl, 1e-9) > 1e-12:
+        # avgdl moved: every segment's baked tfnorm bound and the
+        # score normalization change -> rebuild all buckets
+        touched = list(range(n_buckets))
+    else:  # pragma: no cover - only when avgdl is exactly preserved
+        touched = sorted(
+            int(r.bucket)
+            for r in spark.read.parquet(paths.flat).select("bucket")
+            .distinct().collect()
+        )
+    manifest = Manifest(spark, index_dir)
+    if manifest.exists():
+        manifest.invalidate(touched, run_id)
+    _stage_b(
+        spark, paths, touched,
+        segment_size=segment_size, salt_threshold=salt_threshold,
+        max_salts=max_salts, run_id=run_id,
+    )
+    return {"run_id": run_id, "buckets_rebuilt": len(touched)}

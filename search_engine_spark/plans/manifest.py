@@ -45,9 +45,34 @@ class Manifest:
         df.coalesce(1).write.mode("append").parquet(self.path)
 
     def pending(self, all_buckets: DataFrame) -> DataFrame:
-        """all_buckets(bucket int) minus completed — left anti join."""
+        """all_buckets(bucket int) minus completed — left anti join.
+
+        Latest-wins per bucket: an `invalidated` row appended after a
+        `done` row (extend_index touching the bucket) puts the bucket
+        back in the pending set."""
+        from pyspark.sql import Window as W
+
         m = self.read()
         if m is None:
             return all_buckets
-        done = m.filter(F.col("status") == "done").select("bucket").distinct()
+        w = W.partitionBy("bucket").orderBy(F.desc("finished_at"))
+        latest = (
+            m.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+        )
+        done = latest.filter(F.col("status") == "done").select("bucket")
         return all_buckets.join(done, "bucket", "left_anti")
+
+    def invalidate(self, buckets: list[int], run_id: str) -> None:
+        """Mark buckets stale (their segments must be rebuilt)."""
+        if not buckets:
+            return
+        import datetime as dt
+
+        now = dt.datetime.now(dt.timezone.utc)
+        self.append(
+            [
+                (run_id, int(b), "invalidated", 0, 0, 0, 0, 0.0, now)
+                for b in buckets
+            ]
+        )

@@ -56,3 +56,61 @@ def start_incremental_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_staged_epochs(spark: SparkSession, staging_dir: str,
+                        index_dir: str, **stage_b_kwargs) -> dict:
+    """Fold the staged per-epoch postings_flat deltas into an existing
+    index: append the delta rows to the flat table's bucket partitions,
+    recompute the derived tables, invalidate + rebuild the affected
+    buckets (all of them when avgdl moves — BM25 normalization is
+    collection-wide). Together with start_incremental_ingest this makes
+    streaming ingest converge to exactly the index a batch build over
+    the union corpus produces (tested)."""
+    import glob
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.plans.build_index import (
+        IndexPaths,
+        Manifest,
+        _read_meta,
+        _stage_a_stats,
+        _stage_b,
+    )
+
+    epochs = sorted(glob.glob(os.path.join(staging_dir, "epoch=*")))
+    if not epochs:
+        return {"epochs_merged": 0, "buckets_rebuilt": 0}
+    paths = IndexPaths(index_dir)
+    meta = _read_meta(spark, paths)
+    n_buckets = int(meta["n_buckets"])
+    salt_threshold = int(meta.get("salt_threshold", 1_000_000))
+    run_id = _uuid.uuid4().hex[:12]
+
+    delta = spark.read.parquet(*epochs)
+    (
+        delta.repartition(n_buckets, "bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(paths.flat)
+    )
+    _stage_a_stats(spark, paths, n_buckets=n_buckets,
+                   salt_threshold=salt_threshold)
+    touched = list(range(n_buckets))  # avgdl moved -> all buckets
+    manifest = Manifest(spark, index_dir)
+    if manifest.exists():
+        manifest.invalidate(touched, run_id)
+    _stage_b(
+        spark, paths, touched,
+        segment_size=stage_b_kwargs.get("segment_size", 4096),
+        salt_threshold=salt_threshold,
+        max_salts=stage_b_kwargs.get("max_salts", 32),
+        run_id=run_id,
+    )
+    for e in epochs:  # consumed: a replayed epoch would double-count
+        import shutil
+
+        shutil.rmtree(e, ignore_errors=True)
+    return {"epochs_merged": len(epochs), "buckets_rebuilt": len(touched)}

@@ -177,3 +177,46 @@ def test_sql_surface_bm25_matches_index(spark, reader):
     assert [(r.doc_id, round(r.score, 9)) for r in sql_hits] == [
         (r.doc_id, round(r.score, 9)) for r in idx_hits
     ]
+
+
+def test_extend_index_converges_to_full_rebuild(spark, documents, tmp_path_factory):
+    """Appending docs via extend_index must produce the same index a
+    full rebuild over the union corpus produces (tables and query
+    results), and the manifest must show the invalidation lineage."""
+    from search_engine_spark.plans.build_index import build_index, extend_index
+    from search_engine_spark.plans.index_query import IndexReader
+
+    base = documents.filter(F.col("doc_id") < 300)
+    extra = documents.filter(F.col("doc_id") >= 300)
+    d_inc = str(tmp_path_factory.mktemp("idx_inc"))
+    d_full = str(tmp_path_factory.mktemp("idx_full"))
+    kw = dict(n_buckets=8, segment_size=64, stem=True,
+              salt_threshold=50, max_salts=4)
+    build_index(spark, base, d_inc, **kw)
+    extend_index(spark, extra, d_inc, segment_size=64, max_salts=4)
+    build_index(spark, documents, d_full, **kw)
+
+    def table(d, name, cols):
+        return sorted(
+            tuple(row[c] for c in cols)
+            for row in spark.read.parquet(f"{d}/{name}").select(*cols).collect()
+        )
+
+    assert table(d_inc, "dictionary", ["term", "bucket", "df", "cf"]) == \
+           table(d_full, "dictionary", ["term", "bucket", "df", "cf"])
+    assert table(d_inc, "docs", ["doc_id", "doclen"]) == \
+           table(d_full, "docs", ["doc_id", "doclen"])
+    assert table(d_inc, "stats", ["n_docs", "avgdl"]) == \
+           table(d_full, "stats", ["n_docs", "avgdl"])
+    seg_cols = ["bucket", "term", "salt", "seg", "n", "doc_ids", "tfs",
+                "doclens", "max_tfnorm", "first_doc", "last_doc"]
+    assert table(d_inc, "postings", seg_cols) == table(d_full, "postings", seg_cols)
+
+    ri, rf = IndexReader(spark, d_inc), IndexReader(spark, d_full)
+    for q in ("spark join", "data", "the filter"):
+        assert [(r.doc_id, round(r.score, 9)) for r in ri.search(q, k=10).collect()] == \
+               [(r.doc_id, round(r.score, 9)) for r in rf.search(q, k=10).collect()]
+
+    m = spark.read.parquet(f"{d_inc}/manifest")
+    assert m.filter(F.col("status") == "invalidated").count() > 0
+    assert m.select("run_id").distinct().count() >= 2

@@ -67,3 +67,50 @@ def test_sliding_windows_overlap(spark, events):
     # every event lands in exactly 2 overlapping windows
     total = sum(r.n for r in rates)
     assert total == 2 * events.count()
+
+
+def test_streaming_ingest_merges_to_batch_index(spark, tmp_path):
+    """End-to-end: base batch index + streamed extra docs merged via
+    merge_staged_epochs == batch index over the union corpus (segments
+    byte-identical, queries identical)."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.plans.build_index import build_index
+    from search_engine_spark.plans.index_query import IndexReader
+    from search_engine_spark.streaming.incremental import (
+        merge_staged_epochs,
+        start_incremental_ingest,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.filter(F.col("doc_id") < 350)
+    extra = docs.filter(F.col("doc_id") >= 350).select("doc_id", "text")
+
+    d_inc = str(tmp_path / "idx_inc")
+    d_full = str(tmp_path / "idx_full")
+    kw = dict(n_buckets=8, segment_size=64, stem=True,
+              salt_threshold=50, max_salts=4)
+    build_index(spark, base, d_inc, **kw)
+    build_index(spark, docs, d_full, **kw)
+
+    in_dir = str(tmp_path / "stream_in")
+    extra.write.parquet(in_dir)
+    staging = str(tmp_path / "staging")
+    q = start_incremental_ingest(spark, in_dir, staging, n_buckets=8, stem=True)
+    q.awaitTermination()
+    out = merge_staged_epochs(spark, staging, d_inc,
+                              segment_size=64, max_salts=4)
+    assert out["epochs_merged"] >= 1
+
+    seg_cols = ["bucket", "term", "salt", "seg", "n", "doc_ids", "tfs",
+                "doclens", "max_tfnorm"]
+    def segs(d):
+        return sorted(
+            tuple(row[c] for c in seg_cols)
+            for row in spark.read.parquet(f"{d}/postings").select(*seg_cols).collect()
+        )
+    assert segs(d_inc) == segs(d_full)
+    ri, rf = IndexReader(spark, d_inc), IndexReader(spark, d_full)
+    for qq in ("spark join", "data"):
+        assert [(r.doc_id, round(r.score, 9)) for r in ri.search(qq, k=10).collect()] == \
+               [(r.doc_id, round(r.score, 9)) for r in rf.search(qq, k=10).collect()]
