@@ -32,6 +32,9 @@ def main() -> None:
     ap.add_argument("--no-stem", action="store_true")
     ap.add_argument("--lang", default=None, help="optional lang filter, e.g. en")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--extend", action="store_true",
+                    help="append --input's docs to an EXISTING index "
+                         "(converges to a full rebuild over the union)")
     args = ap.parse_args()
 
     import os
@@ -49,21 +52,54 @@ def main() -> None:
     spark = get_spark("build-index")
     src = spark.read.parquet(args.input)
     html_col = None
+    urlmap_path = os.path.join(args.index_dir, "urlmap")
     if args.input_format == "pages":
         if args.lang:
             src = src.filter(F.col("lang") == args.lang)  # pushed-down predicate
         src = latest_snapshot(src, "url", "warc_ts")
-        src = assign_dense_ids(src, "url")
+        if args.extend:
+            # append-only extension: genuinely new urls only (an updated
+            # snapshot of an indexed url is a doc update — not supported
+            # by append; rebuild or re-extend after deletion support)
+            existing = spark.read.parquet(urlmap_path).select("url")
+            src = src.join(existing, "url", "left_anti")
+            # new docs continue the dense id space after existing ones
+            from search_engine_spark.plans.build_index import IndexPaths, _read_meta
+
+            offset = int(_read_meta(spark, IndexPaths(args.index_dir))["n_docs"])
+            src = assign_dense_ids(src, "url").withColumn(
+                "doc_id", F.col("doc_id") + F.lit(offset)
+            )
+        else:
+            src = assign_dense_ids(src, "url")
         html_col = "html"
 
     t0 = time.time()
-    summary = build_index(
-        spark, src, args.index_dir,
-        n_buckets=args.n_buckets, segment_size=args.segment_size,
-        stem=not args.no_stem, html_col=html_col,
-        salt_threshold=args.salt_threshold, max_salts=args.max_salts,
-        resume=args.resume,
-    )
+    if args.extend:
+        from search_engine_spark.plans.build_index import extend_index
+
+        summary = extend_index(
+            spark, src, args.index_dir,
+            segment_size=args.segment_size, stem=not args.no_stem,
+            html_col=html_col, max_salts=args.max_salts,
+        )
+    else:
+        summary = build_index(
+            spark, src, args.index_dir,
+            n_buckets=args.n_buckets, segment_size=args.segment_size,
+            stem=not args.no_stem, html_col=html_col,
+            salt_threshold=args.salt_threshold, max_salts=args.max_salts,
+            resume=args.resume,
+        )
+    if args.input_format == "pages":
+        # doc_id <-> url map (S5: ranked output is urls); doc_id-sorted
+        # so query-time id lookups prune parquet row groups
+        (
+            src.select("doc_id", "url", "warc_ts")
+            .sort("doc_id")
+            .write.mode("append" if args.extend else "overwrite")
+            .parquet(urlmap_path)
+        )
     summary["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(summary))
     spark.stop()

@@ -30,6 +30,9 @@ def main() -> None:
                     help="and = posting-list intersection (reference "
                          "semantics); or = disjunctive BM25 (distributed "
                          "path only)")
+    ap.add_argument("--urls", action="store_true",
+                    help="print urls (requires an index built from "
+                         "pages input — urlmap table present)")
     args = ap.parse_args()
 
     if not os.path.isdir(args.index_dir) or not os.path.isdir(
@@ -59,8 +62,23 @@ def main() -> None:
 
         hits = LocalSearcher(args.index_dir).search(args.qtext, k=args.k, stem=stem)
     wall = time.time() - t0
+    urls = {}
+    if args.urls and hits:
+        urlmap = os.path.join(args.index_dir, "urlmap")
+        if not os.path.isdir(urlmap):
+            ap.error("--urls needs the index's urlmap table (built from "
+                     "pages input)")
+        import pyarrow.dataset as ds
+
+        ids = [int(d) for d, _ in hits]
+        tbl = ds.dataset(urlmap, format="parquet").to_table(
+            columns=["doc_id", "url"],
+            filter=ds.field("doc_id").isin(ids),  # row-group pruned
+        )
+        urls = dict(zip(tbl["doc_id"].to_pylist(), tbl["url"].to_pylist()))
     for rank, (doc_id, score) in enumerate(hits, 1):
-        print(f"{rank}\t{doc_id}\t{score:.6f}")
+        tail = f"\t{urls.get(doc_id, '?')}" if args.urls else ""
+        print(f"{rank}\t{doc_id}\t{score:.6f}{tail}")
     print(json.dumps({"n": len(hits), "wall_s": round(wall, 4)}))
 
 
