@@ -158,10 +158,13 @@ class LocalSearcher:
         if len(r_segs) == 0:
             return []
 
-        # lazily-decoded other-term lists, restricted to the rarest span
+        # lazily-decoded other-term lists, restricted to the rarest
+        # span. Cached as (doc_ids, contrib) where contrib = idf_t *
+        # tfnorm(tf, dl) — query-INDEPENDENT per term, so repeated
+        # queries skip both the varint decode and the BM25 arithmetic.
         r_lo = int(r_segs.first_doc.min())
         r_hi = int(r_segs.last_doc.max())
-        other_lists: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        other_lists: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         other_maxbound: dict[str, float] = {}
 
         def load_other(t: str):
@@ -174,8 +177,9 @@ class LocalSearcher:
             segs = self._segments(t)
             keep = segs[(segs.last_doc >= r_lo) & (segs.first_doc <= r_hi)]
             if len(keep) == 0:
-                other_lists[t] = (np.empty(0, np.int64),) * 3
-                return other_lists[t]
+                out = (np.empty(0, np.int64), np.empty(0, np.float64))
+                other_lists[t] = out
+                return out
             docs, tfs, dls = [], [], []
             for row in keep.itertuples(index=False):
                 dd, tt = decode_postings(row.doc_ids, row.tfs)
@@ -184,9 +188,10 @@ class LocalSearcher:
                 dls.append(decode_varints(row.doclens).astype(np.int64))
             d = np.concatenate(docs)
             order = np.argsort(d, kind="stable")
-            out = (
-                d[order], np.concatenate(tfs)[order], np.concatenate(dls)[order]
+            contrib = idf[t] * self._tfnorm(
+                np.concatenate(tfs)[order], np.concatenate(dls)[order]
             )
+            out = (d[order], contrib)
             # cache only full-span decodes (subsets depend on the query)
             if len(keep) == len(segs):
                 if len(self._decoded_cache) >= self._cache_terms:
@@ -256,13 +261,15 @@ class LocalSearcher:
             if hit is None:
                 cand, ctf = decode_postings(row.doc_ids, row.tfs)
                 cdl = decode_varints(row.doclens).astype(np.int64)
-                seg_cache[skey] = (cand, ctf, cdl)
+                # idf * tfnorm is query-independent per term: cache it
+                c_contrib = idf[rarest] * self._tfnorm(ctf, cdl)
+                seg_cache[skey] = (cand, c_contrib)
             else:
-                cand, ctf, cdl = hit
-            scores = idf[rarest] * self._tfnorm(ctf, cdl)
+                cand, c_contrib = hit
+            scores = c_contrib.copy()
             alive = np.ones(cand.size, dtype=bool)
             for t in others:
-                od, otf, odl = load_other(t)
+                od, oc = load_other(t)
                 if od.size == 0:
                     alive[:] = False
                     break
@@ -272,9 +279,7 @@ class LocalSearcher:
                 alive &= hit
                 if not alive.any():
                     break
-                scores = scores + np.where(
-                    hit, idf[t] * self._tfnorm(otf[pos_c], odl[pos_c]), 0.0
-                )
+                scores = scores + np.where(hit, oc[pos_c], 0.0)
             ca, sa = cand[alive], scores[alive]
             if ca.size > k:
                 # vectorized per-segment top-k: the heap only ever
