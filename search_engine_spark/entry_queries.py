@@ -905,6 +905,39 @@ def q_lsh_cosine_topk(spark, sf_dir):
     return lsh_bucket_topk(emb, qs, k=5, n_planes=6)
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Dedup family: embedding-cosine near-duplicate pairs, EXACT
+    brute-force baseline (threshold on the rounded cosine). The
+    LSH-bucketed scale path is near_dup_lsh (rows-only)."""
+    from search_engine_spark.operators.similarity import exact_near_dup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return exact_near_dup(emb, threshold=0.4).orderBy("x", "y")
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH c AS (
+  SELECT a.vec_id AS x, b.vec_id AS y,
+         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+           AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT x, y, cos FROM c WHERE cos >= 0.4 ORDER BY x, y
+"""
+
+
+def q_near_dup_lsh(spark, sf_dir):
+    """Dedup family scale path: embedding-cosine near-dup pairs found
+    inside LSH buckets (approximate by design -> rows-only; soundness
+    [every pair really >= threshold] and planted-dup recall are
+    pytest-checked)."""
+    from search_engine_spark.operators.similarity import pairwise_near_dup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return pairwise_near_dup(emb, threshold=0.4, n_planes=4).orderBy("x", "y")
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-payload feature extraction plumbing (decode stubbed —
     no media libs in this container; schema/batching are real)."""
@@ -957,6 +990,8 @@ QUERIES = {
     "lsh_cosine_topk": q_lsh_cosine_topk,
     "ivf_cosine_topk": q_ivf_cosine_topk,
     "multimodal_features": q_multimodal_features,
+    "embedding_near_dup": q_embedding_near_dup,
+    "near_dup_lsh": q_near_dup_lsh,
 }
 
 ORACLES = {
@@ -992,7 +1027,9 @@ ORACLES = {
     "orders_rollup": SQL_ORDERS_ROLLUP,
     "windowed_event_counts": SQL_WINDOWED_EVENT_COUNTS,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     # intentionally rows-only (non-SQL-expressible):
+    # near_dup_lsh (approximate; soundness+recall pytest-checked),
     # bm25_stemmed_topk (Porter stemmer), minhash_lsh_pairs,
     # simhash_fingerprints, lang_id (char-ngram kernel),
     # content_fingerprints (xxhash64 differs from DuckDB hash),

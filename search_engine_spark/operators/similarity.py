@@ -169,6 +169,24 @@ def ivf_topk(
     )
 
 
+def exact_near_dup(df: DataFrame, *, threshold: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, EXACT (brute-force a<b
+    self-join + threshold filter). The correctness baseline the LSH
+    path (pairwise_near_dup) approximates; quadratic in |df|, so at
+    scale it is only run inside a blocking key (LSH bucket, shard, or
+    time window) — never on the full corpus. Threshold is applied to
+    the 6-decimal-rounded cosine so results are float-stable."""
+    a = df.select(F.col(id_col).alias("x"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("y"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("x") < F.col("y"))
+        .select("x", "y",
+                F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def pairwise_near_dup(df: DataFrame, *, threshold: float = 0.95,
                       n_planes: int = 10, dim: int = 64,
                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

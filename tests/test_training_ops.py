@@ -21,6 +21,7 @@ from search_engine_spark.operators.multimodal import (
 from search_engine_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_batch,
+    exact_near_dup,
     lsh_bucket_topk,
     pairwise_near_dup,
 )
@@ -114,6 +115,25 @@ def test_pairwise_near_dup_self_similarity(spark):
     )
     out = pairwise_near_dup(emb.unionByName(dup), threshold=0.999)
     assert (7, 10007) in {(r.x, r.y) for r in out.collect()}
+
+
+def test_exact_near_dup_baseline_and_lsh_soundness(spark):
+    """exact_near_dup is the ground truth: every LSH-found pair must be
+    in it (LSH only MISSES pairs — cross-bucket — never invents them),
+    and planted duplicates must be recalled by BOTH paths."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id").isin(3, 11)).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(dup)
+    exact = {(r.x, r.y) for r in
+             exact_near_dup(corpus, threshold=0.999).collect()}
+    approx = {(r.x, r.y) for r in
+              pairwise_near_dup(corpus, threshold=0.999).collect()}
+    assert {(3, 10003), (11, 10011)} <= exact
+    # identical vectors land in identical buckets -> LSH recalls them
+    assert {(3, 10003), (11, 10011)} <= approx
+    assert approx <= exact
 
 
 def test_token_stats_and_quality(spark):
