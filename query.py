@@ -28,8 +28,8 @@ def main() -> None:
     ap.add_argument("--distributed", action="store_true")
     ap.add_argument("--mode", choices=["and", "or"], default="and",
                     help="and = posting-list intersection (reference "
-                         "semantics); or = disjunctive BM25 (distributed "
-                         "path only)")
+                         "semantics); or = disjunctive BM25 (block-max "
+                         "pruned on the local path too)")
     ap.add_argument("--urls", action="store_true",
                     help="print urls (requires an index built from "
                          "pages input — urlmap table present)")
@@ -40,10 +40,6 @@ def main() -> None:
     ):
         ap.error(f"--index-dir {args.index_dir!r} is not a built index "
                  "(no postings/ table) — build one with build_index.py")
-    if args.mode == "or" and not args.distributed:
-        ap.error("--mode or requires --distributed (the local WAND path "
-                 "implements the reference's conjunctive semantics)")
-
     stem = not args.no_stem
     t0 = time.time()
     if args.distributed:
@@ -60,7 +56,9 @@ def main() -> None:
     else:
         from search_engine_spark.plans.wand import LocalSearcher
 
-        hits = LocalSearcher(args.index_dir).search(args.qtext, k=args.k, stem=stem)
+        hits = LocalSearcher(args.index_dir).search(
+            args.qtext, k=args.k, stem=stem, mode=args.mode
+        )
     wall = time.time() - t0
     urls = {}
     if args.urls and hits:

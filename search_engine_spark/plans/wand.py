@@ -135,18 +135,146 @@ class LocalSearcher:
             tff + K1 * (1.0 - B + B * dl.astype(np.float64) / self.avgdl)
         )
 
+    def _seg_decode(self, term: str, row, idf_t: float):
+        """Decoded (doc_ids, idf*tfnorm contributions) for one segment,
+        cached per (term, salt, seg). The contribution array is
+        query-INDEPENDENT (idf is a corpus constant per term), so the
+        cache is shared by the AND and OR paths and across queries."""
+        if term not in self._seg_decoded and len(self._seg_decoded) >= self._cache_terms:
+            self._seg_decoded.pop(next(iter(self._seg_decoded)))
+        cache = self._seg_decoded.setdefault(term, {})
+        key = (row.salt, row.seg)
+        hit = cache.get(key)
+        if hit is None:
+            cand, ctf = decode_postings(row.doc_ids, row.tfs)
+            cdl = decode_varints(row.doclens).astype(np.int64)
+            hit = (cand, idf_t * self._tfnorm(ctf, cdl))
+            cache[key] = hit
+        return hit
+
+    def _load_span(self, term: str, idf_t: float, lo: int, hi: int):
+        """Merged sorted (doc_ids, contribs) of `term` restricted to the
+        segments whose doc range overlaps [lo, hi] — segment-granular,
+        so cold segments outside the span are never decoded."""
+        segs = self._segments(term)
+        keep = segs[(segs.last_doc >= lo) & (segs.first_doc <= hi)]
+        if len(keep) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        parts = [self._seg_decode(term, row, idf_t)
+                 for row in keep.itertuples(index=False)]
+        if len(parts) == 1:
+            return parts[0]
+        d = np.concatenate([p[0] for p in parts])
+        c = np.concatenate([p[1] for p in parts])
+        order = np.argsort(d, kind="stable")
+        return d[order], c[order]
+
+    def _search_or(
+        self, qterms: list[str], k: int, prune: bool,
+    ) -> list[tuple[int, float]]:
+        """Disjunctive (OR) top-k: block-max pruned union scoring.
+
+        Every query term's every segment is a candidate generator; a
+        doc is generated only by its FIRST containing term (fixed term
+        order) so it is scored exactly once, with contributions from
+        ALL terms containing it. Segment upper bound =
+        own idf*max_tfnorm + sum over other terms of their best
+        overlapping-segment bound; since any doc in the segment scores
+        <= that bound, skipping bound<theta segments is exact — a doc
+        whose every containing segment is pruned cannot reach the heap
+        (each containing segment's bound dominates its full score).
+        Pruning gates candidate GENERATION only; contribution lookups
+        for surviving candidates always read the real lists."""
+        qterms = sorted(qterms, key=lambda t: (self._df[t], t))
+        idf = {t: self._idf(t) for t in qterms}
+        per_term = []  # (term, segs_df) in fixed dedup order
+        for t in qterms:
+            per_term.append((t, self._segments(t)))
+
+        # segment entries with full OR upper bounds
+        entries = []  # (ub, term_idx, row)
+        for i, (t, segs) in enumerate(per_term):
+            if len(segs) == 0:
+                continue
+            s_first = segs.first_doc.to_numpy()
+            s_last = segs.last_doc.to_numpy()
+            ub = idf[t] * segs.max_tfnorm.to_numpy().astype(np.float64)
+            for j, (u, osegs) in enumerate(per_term):
+                if j == i or len(osegs) == 0:
+                    continue
+                of = osegs.first_doc.to_numpy()
+                ol = osegs.last_doc.to_numpy()
+                ob = osegs.max_tfnorm.to_numpy()
+                overlap = (of[None, :] <= s_last[:, None]) & (
+                    ol[None, :] >= s_first[:, None]
+                )
+                ub = ub + idf[u] * np.where(overlap, ob[None, :], 0.0).max(axis=1)
+            for r, row in enumerate(segs.itertuples(index=False)):
+                entries.append((float(ub[r]), i, row))
+        entries.sort(key=lambda e: -e[0])
+
+        heap: list[tuple[float, int]] = []
+
+        def offer(doc: int, score: float) -> None:
+            item = (score, -doc)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+
+        skipped = 0
+        for n_done, (ub, i, row) in enumerate(entries):
+            # strict '<' keeps equal-score smaller-doc_id tie winners
+            if prune and len(heap) == k and ub < heap[0][0]:
+                skipped += len(entries) - n_done
+                break
+            t = per_term[i][0]
+            cand, scores = self._seg_decode(t, row, idf[t])
+            scores = scores.copy()
+            keep = np.ones(cand.size, dtype=bool)
+            lo, hi = int(row.first_doc), int(row.last_doc)
+            for j, (u, _) in enumerate(per_term):
+                if j == i:
+                    continue
+                od, oc = self._load_span(u, idf[u], lo, hi)
+                if od.size == 0:
+                    continue
+                pos = np.searchsorted(od, cand)
+                pos_c = np.clip(pos, 0, od.size - 1)
+                hit = od[pos_c] == cand
+                if j < i:
+                    keep &= ~hit  # doc is driven by its first term only
+                scores = scores + np.where(hit, oc[pos_c], 0.0)
+            ca, sa = cand[keep], scores[keep]
+            if ca.size > k:
+                order_k = np.lexsort((ca, -sa))[:k]
+                ca, sa = ca[order_k], sa[order_k]
+            for doc, sc in zip(ca, sa):
+                offer(int(doc), float(sc))
+        self.last_segments_skipped = skipped
+        out = sorted(heap, key=lambda it: (-it[0], -it[1]))
+        return [(-nd, s) for s, nd in out]
+
     def search(
         self, qtext_or_terms, *, k: int = 10, stem: bool = True,
-        prune: bool = True,
+        prune: bool = True, mode: str = "and",
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), score desc then doc_id asc.
 
+        mode="and" (default) is the reference's conjunctive semantics;
+        mode="or" is disjunctive BM25 (matches IndexReader.search
+        mode="or" — missing terms are dropped, not fatal).
         prune=False disables the block-max skip (used by the
         equivalence property tests)."""
         if isinstance(qtext_or_terms, str):
             qterms = analyze_query(qtext_or_terms, stem=stem)
         else:
             qterms = list(dict.fromkeys(qtext_or_terms))
+        if mode == "or":
+            qterms = [t for t in qterms if t in self._df]
+            if not qterms:
+                return []
+            return self._search_or(qterms, k, prune)
         if not qterms or any(t not in self._df for t in qterms):
             return []
         idf = {t: self._idf(t) for t in qterms}
@@ -237,10 +365,6 @@ class LocalSearcher:
             elif item > heap[0]:
                 heapq.heapreplace(heap, item)
 
-        if rarest not in self._seg_decoded and len(self._seg_decoded) >= self._cache_terms:
-            self._seg_decoded.pop(next(iter(self._seg_decoded)))
-        seg_cache = self._seg_decoded.setdefault(rarest, {})
-
         # descending bound order grows theta fastest
         r_segs = r_segs.assign(
             ub=idf[rarest] * r_segs.max_tfnorm.to_numpy() + others_ub_vec
@@ -256,16 +380,7 @@ class LocalSearcher:
                 # row is pruned too — stop instead of scanning on
                 skipped += n_rows - i
                 break
-            skey = (row.salt, row.seg)
-            hit = seg_cache.get(skey)
-            if hit is None:
-                cand, ctf = decode_postings(row.doc_ids, row.tfs)
-                cdl = decode_varints(row.doclens).astype(np.int64)
-                # idf * tfnorm is query-independent per term: cache it
-                c_contrib = idf[rarest] * self._tfnorm(ctf, cdl)
-                seg_cache[skey] = (cand, c_contrib)
-            else:
-                cand, c_contrib = hit
+            cand, c_contrib = self._seg_decode(rarest, row, idf[rarest])
             scores = c_contrib.copy()
             alive = np.ones(cand.size, dtype=bool)
             for t in others:

@@ -15,8 +15,11 @@ def brute_force_topk(
     k1: float = 1.2,
     b: float = 0.75,
     analyzer=None,
+    mode: str = "and",
 ) -> list[tuple[int, float]]:
-    """AND-semantics BM25 top-k over (doc_id, text) pairs.
+    """BM25 top-k over (doc_id, text) pairs. mode="and" requires every
+    query term in the doc (reference semantics); mode="or" scores any
+    doc containing at least one term, over the terms it contains.
 
     analyzer: callable text -> token list. Defaults to str.split (the
     synthetic corpus is space-separated lowercase words).
@@ -38,11 +41,14 @@ def brute_force_topk(
             dfs[term] += 1
     results = []
     for did, c in tf_by_doc.items():
-        if not all(t in c for t in qterms):
+        present = [t for t in qterms if t in c]
+        if mode == "and" and len(present) != len(qterms):
+            continue
+        if not present:
             continue
         dl = len(toks[did])
         score = 0.0
-        for t in qterms:
+        for t in present:
             idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
             tf = c[t]
             score += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))

@@ -44,6 +44,50 @@ def test_pruning_actually_skips(searcher):
     assert searcher.last_segments_skipped > 0
 
 
+@pytest.mark.parametrize("qid,qtext,k", QUERIES)
+def test_wand_or_equals_oracle(searcher, corpus_docs, qid, qtext, k):
+    got = searcher.search(qtext, k=k, stem=False, mode="or")
+    qterms = list(dict.fromkeys(qtext.lower().split()))
+    want = brute_force_topk(corpus_docs, qterms, k=k, mode="or")
+    assert [d for d, _ in got] == [d for d, _ in want], f"qid={qid}"
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9)
+
+
+@pytest.mark.parametrize("qid,qtext,k", QUERIES)
+def test_or_prune_is_exact(searcher, qid, qtext, k):
+    pruned = searcher.search(qtext, k=k, stem=False, prune=True, mode="or")
+    full = searcher.search(qtext, k=k, stem=False, prune=False, mode="or")
+    assert pruned == full
+
+
+def test_or_pruning_actually_skips(searcher):
+    searcher.search("the", k=3, stem=False, prune=True, mode="or")
+    assert searcher.last_segments_skipped > 0
+
+
+def test_or_drops_missing_terms(searcher, corpus_docs):
+    """AND with an unknown term is empty; OR ignores it."""
+    assert searcher.search(["the", "qqqzzz"], k=5, stem=False) == []
+    got = searcher.search(["the", "qqqzzz"], k=5, stem=False, mode="or")
+    want = brute_force_topk(corpus_docs, ["the"], k=5, mode="or")
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_or_matches_distributed_reader(spark, index_dir):  # noqa: F811
+    from search_engine_spark.plans.index_query import IndexReader
+
+    s = LocalSearcher(index_dir)
+    rd = IndexReader(spark, index_dir)
+    for qtext in ("the data", "spark zzzz window", "merge the index"):
+        local = s.search(qtext, k=8, stem=False, mode="or")
+        dist = [(r.doc_id, r.score)
+                for r in rd.search(qtext, k=8, stem=False, mode="or").collect()]
+        assert [d for d, _ in local] == [d for d, _ in dist]
+        for (_, ls), (_, ds_) in zip(local, dist):
+            assert ls == pytest.approx(ds_, abs=1e-9)
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_randomized_equivalence(spark, tmp_path_factory, seed):
     """Random corpus + random queries: WAND == brute force, exactly."""
@@ -64,8 +108,9 @@ def test_randomized_equivalence(spark, tmp_path_factory, seed):
         qlen = int(rng.integers(1, 4))
         qterms = list(rng.choice(vocab, size=qlen, replace=False))
         k = int(rng.integers(1, 15))
-        got = s.search(qterms, k=k, stem=False)
-        want = brute_force_topk(docs, qterms, k=k)
-        assert [x for x, _ in got] == [x for x, _ in want], (qterms, k)
-        for (_, gs), (_, ws) in zip(got, want):
-            assert gs == pytest.approx(ws, abs=1e-9)
+        for mode in ("and", "or"):
+            got = s.search(qterms, k=k, stem=False, mode=mode)
+            want = brute_force_topk(docs, qterms, k=k, mode=mode)
+            assert [x for x, _ in got] == [x for x, _ in want], (qterms, k, mode)
+            for (_, gs), (_, ws) in zip(got, want):
+                assert gs == pytest.approx(ws, abs=1e-9)
