@@ -166,6 +166,17 @@ def main() -> None:
     queries["bm25_wand_local"] = round(p50, 6)
     extra["wand_p50_ms"] = round(p50 * 1000, 3)
 
+    # disjunctive (OR) block-max path on the same query set
+    for q in WAND_QUERIES:
+        s.search(q, k=10, mode="or")  # warm
+    lat_or = []
+    for _ in range(100):
+        for q in WAND_QUERIES:
+            t0 = time.perf_counter()
+            s.search(q, k=10, mode="or")
+            lat_or.append(time.perf_counter() - t0)
+    extra["wand_or_p50_ms"] = round(statistics.median(lat_or) * 1000, 3)
+
     shutil.rmtree(work, ignore_errors=True)
     out = {
         "metric": "index_build_seconds",

@@ -152,22 +152,29 @@ class LocalSearcher:
             cache[key] = hit
         return hit
 
-    def _load_span(self, term: str, idf_t: float, lo: int, hi: int):
-        """Merged sorted (doc_ids, contribs) of `term` restricted to the
-        segments whose doc range overlaps [lo, hi] — segment-granular,
-        so cold segments outside the span are never decoded."""
+    def _load_full(self, term: str, idf_t: float):
+        """Merged sorted (doc_ids, contribs) over ALL of `term`'s
+        segments, cached query-independently (the same cache the AND
+        path's full-span other-term decodes use)."""
+        hit = self._decoded_cache.get(term)
+        if hit is not None:
+            return hit
         segs = self._segments(term)
-        keep = segs[(segs.last_doc >= lo) & (segs.first_doc <= hi)]
-        if len(keep) == 0:
+        if len(segs) == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         parts = [self._seg_decode(term, row, idf_t)
-                 for row in keep.itertuples(index=False)]
+                 for row in segs.itertuples(index=False)]
         if len(parts) == 1:
-            return parts[0]
-        d = np.concatenate([p[0] for p in parts])
-        c = np.concatenate([p[1] for p in parts])
-        order = np.argsort(d, kind="stable")
-        return d[order], c[order]
+            out = parts[0]
+        else:
+            d = np.concatenate([p[0] for p in parts])
+            c = np.concatenate([p[1] for p in parts])
+            order = np.argsort(d, kind="stable")
+            out = (d[order], c[order])
+        if len(self._decoded_cache) >= self._cache_terms:
+            self._decoded_cache.pop(next(iter(self._decoded_cache)))
+        self._decoded_cache[term] = out
+        return out
 
     def _search_or(
         self, qterms: list[str], k: int, prune: bool,
@@ -232,11 +239,10 @@ class LocalSearcher:
             cand, scores = self._seg_decode(t, row, idf[t])
             scores = scores.copy()
             keep = np.ones(cand.size, dtype=bool)
-            lo, hi = int(row.first_doc), int(row.last_doc)
             for j, (u, _) in enumerate(per_term):
                 if j == i:
                     continue
-                od, oc = self._load_span(u, idf[u], lo, hi)
+                od, oc = self._load_full(u, idf[u])
                 if od.size == 0:
                     continue
                 pos = np.searchsorted(od, cand)
