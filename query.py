@@ -3,10 +3,13 @@
 
     python query.py --index-dir /data/index "spark join" -k 10
     python query.py --index-dir /data/index --distributed "spark join"
+    python query.py --index-dir /data/index --batch queries.txt
 
 Default is the local block-max WAND path (millisecond latency, no
 Spark job); --distributed runs the Spark IndexReader plan (same
-results, cluster-scale).
+results, cluster-scale). --batch reads one query per line (optionally
+"id<TAB>text") and answers them all: locally by looping the serving
+path, or — with --distributed — in ONE Spark job (search_batch).
 """
 
 from __future__ import annotations
@@ -16,12 +19,36 @@ import json
 import time
 
 
+def _read_batch(path: str) -> dict[str, str]:
+    queries: dict[str, str] = {}
+    with open(path) as f:
+        for i, line in enumerate(f, 1):
+            line = line.rstrip("\n")
+            if not line.strip():
+                continue
+            if "\t" in line:
+                qid, text = line.split("\t", 1)
+            else:
+                qid, text = f"q{i}", line
+            queries[qid] = text
+    return queries
+
+
+def _url_lookup(index_dir: str, doc_ids: list[int]) -> dict[int, str]:
+    import pyarrow.dataset as ds
+
+    tbl = ds.dataset(f"{index_dir}/urlmap", format="parquet").to_table(
+        columns=["doc_id", "url"],
+        filter=ds.field("doc_id").isin(doc_ids),  # row-group pruned
+    )
+    return dict(zip(tbl["doc_id"].to_pylist(), tbl["url"].to_pylist()))
+
+
 def main() -> None:
     import os
-    import sys
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("qtext")
+    ap.add_argument("qtext", nargs="?")
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--no-stem", action="store_true")
@@ -30,6 +57,10 @@ def main() -> None:
                     help="and = posting-list intersection (reference "
                          "semantics); or = disjunctive BM25 (block-max "
                          "pruned on the local path too)")
+    ap.add_argument("--batch", metavar="FILE",
+                    help="answer every query in FILE (one per line, "
+                         "optional 'id<TAB>text'); with --distributed "
+                         "all queries run in ONE Spark job")
     ap.add_argument("--urls", action="store_true",
                     help="print urls (requires an index built from "
                          "pages input — urlmap table present)")
@@ -40,14 +71,46 @@ def main() -> None:
     ):
         ap.error(f"--index-dir {args.index_dir!r} is not a built index "
                  "(no postings/ table) — build one with build_index.py")
+    if bool(args.qtext) == bool(args.batch):
+        ap.error("provide exactly one of: a query string, or --batch FILE")
+    if args.urls and not os.path.isdir(os.path.join(args.index_dir, "urlmap")):
+        ap.error("--urls needs the index's urlmap table (built from "
+                 "pages input)")
+
     stem = not args.no_stem
     t0 = time.time()
-    if args.distributed:
+    # per-query ranked results: {qid: [(doc_id, score), ...]}
+    results: dict[str, list[tuple[int, float]]] = {}
+    if args.batch:
+        queries = _read_batch(args.batch)
+        if args.distributed:
+            from search_engine_spark.plans.index_query import IndexReader
+            from search_engine_spark.session import get_spark
+
+            spark = get_spark("query-batch")
+            rows = (
+                IndexReader(spark, args.index_dir)
+                .search_batch(queries, k=args.k, stem=stem, mode=args.mode)
+                .collect()
+            )
+            spark.stop()
+            for qid in queries:
+                results[qid] = []
+            for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
+                results[r.query_id].append((r.doc_id, r.score))
+        else:
+            from search_engine_spark.plans.wand import LocalSearcher
+
+            s = LocalSearcher(args.index_dir)
+            for qid, text in queries.items():
+                results[qid] = s.search(text, k=args.k, stem=stem,
+                                        mode=args.mode)
+    elif args.distributed:
         from search_engine_spark.plans.index_query import IndexReader
         from search_engine_spark.session import get_spark
 
         spark = get_spark("query")
-        hits = [
+        results[""] = [
             (r.doc_id, r.score)
             for r in IndexReader(spark, args.index_dir)
             .search(args.qtext, k=args.k, stem=stem, mode=args.mode).collect()
@@ -56,28 +119,25 @@ def main() -> None:
     else:
         from search_engine_spark.plans.wand import LocalSearcher
 
-        hits = LocalSearcher(args.index_dir).search(
+        results[""] = LocalSearcher(args.index_dir).search(
             args.qtext, k=args.k, stem=stem, mode=args.mode
         )
     wall = time.time() - t0
-    urls = {}
-    if args.urls and hits:
-        urlmap = os.path.join(args.index_dir, "urlmap")
-        if not os.path.isdir(urlmap):
-            ap.error("--urls needs the index's urlmap table (built from "
-                     "pages input)")
-        import pyarrow.dataset as ds
 
-        ids = [int(d) for d, _ in hits]
-        tbl = ds.dataset(urlmap, format="parquet").to_table(
-            columns=["doc_id", "url"],
-            filter=ds.field("doc_id").isin(ids),  # row-group pruned
-        )
-        urls = dict(zip(tbl["doc_id"].to_pylist(), tbl["url"].to_pylist()))
-    for rank, (doc_id, score) in enumerate(hits, 1):
-        tail = f"\t{urls.get(doc_id, '?')}" if args.urls else ""
-        print(f"{rank}\t{doc_id}\t{score:.6f}{tail}")
-    print(json.dumps({"n": len(hits), "wall_s": round(wall, 4)}))
+    urls: dict[int, str] = {}
+    if args.urls:
+        ids = sorted({int(d) for hits in results.values() for d, _ in hits})
+        if ids:
+            urls = _url_lookup(args.index_dir, ids)
+    n = 0
+    for qid in results:
+        for rank, (doc_id, score) in enumerate(results[qid], 1):
+            n += 1
+            lead = f"{qid}\t" if qid else ""
+            tail = f"\t{urls.get(doc_id, '?')}" if args.urls else ""
+            print(f"{lead}{rank}\t{doc_id}\t{score:.6f}{tail}")
+    print(json.dumps({"n": n, "n_queries": len(results),
+                      "wall_s": round(wall, 4)}))
 
 
 if __name__ == "__main__":

@@ -68,3 +68,14 @@ def test_huge_hot_doc_bounded(spark, tmp_path):
     loc = [(d_, round(s, 9)) for d_, s in local.search(["hot"], k=5)]
     assert dist == loc
     assert dist[0][0] == 0  # the giant doc dominates tf
+
+
+def test_read_batch_parsing(tmp_path):
+    """query.py --batch file format: blank lines skipped, optional
+    id<TAB>text, default ids are 1-based line numbers."""
+    from query import _read_batch
+
+    p = tmp_path / "queries.txt"
+    p.write_text("spark join\n\nhot\tthe data\n  \nplain one\n")
+    qs = _read_batch(str(p))
+    assert qs == {"q1": "spark join", "hot": "the data", "q5": "plain one"}
