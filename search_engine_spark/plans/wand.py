@@ -94,6 +94,12 @@ class LocalSearcher:
                 hi = stats.max if stats is not None else None
                 self._rg.setdefault(bucket, []).append((path, rg, lo, hi))
         self._term_cache: dict[str, pd.DataFrame] = {}
+        self._fast = True
+        # per-term query counts: a term is promoted to the full-list
+        # cache (enabling the vectorized warm path) on its SECOND
+        # encounter — first-contact queries keep block-max pruning's
+        # decode avoidance, repeated ones amortize one full decode
+        self._term_hits: dict[str, int] = {}
         # decoded (docs, tfs, doclens) per term — serving-path hot-set
         # cache so repeated queries skip varint decode entirely
         self._decoded_cache: dict[str, tuple] = {}
@@ -176,6 +182,76 @@ class LocalSearcher:
         self._decoded_cache[term] = out
         return out
 
+    def _vector_topk(self, docs: np.ndarray, scores: np.ndarray, k: int):
+        """Exact top-k by (score desc, doc_id asc) from parallel arrays:
+        argpartition narrows to the boundary score (ties kept), then a
+        lexsort of only that subset fixes the order."""
+        if docs.size == 0:
+            return []
+        if docs.size > k:
+            kth = np.partition(-scores, k - 1)[k - 1]
+            keep = -scores <= kth  # score >= k-th best, boundary ties kept
+            docs, scores = docs[keep], scores[keep]
+        order = np.lexsort((docs, -scores))[:k]
+        return [(int(docs[i]), float(scores[i])) for i in order]
+
+    def _warm(self, qterms: list[str]) -> bool:
+        return all(t in self._decoded_cache for t in qterms)
+
+    def _promote_repeats(self, qterms: list[str], idf: dict) -> None:
+        """Count term encounters; fully decode a term's list on its
+        second one so subsequent queries route the vectorized path."""
+        for t in qterms:
+            n = self._term_hits.get(t, 0) + 1
+            self._term_hits[t] = n
+            if n >= 2 and t not in self._decoded_cache:
+                self._load_full(t, idf[t])
+
+    def _search_and_warm(self, qterms, idf, k):
+        """Serving fast path (AND): every term's merged list is already
+        decoded+cached, so the whole intersection runs as a handful of
+        numpy ops — no per-segment Python loop. Only routed when warm;
+        cold queries keep the block-max path (its segment pruning
+        avoids decode work the vectorized path would have to pay).
+
+        Float additions run in the SAME order as the block-max path
+        (rarest term's contribution first, then the remaining terms in
+        query order) so results are bit-identical, not just
+        rank-identical."""
+        rarest = min(qterms, key=lambda t: self._df[t])
+        docs, contrib = self._load_full(rarest, idf[rarest])
+        scores = contrib.copy()
+        alive = np.ones(docs.size, dtype=bool)
+        for t in qterms:
+            if t == rarest:
+                continue
+            od, oc = self._load_full(t, idf[t])
+            if od.size == 0:
+                return []
+            pos = np.searchsorted(od, docs)
+            pos_c = np.clip(pos, 0, od.size - 1)
+            hit = od[pos_c] == docs
+            alive &= hit
+            scores = scores + np.where(hit, oc[pos_c], 0.0)
+        self.last_segments_skipped = 0
+        return self._vector_topk(docs[alive], scores[alive], k)
+
+    def _search_or_warm(self, qterms, idf, k):
+        """Serving fast path (OR): scatter-add each term's cached
+        contribution list into the union doc array, in the same sorted
+        term order the block-max path uses — per-doc addition sequences
+        match bit-exactly (x+0.0 == 0.0+x == x for finite floats)."""
+        parts = [self._load_full(t, idf[t]) for t in qterms]
+        union = np.unique(np.concatenate([p[0] for p in parts]))
+        if union.size == 0:
+            return []
+        scores = np.zeros(union.size, dtype=np.float64)
+        for od, oc in parts:
+            if od.size:
+                scores[np.searchsorted(union, od)] += oc
+        self.last_segments_skipped = 0
+        return self._vector_topk(union, scores, k)
+
     def _search_or(
         self, qterms: list[str], k: int, prune: bool,
     ) -> list[tuple[int, float]]:
@@ -194,6 +270,10 @@ class LocalSearcher:
         for surviving candidates always read the real lists."""
         qterms = sorted(qterms, key=lambda t: (self._df[t], t))
         idf = {t: self._idf(t) for t in qterms}
+        if prune and self._fast:
+            self._promote_repeats(qterms, idf)
+            if self._warm(qterms):
+                return self._search_or_warm(qterms, idf, k)
         per_term = []  # (term, segs_df) in fixed dedup order
         for t in qterms:
             per_term.append((t, self._segments(t)))
@@ -263,7 +343,7 @@ class LocalSearcher:
 
     def search(
         self, qtext_or_terms, *, k: int = 10, stem: bool = True,
-        prune: bool = True, mode: str = "and",
+        prune: bool = True, mode: str = "and", fast: bool = True,
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), score desc then doc_id asc.
 
@@ -271,11 +351,14 @@ class LocalSearcher:
         mode="or" is disjunctive BM25 (matches IndexReader.search
         mode="or" — missing terms are dropped, not fatal).
         prune=False disables the block-max skip (used by the
-        equivalence property tests)."""
+        equivalence property tests). fast=False forces the block-max
+        path even when every term is warm in the serving cache (the
+        warm vectorized path is result-identical; property-tested)."""
         if isinstance(qtext_or_terms, str):
             qterms = analyze_query(qtext_or_terms, stem=stem)
         else:
             qterms = list(dict.fromkeys(qtext_or_terms))
+        self._fast = fast
         if mode == "or":
             qterms = [t for t in qterms if t in self._df]
             if not qterms:
@@ -284,6 +367,10 @@ class LocalSearcher:
         if not qterms or any(t not in self._df for t in qterms):
             return []
         idf = {t: self._idf(t) for t in qterms}
+        if prune and fast:
+            self._promote_repeats(qterms, idf)
+            if self._warm(qterms):
+                return self._search_and_warm(qterms, idf, k)
 
         # rarest term drives the intersection
         rarest = min(qterms, key=lambda t: self._df[t])

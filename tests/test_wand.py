@@ -38,7 +38,8 @@ def test_prune_is_exact(searcher, qid, qtext, k):
 
 
 def test_pruning_actually_skips(searcher):
-    searcher.search("the", k=3, stem=False, prune=True)
+    # fast=False forces the block-max path even if 'the' is warm
+    searcher.search("the", k=3, stem=False, prune=True, fast=False)
     # 500 docs contain 'the' -> multiple 64-posting segments; with k=3
     # the threshold must exclude at least one segment
     assert searcher.last_segments_skipped > 0
@@ -62,8 +63,28 @@ def test_or_prune_is_exact(searcher, qid, qtext, k):
 
 
 def test_or_pruning_actually_skips(searcher):
-    searcher.search("the", k=3, stem=False, prune=True, mode="or")
+    searcher.search("the", k=3, stem=False, prune=True, mode="or", fast=False)
     assert searcher.last_segments_skipped > 0
+
+
+@pytest.mark.parametrize("mode", ["and", "or"])
+@pytest.mark.parametrize("qid,qtext,k", QUERIES)
+def test_warm_fast_path_is_identical(searcher, qid, qtext, k, mode):
+    """Once every term is cached, search routes the vectorized warm
+    path — it must match the block-max path result-exactly (ranks,
+    scores, tie-breaks)."""
+    slow = searcher.search(qtext, k=k, stem=False, mode=mode, fast=False)
+    # the OR/warm helpers populate the full-list cache as a side effect;
+    # force-warm explicitly so the fast path is really taken
+    qterms = [t for t in dict.fromkeys(qtext.lower().split())
+              if t in searcher._df]
+    for t in qterms:
+        searcher._load_full(t, searcher._idf(t))
+    if mode == "and" and len(qterms) != len(dict.fromkeys(qtext.lower().split())):
+        return  # unknown term: AND is empty either way
+    assert searcher._warm(qterms)
+    fast = searcher.search(qtext, k=k, stem=False, mode=mode, fast=True)
+    assert fast == slow
 
 
 def test_or_drops_missing_terms(searcher, corpus_docs):
@@ -114,3 +135,5 @@ def test_randomized_equivalence(spark, tmp_path_factory, seed):
             assert [x for x, _ in got] == [x for x, _ in want], (qterms, k, mode)
             for (_, gs), (_, ws) in zip(got, want):
                 assert gs == pytest.approx(ws, abs=1e-9)
+            # repeat warm: may route the vectorized fast path — identical
+            assert s.search(qterms, k=k, stem=False, mode=mode) == got
