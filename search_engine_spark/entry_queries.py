@@ -422,14 +422,19 @@ def q_token_stats(spark, sf_dir):
 
 SQL_TOKEN_STATS = f"""
 WITH {_TOK_CTE},
-chars AS (SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents),
+chars AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars,
+         len(regexp_extract_all(text,
+             '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+'
+         ))::BIGINT AS n_subtokens
+  FROM documents),
 agg AS (
   SELECT doc_id, count(*)::BIGINT AS n_tokens,
          round(avg(length(term)), 6) AS avg_token_len
   FROM tok2 GROUP BY doc_id
 )
-SELECT c.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, c.n_chars,
-       coalesce(a.avg_token_len, 0.0) AS avg_token_len
+SELECT c.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, c.n_subtokens,
+       c.n_chars, coalesce(a.avg_token_len, 0.0) AS avg_token_len
 FROM chars c LEFT JOIN agg a USING (doc_id)
 """
 

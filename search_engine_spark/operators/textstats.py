@@ -34,14 +34,26 @@ _LANG_PROFILES = {
 }
 
 
+# GPT-2-style pretokenizer pattern (BPE-ish subword unit boundaries):
+# contractions, optionally-space-prefixed letter runs, digit runs,
+# punctuation runs. Counts per doc approximate an LLM tokenizer's token
+# count far better than whitespace splitting (no merges table needed
+# for counting boundaries). Uses only \p{L}/\p{N} classes so the same
+# pattern runs JVM-side (java.util.regex) and in DuckDB (RE2).
+BPE_PRETOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
 def token_stats(df: DataFrame, *, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """Whitespace token count, char count, avg token length — built-ins
-    only (split/size/length are codegen'd; no UDF)."""
+    """Whitespace token count, BPE-ish subword-unit count, char count,
+    avg token length — built-ins only (split/size/length/
+    regexp_extract_all are codegen'd; no UDF)."""
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0))
+        .cast("long").alias("n_subtokens"),
         F.length(text_col).cast("long").alias("n_chars"),
         F.round(
             F.when(F.size(toks) > 0,

@@ -136,6 +136,22 @@ def test_exact_near_dup_baseline_and_lsh_soundness(spark):
     assert approx <= exact
 
 
+def test_bpe_pretoken_count(spark):
+    """BPE-ish subword counting: contractions split, punctuation runs
+    and digit runs are units, whitespace never is."""
+    from search_engine_spark.operators.textstats import token_stats
+
+    df = spark.createDataFrame(
+        [(1, "it's 42 tokens!!"), (2, ""), (3, "hello")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_subtokens)
+           for r in token_stats(df).collect()}
+    # "it's 42 tokens!!" -> it / 's / " 42" / " tokens" / "!!"
+    assert got[1] == (3, 5)
+    assert got[2] == (0, 0)
+    assert got[3] == (1, 1)
+
+
 def test_token_stats_and_quality(spark):
     df = spark.createDataFrame(
         [(1, "the cat the cat"), (2, ""), (3, "unique words only here")],
