@@ -30,6 +30,11 @@ def _read_batch(path: str) -> dict[str, str]:
                 qid, text = line.split("\t", 1)
             else:
                 qid, text = f"q{i}", line
+            if qid in queries:
+                raise SystemExit(
+                    f"duplicate query id {qid!r} in batch file (line {i}) — "
+                    "every query would not be answered; use unique ids"
+                )
             queries[qid] = text
     return queries
 

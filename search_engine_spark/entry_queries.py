@@ -945,13 +945,50 @@ def q_near_dup_lsh(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Binary-payload feature extraction plumbing (decode stubbed —
-    no media libs in this container; schema/batching are real)."""
+    no media libs in this container; schema/batching are real).
+    Projects driver-comparable SCALAR columns (the raw array<float>
+    column is unhashable for the driver's pandas canonicalizer): id,
+    exact-integer-derived feature norm, and the leading components."""
     from search_engine_spark.operators.multimodal import (
         extract_features,
         make_media_table,
     )
 
-    return extract_features(make_media_table(spark, 200))
+    feats = extract_features(make_media_table(spark, 200))
+    return feats.select(
+        "media_id",
+        F.round("feat_norm", 6).alias("feat_norm"),
+        *[
+            F.round(F.element_at("features", j + 1).cast("double"), 6).alias(f"f{j}")
+            for j in range(4)
+        ],
+    )
+
+
+# The stub feature bytes are md5(payload_hex) || md5(md5(payload_hex)||'x')
+# and payload_hex = repeat(md5('media'||i), 4+i%7) — reproducible from
+# generate_series with no external data (multimodal.py stub contract).
+SQL_MULTIMODAL_FEATURES = """
+WITH m AS (
+  SELECT i AS media_id, repeat(md5('media' || i), 4 + i % 7) AS ph
+  FROM generate_series(0, 199) t(i)
+), h AS (
+  SELECT media_id, md5(ph) AS h1 FROM m
+), hx AS (
+  SELECT media_id, h1 || md5(h1 || 'x') AS hex64 FROM h
+), b AS (
+  SELECT media_id, j,
+         ('0x' || substr(hex64, 2 * j + 1, 2))::BIGINT AS byte
+  FROM hx, generate_series(0, 31) g(j)
+)
+SELECT media_id,
+       round(sqrt(sum(byte * byte)) / 255.0, 6) AS feat_norm,
+       round((max(CASE WHEN j = 0 THEN byte END) / 255.0)::FLOAT::DOUBLE, 6) AS f0,
+       round((max(CASE WHEN j = 1 THEN byte END) / 255.0)::FLOAT::DOUBLE, 6) AS f1,
+       round((max(CASE WHEN j = 2 THEN byte END) / 255.0)::FLOAT::DOUBLE, 6) AS f2,
+       round((max(CASE WHEN j = 3 THEN byte END) / 255.0)::FLOAT::DOUBLE, 6) AS f3
+FROM b GROUP BY media_id
+"""
 
 
 QUERIES = {
@@ -1033,10 +1070,14 @@ ORACLES = {
     "windowed_event_counts": SQL_WINDOWED_EVENT_COUNTS,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
-    # intentionally rows-only (non-SQL-expressible):
-    # near_dup_lsh (approximate; soundness+recall pytest-checked),
-    # bm25_stemmed_topk (Porter stemmer), minhash_lsh_pairs,
-    # simhash_fingerprints, lang_id (char-ngram kernel),
-    # content_fingerprints (xxhash64 differs from DuckDB hash),
-    # lsh_cosine_topk (approximate), multimodal_features (binary kernel)
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    # intentionally rows-only (non-SQL-expressible), with their pytest
+    # exactness anchors:
+    # bm25_stemmed_topk — Porter 1980 stemmer is not ANSI-SQL; rank
+    #   identity pinned by tests/test_text.py goldens + tests/test_bm25.py
+    # lsh_cosine_topk / ivf_cosine_topk — approximate BY DESIGN (bucket /
+    #   cell probing); exactness anchors: lsh self-hit recall and
+    #   nprobe=all == brute force (tests/test_training_ops.py)
+    # near_dup_lsh — approximate by design; soundness (every pair truly
+    #   >= threshold) + planted-dup recall pytest-checked
 }

@@ -43,7 +43,12 @@ def make_media_table(spark, n: int, *, partitions: int = 4) -> DataFrame:
             for i in pdf["id"]:
                 i = int(i)
                 kind = kinds[i % 3]
-                payload = hashlib.sha256(f"media{i}".encode()).digest() * (4 + i % 7)
+                # payload bytes = unhex(repeat(md5('media'||i), 4+i%7)) —
+                # chosen so an ANSI-SQL oracle can reproduce the payload
+                # (and thus the stub features) from generate_series alone
+                payload = bytes.fromhex(
+                    hashlib.md5(f"media{i}".encode()).hexdigest() * (4 + i % 7)
+                )
                 rows.append((
                     i, kind, payload,
                     {"image": "image/png", "audio": "audio/wav",
@@ -94,25 +99,46 @@ def decode_image_stub(payload: bytes) -> np.ndarray:
     return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
 
 
+def stub_features(payload: bytes) -> np.ndarray:
+    """Deterministic fake feature extraction, chosen SQL-reproducible:
+    the 32 feature bytes are md5(hex(payload)) || md5(md5(hex(payload))
+    || 'x') — both engines (Spark kernel here, DuckDB oracle) derive
+    identical values from the payload alone. A real model replaces this
+    function; the Arrow batching / schema contract is unchanged."""
+    ph = payload.hex()
+    h1 = hashlib.md5(ph.encode()).hexdigest()
+    h2 = hashlib.md5((h1 + "x").encode()).hexdigest()
+    return np.frombuffer(bytes.fromhex(h1 + h2), dtype=np.uint8)
+
+
 def extract_features(df: DataFrame, *, payload_col: str = "payload",
                      id_col: str = "media_id") -> DataFrame:
     """binary payload -> fixed-size float feature vector (Arrow-batched;
-    byte-bounded rebatching; stubbed decode)."""
+    byte-bounded rebatching; stubbed decode). feat_norm is computed from
+    the exact integer sum of squared feature bytes (order-independent),
+    so it is bit-reproducible by a SQL oracle."""
     narrow = df.select(id_col, payload_col)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in rebatch_by_bytes(batches, payload_col):
-            ids, feats = [], []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                px = decode_image_stub(bytes(payload))
-                flat = px.astype(np.float64).ravel()
-                vec = np.resize(flat, FEATURE_DIM) / 255.0
-                ids.append(int(mid))
-                feats.append(vec.astype("float32"))
-            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
-                                "features": feats})
+        import math
 
-    return narrow.mapInPandas(gen, "media_id long, features array<float>")
+        for pdf in rebatch_by_bytes(batches, payload_col):
+            ids, feats, norms = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                bs = stub_features(bytes(payload))
+                vec = (bs.astype(np.float64) / 255.0).astype("float32")
+                ids.append(int(mid))
+                feats.append(vec)
+                norms.append(
+                    math.sqrt(int((bs.astype(np.int64) ** 2).sum())) / 255.0
+                )
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "features": feats,
+                                "feat_norm": pd.Series(norms, dtype="float64")})
+
+    return narrow.mapInPandas(
+        gen, "media_id long, features array<float>, feat_norm double"
+    )
 
 
 def frame_sample_plan(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:

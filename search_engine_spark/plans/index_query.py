@@ -109,6 +109,8 @@ class IndexReader:
 
     def search(self, qtext_or_terms, *, k: int = 10, stem: bool = True,
                mode: str = "and") -> DataFrame:
+        if mode not in ("and", "or"):
+            raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
         spark = self.spark
         if isinstance(qtext_or_terms, str):
             qterms = analyze_query(qtext_or_terms, stem=stem)
@@ -171,6 +173,8 @@ class IndexReader:
         term; ranking is a per-query row_number window. Returns
         (query_id, rank, doc_id, score).
         """
+        if mode not in ("and", "or"):
+            raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
         spark = self.spark
         from pyspark.sql import Window as W
 

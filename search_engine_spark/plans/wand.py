@@ -113,11 +113,20 @@ class LocalSearcher:
         df = self._df[term]
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
+    @staticmethod
+    def _lru_hit(cache: dict, key):
+        """dict-as-LRU: refresh recency on hit (pop + reinsert moves the
+        key to the end; eviction pops the front = least recent)."""
+        v = cache.get(key)
+        if v is not None:
+            cache[key] = cache.pop(key)
+        return v
+
     def _segments(self, term: str) -> pd.DataFrame:
         """All segment rows for a term (metadata + blobs), read from
         exactly the row groups whose stats admit the term; LRU-cached
         per term for the serving hot set."""
-        hit = self._term_cache.get(term)
+        hit = self._lru_hit(self._term_cache, term)
         if hit is not None:
             return hit
         parts = []
@@ -146,7 +155,8 @@ class LocalSearcher:
         cached per (term, salt, seg). The contribution array is
         query-INDEPENDENT (idf is a corpus constant per term), so the
         cache is shared by the AND and OR paths and across queries."""
-        if term not in self._seg_decoded and len(self._seg_decoded) >= self._cache_terms:
+        hit_outer = self._lru_hit(self._seg_decoded, term)
+        if hit_outer is None and len(self._seg_decoded) >= self._cache_terms:
             self._seg_decoded.pop(next(iter(self._seg_decoded)))
         cache = self._seg_decoded.setdefault(term, {})
         key = (row.salt, row.seg)
@@ -162,7 +172,7 @@ class LocalSearcher:
         """Merged sorted (doc_ids, contribs) over ALL of `term`'s
         segments, cached query-independently (the same cache the AND
         path's full-span other-term decodes use)."""
-        hit = self._decoded_cache.get(term)
+        hit = self._lru_hit(self._decoded_cache, term)
         if hit is not None:
             return hit
         segs = self._segments(term)
@@ -200,11 +210,26 @@ class LocalSearcher:
 
     def _promote_repeats(self, qterms: list[str], idf: dict) -> None:
         """Count term encounters; fully decode a term's list on its
-        second one so subsequent queries route the vectorized path."""
+        second one so subsequent queries route the vectorized path.
+
+        Bounded in a long-lived server: promotion happens only into
+        FREE cache slots (a full cache means the working set already
+        exceeds cache_terms — force-decoding just to be evicted would
+        defeat block-max decode avoidance), and the hit counter decays
+        (halve-and-drop) once it outgrows 8x the cache so it cannot
+        grow with the lifetime-distinct term count."""
+        if len(self._term_hits) > 8 * self._cache_terms:
+            self._term_hits = {
+                t: n // 2 for t, n in self._term_hits.items() if n // 2 > 0
+            }
         for t in qterms:
             n = self._term_hits.get(t, 0) + 1
             self._term_hits[t] = n
-            if n >= 2 and t not in self._decoded_cache:
+            if (
+                n >= 2
+                and t not in self._decoded_cache
+                and len(self._decoded_cache) < self._cache_terms
+            ):
                 self._load_full(t, idf[t])
 
     def _search_and_warm(self, qterms, idf, k):
@@ -354,6 +379,8 @@ class LocalSearcher:
         equivalence property tests). fast=False forces the block-max
         path even when every term is warm in the serving cache (the
         warm vectorized path is result-identical; property-tested)."""
+        if mode not in ("and", "or"):
+            raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
         if isinstance(qtext_or_terms, str):
             qterms = analyze_query(qtext_or_terms, stem=stem)
         else:
@@ -391,7 +418,7 @@ class LocalSearcher:
         def load_other(t: str):
             if t in other_lists:
                 return other_lists[t]
-            hit = self._decoded_cache.get(t)
+            hit = self._lru_hit(self._decoded_cache, t)
             if hit is not None:
                 other_lists[t] = hit
                 return hit

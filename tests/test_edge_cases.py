@@ -79,3 +79,21 @@ def test_read_batch_parsing(tmp_path):
     p.write_text("spark join\n\nhot\tthe data\n  \nplain one\n")
     qs = _read_batch(str(p))
     assert qs == {"q1": "spark join", "hot": "the data", "q5": "plain one"}
+
+
+def test_read_batch_duplicate_id_is_an_error(tmp_path):
+    """A duplicate query id would silently drop an earlier query from
+    the batch results — refuse instead."""
+    import pytest
+
+    from query import _read_batch
+
+    p = tmp_path / "dup.txt"
+    p.write_text("a\tone\na\ttwo\n")
+    with pytest.raises(SystemExit, match="duplicate query id"):
+        _read_batch(str(p))
+    # an explicit id colliding with an auto line-number id also errors
+    p2 = tmp_path / "dup2.txt"
+    p2.write_text("q2\texplicit\nauto line two\n")
+    with pytest.raises(SystemExit, match="duplicate query id"):
+        _read_batch(str(p2))

@@ -109,6 +109,34 @@ def test_or_matches_distributed_reader(spark, index_dir):  # noqa: F811
             assert ls == pytest.approx(ds_, abs=1e-9)
 
 
+def test_invalid_mode_raises(searcher):
+    """A typo'd mode must fail loudly, not silently run AND semantics."""
+    with pytest.raises(ValueError, match="mode"):
+        searcher.search("spark", mode="OR")
+    with pytest.raises(ValueError, match="mode"):
+        searcher.search("spark", mode="union")
+
+
+def test_promotion_respects_cache_capacity(index_dir):  # noqa: F811
+    """With a tiny cache, repeated disjoint queries must NOT force-decode
+    every repeated term (promotion only fills FREE slots), and the hit
+    counter stays bounded by the decay rule."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    s = LocalSearcher(index_dir, cache_terms=2)
+    vocab = (
+        pq.read_table(os.path.join(index_dir, "dictionary"), columns=["term"])
+        .to_pandas().term.tolist()[:40]
+    )
+    for _ in range(3):
+        for t in vocab:
+            s.search([t], k=3, stem=False)
+    assert len(s._decoded_cache) <= 2
+    assert len(s._term_hits) <= 8 * 2 + len(vocab)
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_randomized_equivalence(spark, tmp_path_factory, seed):
     """Random corpus + random queries: WAND == brute force, exactly."""
