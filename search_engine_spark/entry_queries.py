@@ -859,18 +859,63 @@ def q_bm25_stemmed_topk(spark, sf_dir):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """Near-dup candidates via MinHash+LSH (rows-only: minhash permu-
-    tations are not SQL-expressible; exactness covered by pytest)."""
-    from search_engine_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+    """Near-dup candidates via MinHash+LSH — the JVM-side min-md5
+    variant (lexicographic min over md5(h||':'||shingle) IS a minhash;
+    fully oracle-checkable). The Arrow-kernel integer minhash is the
+    alternative impl, pytest-equivalence-anchored."""
+    from search_engine_spark.operators.dedup import minhash_lsh_pairs_jvm
 
-    docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(minhash_signatures(docs, num_hashes=32), bands=8)
+    return minhash_lsh_pairs_jvm(
+        _t(spark, sf_dir, "documents"), bands=4, rows_per_band=4, shingle_n=3
+    )
+
+
+SQL_MINHASH_LSH_PAIRS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+shl AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(0, greatest(len(w) - 3, 0)),
+           i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+  FROM t
+), hs AS (
+  SELECT doc_id, h,
+         list_aggregate(list_transform(sh, s -> md5(h || ':' || s)), 'min') AS v
+  FROM shl, generate_series(0, 15) g(h)
+), bands AS (
+  SELECT doc_id, h // 4 AS band_id,
+         string_agg(v, '|' ORDER BY h) AS band_key
+  FROM hs GROUP BY doc_id, h // 4
+)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM bands l JOIN bands r
+  ON l.band_id = r.band_id AND l.band_key = r.band_key
+ AND l.doc_id < r.doc_id
+"""
 
 
 def q_simhash_fingerprints(spark, sf_dir):
-    from search_engine_spark.operators.dedup import simhash64
+    from search_engine_spark.operators.dedup import simhash60
 
-    return simhash64(_t(spark, sf_dir, "documents"))
+    return simhash60(_t(spark, sf_dir, "documents"))
+
+
+SQL_SIMHASH_FINGERPRINTS = f"""
+WITH {_TOK_CTE},
+hs AS (
+  SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tok2
+), bits AS (
+  SELECT doc_id, b,
+         CASE WHEN sum(((h >> b) & 1) * 2 - 1) > 0
+              THEN (1::BIGINT << b) ELSE 0 END AS v
+  FROM hs, generate_series(0, 59) g(b)
+  GROUP BY doc_id, b
+), agg AS (
+  SELECT doc_id, sum(v)::BIGINT AS simhash FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
 
 
 def q_lang_id(spark, sf_dir):
@@ -879,10 +924,61 @@ def q_lang_id(spark, sf_dir):
     return lang_id(_t(spark, sf_dir, "documents"))
 
 
-def q_content_fingerprints(spark, sf_dir):
-    from search_engine_spark.operators.textstats import fingerprint
+def _lang_id_sql() -> str:
+    from search_engine_spark.operators.textstats import lang_profile_rows
 
-    return fingerprint(_t(spark, sf_dir, "documents"))
+    vals = ", ".join(f"('{g}', '{l}', {w})" for g, l, w in lang_profile_rows())
+    return f"""
+WITH prof(gram, lang, weight) AS (VALUES {vals}),
+g1 AS (
+  SELECT doc_id, substr(lower(text), i, 2) AS gram
+  FROM documents,
+       unnest(generate_series(1, length(lower(text)) - 1)) AS g(i)
+), counts AS (
+  SELECT doc_id, gram, count(*)::BIGINT AS cnt
+  FROM g1 WHERE gram IN (SELECT gram FROM prof)
+  GROUP BY doc_id, gram
+), norms AS (
+  SELECT doc_id, sqrt(sum(cnt * cnt)) AS nv FROM counts GROUP BY doc_id
+), dots AS (
+  SELECT doc_id, lang, sum(cnt * weight)::BIGINT AS dot
+  FROM counts JOIN prof USING (gram) GROUP BY doc_id, lang
+), best AS (
+  SELECT doc_id, lang, dot,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY dot DESC, lang ASC) AS rn
+  FROM dots
+), scored AS (
+  SELECT b.doc_id, b.lang AS lang_pred,
+         round(b.dot / (n.nv * sqrt(385.0)), 6) AS lang_conf
+  FROM best b JOIN norms n USING (doc_id) WHERE rn = 1
+)
+SELECT d.doc_id, coalesce(s.lang_pred, 'und') AS lang_pred,
+       coalesce(s.lang_conf, 0.0) AS lang_conf
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+SQL_LANG_ID = _lang_id_sql()
+
+
+def q_content_fingerprints(spark, sf_dir):
+    """Portable md5-derived 60-bit fingerprints (oracle-checkable);
+    the xxhash64 variant (textstats.fingerprint) is the one-hash
+    engine-internal scale path, pinned by pytest instead."""
+    from search_engine_spark.operators.textstats import fingerprint_md5
+
+    return fingerprint_md5(_t(spark, sf_dir, "documents"))
+
+
+SQL_CONTENT_FINGERPRINTS = """
+SELECT doc_id,
+       ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp_raw,
+       ('0x' || substr(md5(array_to_string(
+           list_filter(string_split(text, ' '), x -> x <> ''), ' ')),
+         1, 15))::BIGINT AS fp_norm
+FROM documents
+"""
 
 
 def q_ivf_cosine_topk(spark, sf_dir):
@@ -1071,6 +1167,10 @@ ORACLES = {
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "simhash_fingerprints": SQL_SIMHASH_FINGERPRINTS,
+    "lang_id": SQL_LANG_ID,
+    "content_fingerprints": SQL_CONTENT_FINGERPRINTS,
     # intentionally rows-only (non-SQL-expressible), with their pytest
     # exactness anchors:
     # bm25_stemmed_topk — Porter 1980 stemmer is not ANSI-SQL; rank

@@ -127,6 +127,99 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_jvm(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    bands: int = 4, rows_per_band: int = 4, shingle_n: int = 3,
+) -> DataFrame:
+    """Banded-LSH near-dup candidate pairs, entirely JVM-side (zero
+    Python UDFs) and ANSI-SQL-reproducible.
+
+    The h-th min-hash of a doc is the LEXICOGRAPHIC MIN over its
+    shingles of md5(h || ':' || shingle): md5 acts as the random
+    permutation and string order as the total order, so
+    P(min_a == min_b) = Jaccard(a, b) exactly as with integer minhash.
+    A band's key is the '|'-concat of its rows' min-hashes; docs
+    sharing any full band collide. Self-join on (band_id, band_key) —
+    shuffle co-partitioned equi-join, never a cross join.
+
+    Scale: per-doc work is in-row (no shuffle until the band join);
+    md5 per (shingle, hash-fn) costs more CPU than one xxhash64 but
+    buys cross-engine verifiability. minhash_signatures +
+    minhash_lsh_pairs is the Arrow-kernel alternative (one hash pass,
+    numpy mins)."""
+    n_hashes = bands * rows_per_band
+    toks = F.split(F.col(text_col), " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_n)),
+        )
+    )
+    shingled = df.select(F.col(id_col).alias("doc_id"), sh.alias("sh"))
+    mins = [
+        F.array_min(
+            F.transform(F.col("sh"),
+                        lambda s, h=h: F.md5(F.concat(F.lit(f"{h}:"), s)))
+        ).alias(f"h{h}")
+        for h in range(n_hashes)
+    ]
+    sigs = shingled.select("doc_id", *mins)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.concat_ws("|", *[
+                    F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)
+                ])
+                for b in range(bands)
+            ])
+        ).alias("band_id", "band_key"),
+    )
+    l = banded.alias("l")
+    r = banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def simhash60(df: DataFrame, *, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """60-bit SimHash, entirely JVM-side and ANSI-SQL-reproducible.
+
+    Token hash = first 60 bits of md5 (15 hex chars as BIGINT);
+    tf-weighting comes free from folding tokens WITH duplicates; bit b
+    of the fingerprint is set iff sum over token occurrences of
+    (2*bit_b(hash) - 1) > 0. Built from nested higher-order aggregates
+    (whole-stage codegen'd — shiftright with a lambda-bound shift
+    needs the SQL expression form, which the pyspark wrapper doesn't
+    expose). simhash64 is the Arrow-kernel 64-bit sibling."""
+    narrow = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    hashed = narrow.selectExpr(
+        "doc_id",
+        "transform(filter(split(_t, ' '), t -> t != ''),"
+        " t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint)) AS hs",
+    )
+    return hashed.selectExpr(
+        "doc_id",
+        """
+        aggregate(
+          sequence(0, 59), 0L,
+          (acc, b) -> acc + IF(
+            aggregate(hs, 0L,
+                      (a, h) -> a + ((shiftright(h, b) & 1L) * 2L - 1L)) > 0L,
+            shiftleft(1L, b), 0L)
+        ) AS simhash
+        """,
+    )
+
+
 def simhash64(df: DataFrame, *, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """64-bit SimHash over whitespace tokens (tf-weighted)."""

@@ -1,25 +1,22 @@
 """Text-analysis operators for training-data pipelines.
 
-All hot paths are JVM-side built-ins (whole-stage codegen); only
-language-ID needs a numpy kernel (profile cosine over char n-gram
-counts, Arrow-batched).
+All hot paths are JVM-side built-ins (whole-stage codegen) — no Python
+UDFs anywhere in this module.
 
 - token_stats     — token/char counts + ratios (pure built-ins).
 - quality_signals — length / punctuation / stopword / uniqueness
                     heuristics, composable into a quality score.
 - lang_id         — character-bigram profile cosine against small
-                    per-language profiles (deterministic heuristic; a
-                    real model would slot into the same mapInPandas).
-- fingerprint     — 64-bit rolling (polynomial) content hash.
+                    per-language profiles as a pure DataFrame plan
+                    (explode + broadcast join + window); a trained
+                    model would slot in as a mapInPandas kernel with
+                    the same output schema.
+- fingerprint     — 64-bit content hash (xxhash64, engine-internal);
+  fingerprint_md5 — portable 60-bit variant (ANSI-SQL-reproducible).
 """
 
 from __future__ import annotations
 
-from collections import Counter
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 STOPWORDS = ("the", "a", "of", "to", "and")
@@ -94,44 +91,99 @@ def fingerprint(df: DataFrame, *, id_col: str = "doc_id",
     )
 
 
+def fingerprint_md5(df: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Portable 60-bit content fingerprints: first 15 hex chars of md5
+    as a BIGINT (raw + whitespace-normalized). Same dedup semantics as
+    `fingerprint` but reproducible in ANSI SQL (md5 exists everywhere;
+    xxhash64 does not) — this is the cross-engine/oracle variant; the
+    xxhash64 one stays the engine-internal scale path (one JVM hash)."""
+    norm = F.array_join(F.filter(F.split(F.col(text_col), " "),
+                                 lambda t: t != ""), " ")
+
+    def fp(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        fp(F.col(text_col)).alias("fp_raw"),
+        fp(norm).alias("fp_norm"),
+    )
+
+
+def lang_profile_rows() -> list[tuple[str, str, int]]:
+    """(gram, lang, weight) rows of the frozen profiles — weight is
+    10..1 by profile rank, so every profile's L2 norm is sqrt(385)."""
+    rows = []
+    for lang in sorted(_LANG_PROFILES):
+        prof = _LANG_PROFILES[lang]
+        for rank, g in enumerate(prof):
+            rows.append((g, lang, len(prof) - rank))
+    return rows
+
+
+# every profile has weights 10..1 -> identical L2 norm sqrt(385); the
+# cosine denominator's profile part is therefore this one constant
+PROFILE_NORM_SQ = 385.0
+
+
 def lang_id(df: DataFrame, *, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
-    """Character-bigram heuristic language ID (Arrow-batched kernel)."""
-    langs = sorted(_LANG_PROFILES)
-    grams = sorted({g for p in _LANG_PROFILES.values() for g in p})
-    gidx = {g: i for i, g in enumerate(grams)}
-    mat = np.zeros((len(langs), len(grams)))
-    for li, lang in enumerate(langs):
-        for rank, g in enumerate(_LANG_PROFILES[lang]):
-            mat[li, gidx[g]] = len(_LANG_PROFILES[lang]) - rank
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    narrow = df.select(id_col, text_col)
+    """Character-bigram heuristic language ID — pure DataFrame plan
+    (explode bigrams -> broadcast-join the tiny profile table -> keyed
+    aggregation -> ranking window), no Python in the hot path and fully
+    ANSI-SQL-reproducible. Cosine math: dot(counts, profile) is an
+    exact integer; denominator = ||counts over profile grams|| *
+    sqrt(385); prediction = argmax by (dot desc, lang asc); docs with
+    no profile bigrams -> ('und', 0.0)."""
+    import math
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, preds, confs = [], [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                t = (text or "").lower()
-                c = Counter(t[i:i + 2] for i in range(len(t) - 1))
-                v = np.zeros(len(grams))
-                for g, cnt in c.items():
-                    j = gidx.get(g)
-                    if j is not None:
-                        v[j] = cnt
-                nv = np.linalg.norm(v)
-                if nv == 0:
-                    pred, conf = "und", 0.0
-                else:
-                    sims = mat @ (v / nv)
-                    best = int(sims.argmax())
-                    pred, conf = langs[best], float(sims[best])
-                ids.append(did)
-                preds.append(pred)
-                confs.append(round(conf, 6))
-            yield pd.DataFrame({
-                "doc_id": pd.Series(ids, dtype="int64"),
-                "lang_pred": preds,
-                "lang_conf": pd.Series(confs, dtype="float64"),
-            })
+    spark = df.sparkSession
+    prof = spark.createDataFrame(
+        lang_profile_rows(), "gram string, lang string, weight int"
+    )
+    t = F.lower(F.col(text_col))
+    n = F.length(t)
+    big = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(F.sequence(F.lit(1), n - 1),
+                            lambda i: F.substring(t, i, F.lit(2))),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    counts = (
+        big.join(F.broadcast(prof.select("gram").distinct()), "gram")
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    norms = counts.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("nv")
+    )
+    dots = (
+        counts.join(F.broadcast(prof), "gram")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("cnt") * F.col("weight")).cast("long").alias("dot"))
+    )
+    from pyspark.sql import Window as W
 
-    return narrow.mapInPandas(gen, "doc_id long, lang_pred string, lang_conf double")
+    w = W.partitionBy("doc_id").orderBy(F.desc("dot"), F.asc("lang"))
+    best = dots.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    scored = best.join(norms, "doc_id").select(
+        "doc_id",
+        F.col("lang").alias("lang_pred"),
+        F.round(
+            F.col("dot") / (F.col("nv") * F.lit(math.sqrt(PROFILE_NORM_SQ))), 6
+        ).alias("lang_conf"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
+            F.coalesce("lang_conf", F.lit(0.0)).alias("lang_conf"),
+        )
+    )

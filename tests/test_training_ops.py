@@ -76,6 +76,51 @@ def test_ngram_jaccard_verify(spark, dup_corpus):
     assert got.get((0, 1)) == 1.0
 
 
+def test_minhash_jvm_variant(spark, dup_corpus):
+    """min-md5-string minhash (the oracle-checkable JVM path) finds the
+    same planted duplicates as the kernel path."""
+    from search_engine_spark.operators.dedup import minhash_lsh_pairs_jvm
+
+    pairs = {(r.a, r.b) for r in minhash_lsh_pairs_jvm(dup_corpus).collect()}
+    assert (0, 1) in pairs  # identical docs always share every band
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash60_jvm(dup_corpus):
+    """60-bit JVM simhash: identical docs identical, near-dups closer
+    than unrelated docs, value fits in 60 bits, md5-pinned."""
+    import hashlib
+
+    from search_engine_spark.operators.dedup import simhash60
+
+    h = {r.doc_id: r.simhash for r in simhash60(dup_corpus).collect()}
+    assert h[0] == h[1]
+    assert all(0 <= v < (1 << 60) for v in h.values())
+    ham = lambda a, b: bin(h[a] ^ h[b]).count("1")  # noqa: E731
+    assert ham(0, 2) < ham(0, 3)
+    # single-token doc: fingerprint IS the token's 60-bit md5 prefix
+    import pyspark.sql
+
+    spark = pyspark.sql.SparkSession.getActiveSession()
+    one = spark.createDataFrame([(9, "hello")], "doc_id long, text string")
+    got = simhash60(one).collect()[0].simhash
+    assert got == int(hashlib.md5(b"hello").hexdigest()[:15], 16)
+
+
+def test_fingerprint_md5_portable(spark):
+    import hashlib
+
+    from search_engine_spark.operators.textstats import fingerprint_md5
+
+    df = spark.createDataFrame(
+        [(1, "a  b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    fp = {r.doc_id: r for r in fingerprint_md5(df).collect()}
+    assert fp[1].fp_raw != fp[2].fp_raw
+    assert fp[1].fp_norm == fp[2].fp_norm  # whitespace-normalized match
+    assert fp[2].fp_raw == int(hashlib.md5(b"a b").hexdigest()[:15], 16)
+
+
 def test_simhash_near_dup_distance(dup_corpus):
     h = {r.doc_id: r.simhash for r in simhash64(dup_corpus).collect()}
     assert h[0] == h[1]
