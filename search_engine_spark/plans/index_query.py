@@ -73,31 +73,45 @@ class IndexReader:
         self.n_docs = int(meta["n_docs"])
         self.avgdl = float(meta["avgdl"])
         self.n_buckets = int(meta["n_buckets"])
+        self._dict_ds = None  # lazy pyarrow dataset over the dictionary
 
     def lookup_terms(self, qterms: list[str]) -> list:
-        """J1: dictionary rows for the query's terms.
+        """J1: dictionary rows for the query's terms — NO Spark job.
 
-        Buckets are computed first (tiny local-ish job — xxhash64 must
-        match the JVM's) so the dictionary read partition-prunes to the
-        query terms' bucket dirs; within a file, the term-sorted row
-        groups prune further. At a 10^8-term vocabulary this touches a
-        handful of row groups, not the dictionary."""
+        bucket = pmod(xxhash64(term), n_buckets) is computed locally
+        (functions.hashing — fuzz-tested bit-equal to the JVM), so the
+        former tiny hash job (~100 ms scheduling floor on EVERY query)
+        is gone; the dictionary rows come from a pyarrow read that
+        prunes to the terms' bucket dirs and then to the term-sorted
+        row groups within them. At a 10^8-term vocabulary this touches
+        a handful of row groups, not the dictionary."""
         if not qterms:
             return []
-        from search_engine_spark.plans.build_index import _bucket_expr
+        from collections import namedtuple
 
-        qdf = self.spark.createDataFrame([(t,) for t in qterms], "term string")
-        buckets = [
-            r.b
-            for r in qdf.select(
-                _bucket_expr(F.col("term"), self.n_buckets).alias("b")
-            ).distinct().collect()
-        ]
-        return (
-            self.spark.read.parquet(self.paths.dictionary)
-            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(qterms))
-            .collect()
+        import pyarrow.dataset as pads
+
+        from search_engine_spark.functions.hashing import term_bucket
+
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in qterms})
+        if self._dict_ds is None:
+            self._dict_ds = pads.dataset(
+                self.paths.dictionary, format="parquet", partitioning="hive"
+            )
+        tbl = self._dict_ds.to_table(
+            columns=["term", "df", "bucket"],
+            filter=pads.field("bucket").isin(buckets)
+            & pads.field("term").isin(qterms),
         )
+        Row = namedtuple("DictRow", ["term", "df", "bucket"])
+        return [
+            Row(t, int(d), int(b))
+            for t, d, b in zip(
+                tbl["term"].to_pylist(),
+                tbl["df"].to_pylist(),
+                tbl["bucket"].to_pylist(),
+            )
+        ]
 
     def decoded_postings(self, qterms: list[str], buckets: list[int]) -> DataFrame:
         segs = self.spark.read.parquet(self.paths.postings).filter(

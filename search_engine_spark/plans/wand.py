@@ -46,29 +46,81 @@ from search_engine_spark.functions.codec import decode_postings, decode_varints
 from search_engine_spark.plans.scoring import analyze_query
 
 
+class _LazyTermMap:
+    """Mapping view over the lazy dictionary: `term in m` / `m[term]`
+    without materializing the vocabulary (field = 'df' or 'bucket')."""
+
+    def __init__(self, searcher: "LocalSearcher", field: str):
+        self._s = searcher
+        self._i = 0 if field == "df" else 1
+
+    def __contains__(self, term: str) -> bool:
+        return self._s._dict_lookup(term) is not None
+
+    def __getitem__(self, term: str) -> int:
+        row = self._s._dict_lookup(term)
+        if row is None:
+            raise KeyError(term)
+        return row[self._i]
+
+
 class LocalSearcher:
     """In-process searcher over a built index directory.
 
-    Loads dictionary + stats into memory at construction (the
-    dictionary is vocabulary-sized — small relative to postings; at a
-    true 10^12-doc deployment this object lives on a serving node and
-    the dictionary would be memory-mapped / sharded the same way).
+    Open cost is O(parquet footers): stats + collection constants plus
+    a per-row-group (min, max) index over dictionary AND postings
+    files. The vocabulary itself is NEVER materialized — a term's
+    dictionary row is found by hashing to its bucket locally
+    (functions.hashing, JVM-bit-equal) and reading only the row groups
+    whose term range admits it, LRU-cached. Memory is therefore
+    bounded by the caches, not the vocabulary size (a 10^8-term
+    dictionary would otherwise be tens of GB of Python dicts on a
+    serving node).
     """
 
     _COLUMNS = ["term", "seg", "salt", "n", "doc_ids", "tfs", "doclens",
                 "max_tfnorm", "first_doc", "last_doc"]
+    _DICT_CACHE = 65536
 
     def __init__(self, index_dir: str, *, cache_terms: int = 256):
         self.root = index_dir
         st = pq.read_table(os.path.join(index_dir, "stats")).to_pandas()
         self.n_docs = int(st.n_docs.iloc[0])
         self.avgdl = float(st.avgdl.iloc[0])
-        d = pq.read_table(
-            os.path.join(index_dir, "dictionary"),
-            columns=["term", "df", "bucket"],
-        ).to_pandas()
-        self._df = dict(zip(d.term, d.df.astype(int)))
-        self._bucket = dict(zip(d.term, d.bucket.astype(int)))
+        # collection constants: meta JSON (stage A) or infer from dirs
+        meta_path = os.path.join(index_dir, "index_meta.json")
+        if os.path.exists(meta_path):
+            import json
+
+            with open(meta_path) as f:
+                self.n_buckets = int(json.load(f)["n_buckets"])
+        else:  # pre-meta index: bucket dirs are the layout
+            self.n_buckets = 1 + max(
+                int(p.split("=")[1])
+                for p in os.listdir(os.path.join(index_dir, "dictionary"))
+                if p.startswith("bucket=")
+            )
+        # dictionary row-group index (mirrors the postings one below)
+        self._dict_rg: dict[int, list[tuple[str, int, str, str]]] = {}
+        self._dict_files: dict[str, pq.ParquetFile] = {}
+        for frag in ds.dataset(
+            os.path.join(index_dir, "dictionary"), format="parquet",
+            partitioning="hive",
+        ).get_fragments():
+            path = frag.path
+            bucket = int(path.split("bucket=")[1].split("/")[0])
+            pf = pq.ParquetFile(path)
+            self._dict_files[path] = pf
+            term_idx = pf.schema_arrow.get_field_index("term")
+            md = pf.metadata
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(term_idx).statistics
+                lo = stats.min if stats is not None else None
+                hi = stats.max if stats is not None else None
+                self._dict_rg.setdefault(bucket, []).append((path, rg, lo, hi))
+        self._dict_cache: dict[str, tuple[int, int] | None] = {}
+        self._df = _LazyTermMap(self, "df")
+        self._bucket = _LazyTermMap(self, "bucket")
         self._dataset = ds.dataset(
             os.path.join(index_dir, "postings"), format="parquet",
             partitioning="hive",
@@ -108,6 +160,35 @@ class LocalSearcher:
         # cold segments on first contact)
         self._seg_decoded: dict[str, dict] = {}
         self._cache_terms = cache_terms
+
+    def _dict_lookup(self, term: str) -> tuple[int, int] | None:
+        """(df, bucket) for term, or None if absent — row-group-pruned
+        dictionary read, LRU-cached (misses cached too: absent query
+        terms are common and must stay cheap)."""
+        cache = self._dict_cache
+        if term in cache:
+            val = cache.pop(term)
+            cache[term] = val  # refresh recency
+            return val
+        import pyarrow.compute as pc
+
+        from search_engine_spark.functions.hashing import term_bucket
+
+        b = term_bucket(term, self.n_buckets)
+        row = None
+        for path, rg, lo, hi in self._dict_rg.get(b, ()):
+            if (lo is None or lo <= term) and (hi is None or term <= hi):
+                tbl = self._dict_files[path].read_row_groups(
+                    [rg], columns=["term", "df"]
+                )
+                sel = tbl.filter(pc.equal(tbl["term"], term))
+                if sel.num_rows:
+                    row = (int(sel["df"][0].as_py()), b)
+                    break
+        if len(cache) >= self._DICT_CACHE:
+            cache.pop(next(iter(cache)))
+        cache[term] = row
+        return row
 
     def _idf(self, term: str) -> float:
         df = self._df[term]

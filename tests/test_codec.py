@@ -81,3 +81,38 @@ def test_compression_wins():
     ids = np.arange(0, 100000, 3, dtype=np.int64)
     d, _ = encode_postings(ids, np.ones(ids.size, dtype=np.int64))
     assert len(d) < ids.size * 2
+
+
+def test_python_xxhash64_matches_jvm(spark):
+    """Driver-side XXH64 must be bit-identical to F.xxhash64 (seed 42)
+    on a fuzzed vocabulary incl. empty, long (>32B stripes), and
+    multibyte UTF-8 strings — it routes query terms to index buckets."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.functions.hashing import term_bucket, xxhash64
+
+    rng = random.Random(13)
+    words = [""]
+    for _ in range(150):
+        n = rng.randrange(0, 80)
+        words.append("".join(rng.choice(string.printable[:94]) for _ in range(n)))
+    for _ in range(50):
+        n = rng.randrange(1, 40)
+        words.append("".join(chr(rng.randrange(0x20, 0x2FFF)) for _ in range(n)))
+    words = list(dict.fromkeys(words))
+    df = spark.createDataFrame([(w,) for w in words], "t string")
+    jvm = {
+        r.t: (r.h, r.b)
+        for r in df.select(
+            "t",
+            F.xxhash64("t").alias("h"),
+            F.pmod(F.xxhash64("t"), F.lit(64)).cast("int").alias("b"),
+        ).collect()
+    }
+    for w in words:
+        h, b = jvm[w]
+        assert xxhash64(w.encode("utf-8")) == h, w
+        assert term_bucket(w, 64) == b, w
