@@ -42,6 +42,11 @@ SCALE_CORES = [
     int(c) for c in os.environ.get("SPARK_GRAFT_BENCH_CORES", "2,8,32").split(",")
 ]
 SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+# this host's wall-times vary ±30-50% run to run (BENCH/BASELINE.md);
+# the scaling-efficiency levels (<=16 cores, below the box's memory-bus
+# saturation) are therefore measured as a median of N runs. The
+# full-width headline stays single-run (it only reports peak).
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 HEADLINE = [
     "bm25_topk", "bm25_single_term", "term_frequency", "document_frequency",
@@ -112,9 +117,13 @@ def main() -> None:
         if not SCALING and cores != CPUS:
             continue
         out = os.path.join(work, f"idx_{cores}c")
-        times[cores] = build_at(cores, corpus, out)
+        reps = REPEATS if (SCALING and cores <= 16) else 1
+        runs = [build_at(cores, corpus, out) for _ in range(reps)]
+        times[cores] = statistics.median(runs)
         queries[f"index_build_{cores}c"] = round(times[cores], 3)
         extra[f"docs_per_sec_{cores}"] = round(BENCH_DOCS / times[cores], 1)
+        if reps > 1:
+            extra[f"build_runs_{cores}c"] = [round(r, 3) for r in runs]
         if cores == CPUS:
             idx_big = out
     t_main = times[CPUS]

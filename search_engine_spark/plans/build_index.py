@@ -85,14 +85,18 @@ def _stage_a(
     flat = postings_from_text(
         source, id_col=id_col, text_col=text_col, html_col=html_col, stem=stem
     ).withColumn("bucket", _bucket_expr(F.col("term"), n_buckets))
-    # One wide pass; partitioned write doubles as the term-hash shuffle
-    # materialization and the stage-A checkpoint. The repartition on
-    # bucket is load-bearing: without it every map task writes into
-    # every bucket directory (tasks x buckets small files — measured
-    # 6x slower end-to-end at 32 cores from commit/open overhead
-    # alone); with it each bucket is one task's single file.
-    flat = flat.repartition(n_buckets, "bucket")
-    flat.write.mode("overwrite").partitionBy("bucket").parquet(paths.flat)
+    # One wide pass, ZERO shuffle: each tokenize task writes exactly one
+    # file, locally sorted by (bucket, term) so resume/extend reads
+    # prune to pending buckets via parquet row-group statistics (and
+    # the sorted bucket column RLE-encodes to ~nothing on disk). The
+    # previous design repartition(n_buckets).partitionBy(bucket)-ed
+    # here for hive-directory pruning — a full extra shuffle of the
+    # FATTEST table in the pipeline (tokenized postings with term
+    # strings, 53% of total shuffle bytes measured at 120k docs) spent
+    # on pruning that row-group stats provide for free.
+    flat.sortWithinPartitions("bucket", "term").write.mode(
+        "overwrite"
+    ).parquet(paths.flat)
     _stage_a_stats(spark, paths, n_buckets=n_buckets,
                    salt_threshold=salt_threshold)
 
@@ -132,13 +136,26 @@ def _stage_a_stats(
     )
     stats.coalesce(1).write.mode("overwrite").parquet(paths.stats)
 
-    # Hot-term sketch for stage-B salting (SURVEY.md section 4): the
-    # df-histogram lives with the index so stage B needs no full
-    # dictionary scan. Tiny by construction (stopword-cardinality).
-    (
-        spark.read.parquet(paths.dictionary)
-        .filter(F.col("df") > salt_threshold)
+    # Hot/common-term sketch for stage-B salting AND dictionary
+    # encoding (SURVEY.md section 4): the df-histogram head lives with
+    # the index so stage B needs no full dictionary scan. EVERY term
+    # above the salt threshold is kept (skew protection must never be
+    # capped away); the encode-extension band below it (down to 1/64 of
+    # the salt threshold — the Zipf head carrying most posting rows) is
+    # capped at 65536 terms to bound the broadcast.
+    d = spark.read.parquet(paths.dictionary)
+    must_salt = d.filter(F.col("df") > salt_threshold).select("term", "df")
+    enc_band = (
+        d.filter(
+            (F.col("df") > max(salt_threshold // 64, 16))
+            & (F.col("df") <= salt_threshold)
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(65536)
         .select("term", "df")
+    )
+    (
+        must_salt.unionByName(enc_band)
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(paths.hot_terms)
@@ -182,7 +199,30 @@ def _read_meta(spark: SparkSession, paths: IndexPaths) -> dict:
     }
 
 
-def _make_segmenter(segment_size: int, avgdl: float, n_buckets: int):
+_SALT_CAP = 128  # ekey = enc_id * _SALT_CAP + salt; must exceed max_salts
+
+
+def _make_segmenter(segment_size: int, avgdl: float, n_buckets: int,
+                    id2term_bc):
+    """Streaming segmenter over SLIM shuffle rows.
+
+    Input columns (exactly what crosses the stage-B shuffle — see
+    _stage_b): 4 UnsafeRow fields per posting, none of them a hash.
+      ekey   — enc_id * _SALT_CAP + salt for Zipf-head terms (enc_id
+               from the broadcast dictionary; salted terms are always
+               encoded since the salt threshold >= the encode
+               threshold), or -1 for tail terms (whose salt is always
+               0). Low-entropy: compresses to ~nothing.
+      term_s — the term string, ONLY for tail (ekey == -1) rows.
+      doc_id, tfdl — the posting; tfdl = tf<<32 | doclen packed into
+               one long (one UnsafeRow field instead of two).
+    bucket never ships: it is recomputed PER GROUP here via the
+    driver-side XXH64 (functions.hashing — fuzz-tested bit-equal to
+    the JVM's xxhash64), pmod n_buckets. The former per-row
+    _tkey=xxhash64(term) column is gone too — it was 8 incompressible
+    bytes on every row; sorting leads with ekey (int compare) and only
+    tail rows ever pay a string compare.
+    """
     k1, b = K1, B
 
     def tfnorm(tf: np.ndarray, dl: np.ndarray) -> np.ndarray:
@@ -190,8 +230,13 @@ def _make_segmenter(segment_size: int, avgdl: float, n_buckets: int):
         return tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
 
     def segment_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from search_engine_spark.functions.hashing import term_bucket
+
+        id2term = id2term_bc.value
         out_rows: list[tuple] = []
         cur_key: tuple | None = None
+        cur_term: str | None = None
+        cur_salt = 0
         cur_seg = 0
         buf_d: list[np.ndarray] = []
         buf_t: list[np.ndarray] = []
@@ -200,15 +245,14 @@ def _make_segmenter(segment_size: int, avgdl: float, n_buckets: int):
 
         def emit(doc: np.ndarray, tf: np.ndarray, dl: np.ndarray) -> None:
             nonlocal cur_seg
-            term, salt = cur_key
             dblob, tblob = encode_postings(doc, tf)
             lblob = encode_varints(dl.astype(np.uint64))
             # n_bytes denormalized so the manifest metrics pass reads a
             # pruned int column instead of decompressing every blob
             out_rows.append(
                 (
-                    int(cur_bucket), term, int(salt), int(cur_seg), int(doc.size),
-                    dblob, tblob, lblob,
+                    int(cur_bucket), cur_term, int(cur_salt), int(cur_seg),
+                    int(doc.size), dblob, tblob, lblob,
                     float(tfnorm(tf, dl).max()), int(doc[0]), int(doc[-1]),
                     len(dblob) + len(tblob) + len(lblob),
                 )
@@ -239,24 +283,31 @@ def _make_segmenter(segment_size: int, avgdl: float, n_buckets: int):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            terms = pdf["term"].to_numpy()
-            salts = pdf["salt"].to_numpy()
-            buckets = pdf["bucket"].to_numpy()
+            ekeys = pdf["ekey"].to_numpy()
+            terms = pdf["term_s"].to_numpy()
             docs = pdf["doc_id"].to_numpy()
-            tfs = pdf["tf"].to_numpy()
-            dls = pdf["doclen"].to_numpy()
+            tfdl = pdf["tfdl"].to_numpy()
+            tfs = (tfdl >> 32).astype(np.int64)
+            dls = (tfdl & 0xFFFFFFFF).astype(np.int64)
             # contiguous (term, salt) runs within the sorted batch
             change = np.empty(len(pdf), dtype=bool)
             change[0] = True
-            change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+            change[1:] = (ekeys[1:] != ekeys[:-1]) | (terms[1:] != terms[:-1])
             starts = np.flatnonzero(change)
             ends = np.append(starts[1:], len(pdf))
             for s, e in zip(starts, ends):
-                key = (terms[s], int(salts[s]))
+                ekey = int(ekeys[s])
+                key = (ekey, terms[s])
                 if key != cur_key:
                     flush_full(final=True)
                     cur_key = key
-                    cur_bucket = int(buckets[s])
+                    if ekey >= 0:
+                        cur_term = id2term[ekey // _SALT_CAP]
+                        cur_salt = ekey % _SALT_CAP
+                    else:
+                        cur_term = terms[s]
+                        cur_salt = 0
+                    cur_bucket = term_bucket(cur_term, n_buckets)
                     cur_seg = 0
                 buf_d.append(docs[s:e])
                 buf_t.append(tfs[s:e])
@@ -304,41 +355,76 @@ def _stage_b(
     flat = spark.read.parquet(paths.flat).filter(
         F.col("bucket").isin(pending_buckets)  # partition pruning
     )
-    # Hot terms (stopword skew): n_salts = ceil(df / salt_threshold),
-    # capped. The sketch is stopword-sized, read driver-side (no Spark
-    # job) and broadcast into the join.
+    # Zipf-head sketch, read driver-side (no Spark job), serving two
+    # jobs in one broadcast join:
+    #  - SALTING (stopword skew): n_salts = ceil(df / salt_threshold),
+    #    capped, for the genuinely hot terms;
+    #  - DICTIONARY ENCODING of the shuffle: every sketch term gets a
+    #    dense enc_id so its STRING never crosses the wire — by Zipf,
+    #    this head carries most posting rows, so shuffle bytes drop
+    #    even though the tail keeps its strings.
     import pyarrow.parquet as _pq
 
     hot_tbl = _pq.read_table(paths.hot_terms).to_pylist()
-    hot_rows = [
-        (r["term"], min(-(-int(r["df"]) // salt_threshold), max_salts))
-        for r in hot_tbl
-        if int(r["df"]) > salt_threshold
-    ]
-    if hot_rows:
-        hot = spark.createDataFrame(hot_rows, "term string, n_salts int")
-        salted = (
-            flat.join(F.broadcast(hot), "term", "left")
-            .withColumn(
-                "salt",
-                F.when(
-                    F.col("n_salts").isNotNull(),
-                    F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int"),
-                ).otherwise(F.lit(0)),
-            )
-            .drop("n_salts")
+    hot_tbl.sort(key=lambda r: (-int(r["df"]), r["term"]))
+    enc_rows = []
+    id2term: dict[int, str] = {}
+    for i, r in enumerate(hot_tbl):
+        df_ = int(r["df"])
+        n_salts = (
+            min(-(-df_ // salt_threshold), max_salts)
+            if df_ > salt_threshold else 1
         )
+        enc_rows.append((r["term"], i, n_salts))
+        id2term[i] = r["term"]
+    if enc_rows:
+        enc = spark.createDataFrame(enc_rows, "term string, enc_id int, n_salts int")
+        joined = flat.join(F.broadcast(enc), "term", "left")
     else:
-        salted = flat.withColumn("salt", F.lit(0))
+        joined = flat.withColumn("enc_id", F.lit(None).cast("int")).withColumn(
+            "n_salts", F.lit(None).cast("int")
+        )
+    # Slim shuffle row (see _make_segmenter for the decode contract):
+    # 4 fields per posting, NO hash column and NO string for head
+    # terms. ekey packs (enc_id, salt); tfdl packs (tf, doclen);
+    # bucket is recomputed group-side from the term itself. Leading the
+    # sort with ekey keeps the big external sort comparing int64s for
+    # every head row; only tail rows (ekey = -1) fall through to the
+    # string comparator.
+    slim = (
+        joined.withColumn(
+            "salt",
+            F.when(
+                F.col("n_salts") > 1,
+                F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "ekey",
+            F.when(
+                F.col("enc_id").isNotNull(),
+                F.col("enc_id").cast("long") * F.lit(_SALT_CAP)
+                + F.col("salt").cast("long"),
+            ).otherwise(F.lit(-1).cast("long")),
+        )
+        .withColumn(
+            "term_s",
+            F.when(F.col("ekey") >= 0, F.lit(None).cast("string"))
+            .otherwise(F.col("term")),
+        )
+        .withColumn(
+            "tfdl",
+            F.col("tf").cast("long") * F.lit(1 << 32).cast("long")
+            + F.col("doclen").cast("long"),
+        )
+        .select("ekey", "term_s", "doc_id", "tfdl")
+    )
     n_parts = max(spark.sparkContext.defaultParallelism * 2, len(pending_buckets))
-    segmenter = _make_segmenter(segment_size, avgdl, n_buckets_total)
-    # _tkey: numeric pre-key so the big external sort compares int64s
-    # almost always (string compare only on hash-equal, i.e. the same
-    # term) — measured ~2x less sort CPU than leading with the string.
+    id2term_bc = spark.sparkContext.broadcast(id2term)
+    segmenter = _make_segmenter(segment_size, avgdl, n_buckets_total, id2term_bc)
     segments = (
-        salted.withColumn("_tkey", F.xxhash64("term"))
-        .repartition(n_parts, "_tkey", "salt")
-        .sortWithinPartitions("bucket", "_tkey", "term", "salt", "doc_id")
+        slim.repartition(n_parts, "ekey", "term_s")
+        .sortWithinPartitions("ekey", "term_s", "doc_id")
         .mapInPandas(segmenter, SEGMENT_SCHEMA)
     )
     # Second (cheap) shuffle of the already-compressed segment rows so
@@ -502,12 +588,22 @@ def extend_index(
         new_source, id_col=id_col, text_col=text_col, html_col=html_col,
         stem=stem,
     ).withColumn("bucket", _bucket_expr(F.col("term"), n_buckets))
-    (
-        new_flat.repartition(n_buckets, "bucket")
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(paths.flat)
+    # same zero-shuffle layout as _stage_a: new files are also
+    # (bucket, term)-sorted, so bucket row-group pruning keeps working.
+    # (An index built before this layout has hive bucket=* dirs — keep
+    # appending in ITS layout so one flat table never mixes both.)
+    old_layout = any(
+        p.startswith("bucket=") for p in os.listdir(paths.flat)
     )
+    if old_layout:  # pragma: no cover - upgrade path for old indexes
+        (
+            new_flat.repartition(n_buckets, "bucket")
+            .write.mode("append").partitionBy("bucket").parquet(paths.flat)
+        )
+    else:
+        new_flat.sortWithinPartitions("bucket", "term").write.mode(
+            "append"
+        ).parquet(paths.flat)
     _stage_a_stats(spark, paths, n_buckets=n_buckets,
                    salt_threshold=salt_threshold)
 

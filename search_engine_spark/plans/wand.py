@@ -46,6 +46,35 @@ from search_engine_spark.functions.codec import decode_postings, decode_varints
 from search_engine_spark.plans.scoring import analyze_query
 
 
+def _overlap_bound(of: np.ndarray, ol: np.ndarray, ob: np.ndarray,
+                   s_first: np.ndarray, s_last: np.ndarray) -> np.ndarray:
+    """Per driving segment [s_first, s_last]: an upper bound on the best
+    max_tfnorm among the OTHER term's overlapping segments (ranges
+    [of, ol], bounds ob).
+
+    Overlapping t satisfies of_t <= s_last AND ol_t >= s_first; every
+    such t is inside BOTH the prefix {of <= s_last} (by first_doc
+    order) and the suffix {ol >= s_first} (by last_doc order), so
+    min(prefix-max, suffix-max) >= true overlap max — a valid WAND
+    bound, computed with two searchsorteds per driving segment
+    (O((S_i + S_j) log) total) instead of the dense S_i x S_j overlap
+    matrix, which is quadratic in segments-per-term (df/segment_size —
+    thousands for a high-df web term)."""
+    if of.size == 0:
+        return np.zeros(s_first.size, dtype=np.float64)
+    o_f = np.argsort(of, kind="stable")
+    f_sorted = of[o_f]
+    pmax = np.maximum.accumulate(ob[o_f])
+    o_l = np.argsort(ol, kind="stable")
+    l_sorted = ol[o_l]
+    smax = np.maximum.accumulate(ob[o_l][::-1])[::-1]
+    hi = np.searchsorted(f_sorted, s_last, side="right")
+    lo = np.searchsorted(l_sorted, s_first, side="left")
+    a = np.where(hi > 0, pmax[np.maximum(hi - 1, 0)], 0.0)
+    b = np.where(lo < l_sorted.size, smax[np.minimum(lo, l_sorted.size - 1)], 0.0)
+    return np.minimum(a, b)
+
+
 class _LazyTermMap:
     """Mapping view over the lazy dictionary: `term in m` / `m[term]`
     without materializing the vocabulary (field = 'df' or 'bucket')."""
@@ -395,13 +424,10 @@ class LocalSearcher:
             for j, (u, osegs) in enumerate(per_term):
                 if j == i or len(osegs) == 0:
                     continue
-                of = osegs.first_doc.to_numpy()
-                ol = osegs.last_doc.to_numpy()
-                ob = osegs.max_tfnorm.to_numpy()
-                overlap = (of[None, :] <= s_last[:, None]) & (
-                    ol[None, :] >= s_first[:, None]
+                ub = ub + idf[u] * _overlap_bound(
+                    osegs.first_doc.to_numpy(), osegs.last_doc.to_numpy(),
+                    osegs.max_tfnorm.to_numpy(), s_first, s_last,
                 )
-                ub = ub + idf[u] * np.where(overlap, ob[None, :], 0.0).max(axis=1)
             for r, row in enumerate(segs.itertuples(index=False)):
                 entries.append((float(ub[r]), i, row))
         entries.sort(key=lambda e: -e[0])
@@ -530,11 +556,13 @@ class LocalSearcher:
             return out
 
         # per-rarest-segment bound contributions of the other terms:
-        # instead of one GLOBAL max bound per other term, use the max
-        # over only the other term's segments whose doc range overlaps
-        # the rarest segment's [first_doc, last_doc] — strictly tighter
-        # (a non-overlapping segment cannot co-score any candidate), so
-        # exactness is preserved while more segments prune.
+        # instead of one GLOBAL max bound per other term, bound by the
+        # other term's segments overlapping the rarest segment's
+        # [first_doc, last_doc] (searchsorted prefix/suffix maxima —
+        # see _overlap_bound) — tighter than the global max (a
+        # non-overlapping segment cannot co-score any candidate), and
+        # still an upper bound, so exactness is preserved while more
+        # segments prune.
         r_first = r_segs.first_doc.to_numpy()
         r_last = r_segs.last_doc.to_numpy()
         others_ub_vec = np.zeros(len(r_segs), dtype=np.float64)
@@ -543,16 +571,12 @@ class LocalSearcher:
             if len(segs) == 0:
                 other_maxbound[t] = 0.0
                 continue
-            tf_ = segs.first_doc.to_numpy()
-            tl_ = segs.last_doc.to_numpy()
             tb_ = segs.max_tfnorm.to_numpy()
             other_maxbound[t] = idf[t] * float(tb_.max())
-            # overlap(s_r, s_t): first_t <= last_r AND last_t >= first_r
-            overlap = (tf_[None, :] <= r_last[:, None]) & (
-                tl_[None, :] >= r_first[:, None]
+            others_ub_vec += idf[t] * _overlap_bound(
+                segs.first_doc.to_numpy(), segs.last_doc.to_numpy(),
+                tb_, r_first, r_last,
             )
-            contrib = np.where(overlap, tb_[None, :], 0.0).max(axis=1)
-            others_ub_vec += idf[t] * contrib
 
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
 

@@ -43,6 +43,9 @@ class Catalog:
     def write(self, df: DataFrame, table: str, *, partition_by: list[str] | None = None,
               mode: str = "overwrite") -> None:
         if self.iceberg:  # pragma: no cover - no jars in sandbox
+            if mode == "append" and self.spark.catalog.tableExists(table):
+                df.writeTo(table).append()
+                return
             w = df.writeTo(f"{table}")
             if partition_by:
                 from pyspark.sql import functions as F

@@ -1,0 +1,42 @@
+"""Catalog shim: parquet fallback now, Iceberg branch when jars exist.
+
+The north rule mandates Iceberg tables; this sandbox has no Iceberg
+jars (SURVEY.md section 7), so the Iceberg code path is exercised by a
+skipped-unless-jars test — the same test body runs for real the moment
+``org.apache.iceberg.spark.SparkCatalog`` appears on the classpath.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.sources.catalog import Catalog, _iceberg_available
+
+
+def test_parquet_fallback_roundtrip(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.range(0, 100).withColumn("b", (F.col("id") % 4).cast("int"))
+    cat.write(df, "t1", partition_by=["b"])
+    assert cat.exists("t1") and not cat.exists("nope")
+    back = cat.read("t1")
+    assert back.count() == 100
+    # partition dirs exist -> partition-pruned reads at scale
+    assert (tmp_path / "t1" / "b=0").is_dir()
+    # append mode accumulates
+    cat.write(df.limit(10), "t1", partition_by=["b"], mode="append")
+    assert cat.read("t1").count() == 110
+
+
+def test_iceberg_branch_when_jars_present(spark, tmp_path):
+    """Runs only when Iceberg jars are on the classpath (never in this
+    sandbox); the fallback assertion keeps the auto-detect honest."""
+    if not _iceberg_available(spark):
+        cat = Catalog(spark, str(tmp_path))
+        assert cat.iceberg is False  # auto-detect must not lie
+        pytest.skip("no Iceberg jars on classpath — parquet fallback active")
+    cat = Catalog(spark, str(tmp_path))  # pragma: no cover
+    assert cat.iceberg is True
+    df = spark.range(0, 50).withColumn("b", (F.col("id") % 2).cast("int"))
+    cat.write(df, "local.tdb.t_ice", partition_by=["b"])
+    assert cat.read("local.tdb.t_ice").count() == 50
+    cat.write(df.limit(5), "local.tdb.t_ice", mode="append")
+    assert cat.read("local.tdb.t_ice").count() == 55
