@@ -24,11 +24,9 @@ import numpy as np
 _MAX_VARINT_BYTES = 10  # 64-bit values need at most ceil(64/7) = 10 bytes
 
 
-def encode_varints(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64/int64 array (all values must be >= 0)."""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
+def _encode_varints_raw(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Shared LEB128 encoder core: returns (byte array, per-value byte
+    offsets of length n+1) for a uint64 array."""
     # bytes needed per value: ceil(bitlen/7), min 1
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -54,7 +52,33 @@ def encode_varints(values: np.ndarray) -> bytes:
         plane += 1
         if plane > _MAX_VARINT_BYTES:  # pragma: no cover - safety
             raise ValueError("varint overflow")
+    return out, offsets
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64/int64 array (all values must be >= 0)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    out, _ = _encode_varints_raw(v)
     return out.tobytes()
+
+
+def encode_varints_runs(values: np.ndarray, run_starts: np.ndarray) -> list[bytes]:
+    """LEB128-encode a CONCATENATED array of runs in ONE vectorized
+    pass, then slice one blob per run. Equivalent to (but ~100x less
+    per-call overhead than) calling encode_varints per run — the
+    SPIMI partial builder encodes millions of tiny runs per build."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return [b""] * max(len(run_starts), 0)
+    out, offsets = _encode_varints_raw(v)
+    buf = out.tobytes()
+    bounds = np.append(run_starts, v.size)
+    return [
+        buf[int(offsets[bounds[i]]):int(offsets[bounds[i + 1]])]
+        for i in range(len(run_starts))
+    ]
 
 
 def decode_varints(buf: bytes) -> np.ndarray:
@@ -106,3 +130,56 @@ def decode_postings(doc_blob: bytes, tf_blob: bytes) -> tuple[np.ndarray, np.nda
     doc_ids = np.cumsum(gaps)
     tfs = decode_varints(tf_blob).astype(np.int64)
     return doc_ids, tfs
+
+
+def encode_postings_runs(
+    doc_ids: np.ndarray, tfs: np.ndarray, run_starts: np.ndarray,
+) -> tuple[list[bytes], list[bytes]]:
+    """encode_postings for MANY runs at once: doc_ids/tfs are the
+    concatenation of the runs, run_starts their start indices. doc_ids
+    must be strictly increasing WITHIN each run. One vectorized
+    delta-gap + LEB128 pass; per-run blobs sliced out at the end."""
+    d = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    starts = np.asarray(run_starts, dtype=np.int64)
+    gaps = np.empty_like(d)
+    if d.size:
+        gaps[0] = d[0]
+        np.subtract(d[1:], d[:-1], out=gaps[1:])
+        gaps[starts] = d[starts]  # run firsts are stored absolute
+        interior = np.ones(d.size, dtype=bool)
+        interior[starts] = False
+        if not (gaps[interior] > 0).all():
+            raise ValueError("doc_ids must be strictly increasing per run")
+    return (
+        encode_varints_runs(gaps.astype(np.uint64), starts),
+        encode_varints_runs(
+            np.ascontiguousarray(tfs, dtype=np.uint64), starts
+        ),
+    )
+
+
+def decode_varints_concat(blobs: list[bytes],
+                          counts: np.ndarray) -> np.ndarray:
+    """Decode many varint blobs in ONE pass: returns the concatenated
+    value array (counts[i] values per blob, validated)."""
+    vals = decode_varints(b"".join(blobs))
+    if vals.size != int(np.sum(counts)):
+        raise ValueError("blob value counts do not match")
+    return vals
+
+
+def decode_postings_concat(
+    doc_blobs: list[bytes], tf_blobs: list[bytes], counts: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """decode_postings for MANY segments at once -> (doc_ids, tfs,
+    run_starts); the per-run gap cumsum is reset via one vectorized
+    prefix-subtraction instead of a Python call per segment."""
+    counts = np.asarray(counts, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    gaps = decode_varints_concat(doc_blobs, counts).astype(np.int64)
+    csum = np.cumsum(gaps)
+    # subtract each run's exclusive prefix so cumsum restarts per run
+    prefix = np.where(starts > 0, csum[starts - 1], 0)
+    docs = csum - np.repeat(prefix, counts)
+    tfs = decode_varints_concat(tf_blobs, counts).astype(np.int64)
+    return docs, tfs, starts

@@ -4,28 +4,41 @@ Two checkpointed stages, both single Spark jobs over ALL pending work
 (no driver-side per-bucket loop — at 1000 executors the scheduler, not
 the driver, spreads the buckets):
 
-Stage A — tokenize + stats (one pass over the corpus):
+Stage A — tokenize + stats (one pass over the corpus, ZERO shuffle):
     pages/documents -> fused mapInPandas text kernel (map-side tf
-    combine) -> postings_flat parquet PARTITIONED BY bucket
-    (bucket = pmod(xxhash64(term), n_buckets) — the physical layout IS
-    the query-time partition-pruning structure), plus docs / dictionary
-    (exact df, cf) / stats (n_docs, avgdl) tables.
+    combine) -> postings_flat parquet, one file per tokenize task,
+    locally sorted by (bucket, term, doc_id) so resume/extend prune
+    pending buckets via parquet row-group statistics (bucket =
+    pmod(xxhash64(term), n_buckets)); plus docs / dictionary (exact
+    df, cf) / stats (n_docs, avgdl) tables.
 
-Stage B — segment + compress (shuffle on (term, salt)):
-    read pending buckets (partition-pruned) -> salt hot terms (df above
-    threshold; salt = pmod(xxhash64(doc_id), n_salts) so one stopword's
-    postings spread over n_salts tasks — SURVEY.md section 4, stopword-
-    skew row) -> repartition(term, salt) -> sortWithinPartitions
-    (bucket, term, salt, doc_id) -> streaming segmenter mapInPandas
-    (fixed-size segments, delta-gap + varint blobs, per-segment
-    max_tfnorm for block-max WAND) -> parquet partitionBy(bucket) with
-    dynamic partition overwrite (idempotent re-runs) -> manifest rows.
+Stage B — SPIMI: map-side partial runs, merged reduce-side:
+    read pending buckets (row-group-pruned) -> PARTIAL BUILDER
+    mapInPandas directly on the sorted scan (no shuffle before it):
+    each split emits ONE delta-gap+varint-compressed partial blob per
+    (term, salt) run (salt spreads a hot term's docs over n_salts
+    reducers — SURVEY.md section 4, stopword-skew row) -> shuffle the
+    PARTIALS (~vocab x splits rows of already-compressed blobs, not
+    one row per posting: the external sort and the Arrow transfer
+    touch blob-sized data instead of every posting row) ->
+    repartition(term, salt) + sortWithinPartitions(term, salt,
+    first_doc) -> MERGE SEGMENTER: streaming k-run merge per
+    (term, salt) group (partials arrive first_doc-ordered; postings
+    below the next partial's first_doc are final and flush through
+    the fixed-size segment cutter without waiting for the whole
+    group) -> final segments (per-segment max_tfnorm for block-max
+    WAND, bucket recomputed from the term via the local XXH64) ->
+    parquet partitionBy(bucket) with dynamic partition overwrite
+    (idempotent re-runs) -> manifest rows.
 
-Memory safety at 10^12 docs: the segmenter streams Arrow batches and
-never holds more than one partial segment per live (term, salt) group;
-the sort spills via UnsafeExternalSorter; hot groups are bounded by
-salting. doclen is carried into the segments (doclens blob) so query
-scoring and WAND need NO doc-side join (SURVEY.md J4 'preferred').
+Memory safety at 10^12 docs: the partial builder holds one term-run of
+one split; the merge segmenter holds only the non-finalized tail of
+one (term, salt) group (doc-id ranges of different splits rarely
+interleave with dense per-split ids, so the tail stays ~one partial
+deep); the partials sort spills via UnsafeExternalSorter; hot groups
+are bounded by salting. doclen is carried into the segments (doclens
+blob) so query scoring and WAND need NO doc-side join (SURVEY.md J4
+'preferred').
 """
 
 from __future__ import annotations
@@ -94,7 +107,7 @@ def _stage_a(
     # FATTEST table in the pipeline (tokenized postings with term
     # strings, 53% of total shuffle bytes measured at 120k docs) spent
     # on pruning that row-group stats provide for free.
-    flat.sortWithinPartitions("bucket", "term").write.mode(
+    flat.sortWithinPartitions("bucket", "term", "doc_id").write.mode(
         "overwrite"
     ).parquet(paths.flat)
     _stage_a_stats(spark, paths, n_buckets=n_buckets,
@@ -136,26 +149,13 @@ def _stage_a_stats(
     )
     stats.coalesce(1).write.mode("overwrite").parquet(paths.stats)
 
-    # Hot/common-term sketch for stage-B salting AND dictionary
-    # encoding (SURVEY.md section 4): the df-histogram head lives with
-    # the index so stage B needs no full dictionary scan. EVERY term
-    # above the salt threshold is kept (skew protection must never be
-    # capped away); the encode-extension band below it (down to 1/64 of
-    # the salt threshold — the Zipf head carrying most posting rows) is
-    # capped at 65536 terms to bound the broadcast.
-    d = spark.read.parquet(paths.dictionary)
-    must_salt = d.filter(F.col("df") > salt_threshold).select("term", "df")
-    enc_band = (
-        d.filter(
-            (F.col("df") > max(salt_threshold // 64, 16))
-            & (F.col("df") <= salt_threshold)
-        )
-        .orderBy(F.desc("df"), F.asc("term"))
-        .limit(65536)
-        .select("term", "df")
-    )
+    # Hot-term sketch for stage-B salting (SURVEY.md section 4): the
+    # df-histogram head lives with the index so stage B needs no full
+    # dictionary scan. Tiny by construction (stopword-cardinality).
     (
-        must_salt.unionByName(enc_band)
+        spark.read.parquet(paths.dictionary)
+        .filter(F.col("df") > salt_threshold)
+        .select("term", "df")
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(paths.hot_terms)
@@ -199,30 +199,167 @@ def _read_meta(spark: SparkSession, paths: IndexPaths) -> dict:
     }
 
 
-_SALT_CAP = 128  # ekey = enc_id * _SALT_CAP + salt; must exceed max_salts
+PARTIAL_SCHEMA = (
+    "term string, salt int, first_doc long, n int, doc_ids binary,"
+    " tfs binary, doclens binary"
+)
+
+_SALT_MIX = 0x9E3779B97F4A7C15  # odd 64-bit multiplier (golden-ratio)
 
 
-def _make_segmenter(segment_size: int, avgdl: float, n_buckets: int,
-                    id2term_bc):
-    """Streaming segmenter over SLIM shuffle rows.
+def _doc_salts(doc_ids: np.ndarray, n_salts: int) -> np.ndarray:
+    """Deterministic per-doc salt in [0, n_salts): multiply-shift of
+    the doc_id. Computed ONLY here (map side), so it needs no JVM
+    parity — just determinism across runs/resumes."""
+    mixed = (doc_ids.astype(np.uint64) * np.uint64(_SALT_MIX)) >> np.uint64(33)
+    return (mixed % np.uint64(n_salts)).astype(np.int64)
 
-    Input columns (exactly what crosses the stage-B shuffle — see
-    _stage_b): 4 UnsafeRow fields per posting, none of them a hash.
-      ekey   — enc_id * _SALT_CAP + salt for Zipf-head terms (enc_id
-               from the broadcast dictionary; salted terms are always
-               encoded since the salt threshold >= the encode
-               threshold), or -1 for tail terms (whose salt is always
-               0). Low-entropy: compresses to ~nothing.
-      term_s — the term string, ONLY for tail (ekey == -1) rows.
-      doc_id, tfdl — the posting; tfdl = tf<<32 | doclen packed into
-               one long (one UnsafeRow field instead of two).
-    bucket never ships: it is recomputed PER GROUP here via the
-    driver-side XXH64 (functions.hashing — fuzz-tested bit-equal to
-    the JVM's xxhash64), pmod n_buckets. The former per-row
-    _tkey=xxhash64(term) column is gone too — it was 8 incompressible
-    bytes on every row; sorting leads with ekey (int compare) and only
-    tail rows ever pay a string compare.
-    """
+
+def _make_partial_builder(salts_bc):
+    """Map-side SPIMI partial-run builder (runs directly on the flat
+    scan — NO shuffle feeds it).
+
+    Input rows arrive in file order; stage A writes each file sorted
+    by (bucket, term, doc_id), so each term's postings form one
+    contiguous run per split. Millions of tiny runs cross this kernel
+    per build, so the hot path is BATCHED: one vectorized delta-gap +
+    LEB128 pass per Arrow batch (encode_postings_runs), with per-run
+    work reduced to byte-slicing. Only three kinds of runs take the
+    per-run path: the batch-boundary carry run, hot (salted) runs —
+    stopword-cardinality by construction — and unsorted runs from a
+    pre-upgrade flat layout. Split boundaries just produce extra
+    partials for the same (term, salt) key; the reduce-side merge
+    handles any number."""
+    from search_engine_spark.functions.codec import (
+        encode_postings_runs,
+        encode_varints_runs,
+    )
+
+    COLS = ["term", "salt", "first_doc", "n", "doc_ids", "tfs", "doclens"]
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_salts_of = salts_bc.value
+        out = {c: [] for c in COLS}
+        out_n = 0
+        carry: tuple | None = None  # (term, d, t, l) open tail run
+
+        def append_row(term, salt, d, dblob, tblob, lblob):
+            out["term"].append(term)
+            out["salt"].append(salt)
+            out["first_doc"].append(int(d[0]))
+            out["n"].append(int(d.size))
+            out["doc_ids"].append(dblob)
+            out["tfs"].append(tblob)
+            out["doclens"].append(lblob)
+
+        def emit_run(term, d, t, l):
+            """Per-run slow path: carry runs, hot (salted) runs, and
+            legacy-unsorted runs."""
+            nonlocal out_n
+            if d.size > 1 and np.any(d[1:] < d[:-1]):
+                order = np.argsort(d, kind="stable")
+                d, t, l = d[order], t[order], l[order]
+            ns = n_salts_of.get(term, 1)
+            if ns > 1:
+                salts = _doc_salts(d, ns)
+                for s in np.unique(salts):
+                    m = salts == s
+                    ds, ts, ls = d[m], t[m], l[m]
+                    dblob, tblob = encode_postings(ds, ts)
+                    append_row(term, int(s), ds, dblob, tblob,
+                               encode_varints(ls.astype(np.uint64)))
+                    out_n += 1
+            else:
+                dblob, tblob = encode_postings(d, t)
+                append_row(term, 0, d, dblob, tblob,
+                           encode_varints(l.astype(np.uint64)))
+                out_n += 1
+
+        def drain():
+            nonlocal out, out_n
+            pdf = pd.DataFrame(out, columns=COLS)
+            out = {c: [] for c in COLS}
+            out_n = 0
+            return pdf
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            terms = pdf["term"].to_numpy()
+            docs = pdf["doc_id"].to_numpy()
+            tfs = pdf["tf"].to_numpy()
+            dls = pdf["doclen"].to_numpy()
+            n = len(pdf)
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = terms[1:] != terms[:-1]
+            starts = np.flatnonzero(change)
+            # the batch's LAST run may continue in the next batch ->
+            # it becomes the new carry; the FIRST run may continue the
+            # old carry -> merged and emitted per-run (unless it IS
+            # the last run too, in which case it just extends carry)
+            if carry is not None and terms[0] == carry[0]:
+                if starts.size == 1:  # whole batch continues the carry
+                    carry = (carry[0],
+                             np.concatenate((carry[1], docs)),
+                             np.concatenate((carry[2], tfs)),
+                             np.concatenate((carry[3], dls)))
+                    continue
+                emit_run(carry[0],
+                         np.concatenate((carry[1], docs[:starts[1]])),
+                         np.concatenate((carry[2], tfs[:starts[1]])),
+                         np.concatenate((carry[3], dls[:starts[1]])))
+                lo_run = 1
+            else:
+                if carry is not None:
+                    emit_run(*carry)
+                lo_run = 0
+            carry = (terms[starts[-1]], docs[starts[-1]:].copy(),
+                     tfs[starts[-1]:].copy(), dls[starts[-1]:].copy())
+            bruns = starts[lo_run:-1] if starts.size > lo_run else starts[:0]
+            if bruns.size:
+                lo, hi = int(bruns[0]), int(starts[-1])
+                bd, bt, bl = docs[lo:hi], tfs[lo:hi], dls[lo:hi]
+                rel = bruns - lo
+                interior = np.ones(hi - lo, dtype=bool)
+                interior[rel] = False
+                sorted_ok = not np.any((bd[1:] < bd[:-1]) & interior[1:])
+                if not sorted_ok:  # pre-upgrade unsorted flat files
+                    ends = np.append(bruns[1:], hi)
+                    for s, e in zip(bruns, ends):
+                        emit_run(terms[s], docs[s:e], tfs[s:e], dls[s:e])
+                else:
+                    dblobs, tblobs = encode_postings_runs(bd, bt, rel)
+                    lblobs = encode_varints_runs(bl.astype(np.uint64), rel)
+                    ends = np.append(bruns[1:], hi)
+                    for i, (s, e) in enumerate(zip(bruns, ends)):
+                        term = terms[s]
+                        if term in n_salts_of:  # hot: redo salted
+                            emit_run(term, docs[s:e], tfs[s:e], dls[s:e])
+                        else:
+                            append_row(term, 0, docs[s:e],
+                                       dblobs[i], tblobs[i], lblobs[i])
+                            out_n += 1
+            if out_n >= 5000:
+                yield drain()
+        if carry is not None:
+            emit_run(*carry)
+        if out_n:
+            yield drain()
+
+    return build
+
+
+def _make_merge_segmenter(segment_size: int, avgdl: float, n_buckets: int):
+    """Reduce-side SPIMI merge: input partials sorted by (term, salt,
+    first_doc). Per (term, salt) group the partials are decoded and
+    merged STREAMING: because later partials start at ever-higher
+    first_doc, every buffered posting below the next partial's
+    first_doc is final and flows through the fixed-size segment cutter
+    immediately — the group is never fully materialized unless its
+    splits' doc ranges fully interleave. Emits final SEGMENT_SCHEMA
+    rows; bucket is recomputed from the term via the driver-side XXH64
+    (bit-equal to the JVM's xxhash64 — fuzz-tested)."""
     k1, b = K1, B
 
     def tfnorm(tf: np.ndarray, dl: np.ndarray) -> np.ndarray:
@@ -230,28 +367,37 @@ def _make_segmenter(segment_size: int, avgdl: float, n_buckets: int,
         return tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
 
     def segment_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from search_engine_spark.functions.codec import (
+            decode_postings_concat,
+            decode_varints_concat,
+        )
         from search_engine_spark.functions.hashing import term_bucket
 
-        id2term = id2term_bc.value
         out_rows: list[tuple] = []
-        cur_key: tuple | None = None
-        cur_term: str | None = None
-        cur_salt = 0
+        cur_key: tuple | None = None   # (term, salt)
+        cur_bucket = -1
         cur_seg = 0
-        buf_d: list[np.ndarray] = []
-        buf_t: list[np.ndarray] = []
-        buf_l: list[np.ndarray] = []
-        buf_n = 0
+        # pending decoded-but-unfinalized postings of the open group
+        pend_d: list[np.ndarray] = []
+        pend_t: list[np.ndarray] = []
+        pend_l: list[np.ndarray] = []
+        pend_n = 0
+        # cutter buffer: sorted, FINAL postings awaiting segment cut
+        cut_d: list[np.ndarray] = []
+        cut_t: list[np.ndarray] = []
+        cut_l: list[np.ndarray] = []
+        cut_n = 0
 
         def emit(doc: np.ndarray, tf: np.ndarray, dl: np.ndarray) -> None:
             nonlocal cur_seg
+            term, salt = cur_key
             dblob, tblob = encode_postings(doc, tf)
             lblob = encode_varints(dl.astype(np.uint64))
             # n_bytes denormalized so the manifest metrics pass reads a
             # pruned int column instead of decompressing every blob
             out_rows.append(
                 (
-                    int(cur_bucket), cur_term, int(cur_salt), int(cur_seg),
+                    int(cur_bucket), term, int(salt), int(cur_seg),
                     int(doc.size), dblob, tblob, lblob,
                     float(tfnorm(tf, dl).max()), int(doc[0]), int(doc[-1]),
                     len(dblob) + len(tblob) + len(lblob),
@@ -259,82 +405,112 @@ def _make_segmenter(segment_size: int, avgdl: float, n_buckets: int,
             )
             cur_seg += 1
 
-        def flush_full(final: bool) -> None:
-            nonlocal buf_d, buf_t, buf_l, buf_n
-            if buf_n == 0:
+        def cut(final: bool) -> None:
+            """Cut full segments out of the (sorted, final) buffer."""
+            nonlocal cut_d, cut_t, cut_l, cut_n
+            if cut_n == 0:
                 return
-            d = np.concatenate(buf_d) if len(buf_d) > 1 else buf_d[0]
-            t = np.concatenate(buf_t) if len(buf_t) > 1 else buf_t[0]
-            l = np.concatenate(buf_l) if len(buf_l) > 1 else buf_l[0]
-            pos = 0
-            n = d.size
+            d = np.concatenate(cut_d) if len(cut_d) > 1 else cut_d[0]
+            t = np.concatenate(cut_t) if len(cut_t) > 1 else cut_t[0]
+            l = np.concatenate(cut_l) if len(cut_l) > 1 else cut_l[0]
+            pos, n = 0, d.size
             while n - pos >= segment_size or (final and pos < n):
                 end = min(pos + segment_size, n)
                 emit(d[pos:end], t[pos:end], l[pos:end])
                 pos = end
             if pos < n:
-                buf_d, buf_t, buf_l = [d[pos:]], [t[pos:]], [l[pos:]]
-                buf_n = n - pos
+                cut_d, cut_t, cut_l = [d[pos:]], [t[pos:]], [l[pos:]]
+                cut_n = n - pos
             else:
-                buf_d, buf_t, buf_l = [], [], []
-                buf_n = 0
+                cut_d, cut_t, cut_l = [], [], []
+                cut_n = 0
 
-        cur_bucket = -1
+        def finalize_below(bound: int | None) -> None:
+            """Merge the pending partials and move every posting with
+            doc_id < bound (all of them when bound is None) into the
+            cutter. Sorted-input invariant: future partials of this
+            group start at first_doc >= bound."""
+            nonlocal pend_d, pend_t, pend_l, pend_n, cut_n
+            if pend_n == 0:
+                return
+            d = np.concatenate(pend_d) if len(pend_d) > 1 else pend_d[0]
+            t = np.concatenate(pend_t) if len(pend_t) > 1 else pend_t[0]
+            l = np.concatenate(pend_l) if len(pend_l) > 1 else pend_l[0]
+            if d.size > 1 and np.any(d[1:] < d[:-1]):
+                order = np.argsort(d, kind="stable")
+                d, t, l = d[order], t[order], l[order]
+            split = d.size if bound is None else int(np.searchsorted(d, bound))
+            if split == 0:
+                pend_d, pend_t, pend_l = [d], [t], [l]
+                return
+            cut_d.append(d[:split])
+            cut_t.append(t[:split])
+            cut_l.append(l[:split])
+            cut_n += split
+            if split < d.size:
+                pend_d, pend_t, pend_l = [d[split:]], [t[split:]], [l[split:]]
+                pend_n = d.size - split
+            else:
+                pend_d, pend_t, pend_l = [], [], []
+                pend_n = 0
+            cut(final=False)
+
+        def close_group() -> None:
+            finalize_below(None)
+            cut(final=True)
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ekeys = pdf["ekey"].to_numpy()
-            terms = pdf["term_s"].to_numpy()
-            docs = pdf["doc_id"].to_numpy()
-            tfdl = pdf["tfdl"].to_numpy()
-            tfs = (tfdl >> 32).astype(np.int64)
-            dls = (tfdl & 0xFFFFFFFF).astype(np.int64)
-            # contiguous (term, salt) runs within the sorted batch
-            change = np.empty(len(pdf), dtype=bool)
-            change[0] = True
-            change[1:] = (ekeys[1:] != ekeys[:-1]) | (terms[1:] != terms[:-1])
-            starts = np.flatnonzero(change)
-            ends = np.append(starts[1:], len(pdf))
-            for s, e in zip(starts, ends):
-                ekey = int(ekeys[s])
-                key = (ekey, terms[s])
-                if key != cur_key:
-                    flush_full(final=True)
-                    cur_key = key
-                    if ekey >= 0:
-                        cur_term = id2term[ekey // _SALT_CAP]
-                        cur_salt = ekey % _SALT_CAP
-                    else:
-                        cur_term = terms[s]
-                        cur_salt = 0
-                    cur_bucket = term_bucket(cur_term, n_buckets)
-                    cur_seg = 0
-                buf_d.append(docs[s:e])
-                buf_t.append(tfs[s:e])
-                buf_l.append(dls[s:e])
-                buf_n += e - s
-                if buf_n >= segment_size:
-                    flush_full(final=False)
-            if len(out_rows) >= 1000:
-                yield pd.DataFrame(
-                    out_rows,
-                    columns=[
-                        "bucket", "term", "salt", "seg", "n", "doc_ids",
-                        "tfs", "doclens", "max_tfnorm", "first_doc", "last_doc", "n_bytes",
-                    ],
-                )
-                out_rows = []
-        flush_full(final=True)
-        if out_rows:
-            yield pd.DataFrame(
-                out_rows,
-                columns=[
-                    "bucket", "term", "salt", "seg", "n", "doc_ids",
-                    "tfs", "doclens", "max_tfnorm", "first_doc", "last_doc", "n_bytes",
-                ],
+            # ONE vectorized decode for the whole Arrow batch of
+            # partials (the per-blob Python call overhead dominated at
+            # millions of partials per build); the loop below only
+            # slices views out of the decoded arrays.
+            counts = pdf["n"].to_numpy()
+            docs_all, tfs_all, rstarts = decode_postings_concat(
+                list(pdf["doc_ids"]), list(pdf["tfs"]), counts
             )
+            dls_all = decode_varints_concat(
+                list(pdf["doclens"]), counts
+            ).astype(np.int64)
+            rends = np.append(rstarts[1:], docs_all.size)
+            terms = pdf["term"].to_numpy()
+            salts = pdf["salt"].to_numpy()
+            firsts = pdf["first_doc"].to_numpy()
+            for i in range(len(pdf)):
+                key = (terms[i], int(salts[i]))
+                if key != cur_key:
+                    close_group()
+                    cur_key = key
+                    cur_bucket = term_bucket(terms[i], n_buckets)
+                    cur_seg = 0
+                elif pend_n >= 4 * segment_size:
+                    # bounded-memory streaming flush: everything below
+                    # this partial's first_doc is final (partials
+                    # arrive first_doc-ordered). Only triggered when
+                    # the pending tail has real bulk, so the merge
+                    # stays O(group) instead of O(partials x tail).
+                    finalize_below(int(firsts[i]))
+                s, e = int(rstarts[i]), int(rends[i])
+                pend_d.append(docs_all[s:e])
+                pend_t.append(tfs_all[s:e])
+                pend_l.append(dls_all[s:e])
+                pend_n += e - s
+            if len(out_rows) >= 1000:
+                yield pd.DataFrame(out_rows, columns=_SEG_COLS)
+                out_rows = []
+        close_group()
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=_SEG_COLS)
 
     return segment_partition
+
+
+_SEG_COLS = [
+    "bucket", "term", "salt", "seg", "n", "doc_ids",
+    "tfs", "doclens", "max_tfnorm", "first_doc", "last_doc", "n_bytes",
+]
+
 
 
 def _stage_b(
@@ -352,80 +528,36 @@ def _stage_b(
     avgdl = float(meta["avgdl"])
     n_buckets_total = int(meta["n_buckets"])
 
-    flat = spark.read.parquet(paths.flat).filter(
-        F.col("bucket").isin(pending_buckets)  # partition pruning
+    flat = (
+        spark.read.parquet(paths.flat)
+        .filter(F.col("bucket").isin(pending_buckets))  # row-group pruning
+        .select("term", "doc_id", "tf", "doclen")
     )
-    # Zipf-head sketch, read driver-side (no Spark job), serving two
-    # jobs in one broadcast join:
-    #  - SALTING (stopword skew): n_salts = ceil(df / salt_threshold),
-    #    capped, for the genuinely hot terms;
-    #  - DICTIONARY ENCODING of the shuffle: every sketch term gets a
-    #    dense enc_id so its STRING never crosses the wire — by Zipf,
-    #    this head carries most posting rows, so shuffle bytes drop
-    #    even though the tail keeps its strings.
+    # Hot-term sketch (stopword skew), read driver-side (no Spark job)
+    # and broadcast into the map-side partial builder: n_salts =
+    # ceil(df / salt_threshold), capped. Salts spread one hot term's
+    # partials over n_salts reducers.
     import pyarrow.parquet as _pq
 
     hot_tbl = _pq.read_table(paths.hot_terms).to_pylist()
-    hot_tbl.sort(key=lambda r: (-int(r["df"]), r["term"]))
-    enc_rows = []
-    id2term: dict[int, str] = {}
-    for i, r in enumerate(hot_tbl):
-        df_ = int(r["df"])
-        n_salts = (
-            min(-(-df_ // salt_threshold), max_salts)
-            if df_ > salt_threshold else 1
-        )
-        enc_rows.append((r["term"], i, n_salts))
-        id2term[i] = r["term"]
-    if enc_rows:
-        enc = spark.createDataFrame(enc_rows, "term string, enc_id int, n_salts int")
-        joined = flat.join(F.broadcast(enc), "term", "left")
-    else:
-        joined = flat.withColumn("enc_id", F.lit(None).cast("int")).withColumn(
-            "n_salts", F.lit(None).cast("int")
-        )
-    # Slim shuffle row (see _make_segmenter for the decode contract):
-    # 4 fields per posting, NO hash column and NO string for head
-    # terms. ekey packs (enc_id, salt); tfdl packs (tf, doclen);
-    # bucket is recomputed group-side from the term itself. Leading the
-    # sort with ekey keeps the big external sort comparing int64s for
-    # every head row; only tail rows (ekey = -1) fall through to the
-    # string comparator.
-    slim = (
-        joined.withColumn(
-            "salt",
-            F.when(
-                F.col("n_salts") > 1,
-                F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int"),
-            ).otherwise(F.lit(0)),
-        )
-        .withColumn(
-            "ekey",
-            F.when(
-                F.col("enc_id").isNotNull(),
-                F.col("enc_id").cast("long") * F.lit(_SALT_CAP)
-                + F.col("salt").cast("long"),
-            ).otherwise(F.lit(-1).cast("long")),
-        )
-        .withColumn(
-            "term_s",
-            F.when(F.col("ekey") >= 0, F.lit(None).cast("string"))
-            .otherwise(F.col("term")),
-        )
-        .withColumn(
-            "tfdl",
-            F.col("tf").cast("long") * F.lit(1 << 32).cast("long")
-            + F.col("doclen").cast("long"),
-        )
-        .select("ekey", "term_s", "doc_id", "tfdl")
-    )
+    n_salts_map = {
+        r["term"]: min(-(-int(r["df"]) // salt_threshold), max_salts)
+        for r in hot_tbl
+        if int(r["df"]) > salt_threshold
+    }
+    salts_bc = spark.sparkContext.broadcast(n_salts_map)
+    # SPIMI: compress FIRST, shuffle the compressed partial runs. The
+    # shuffle/sort machinery now moves ~vocab x splits blob rows
+    # (segment-sized) instead of one UnsafeRow per posting — the
+    # external sort, shuffle serialization, and Arrow transfer all
+    # shrink by the postings-per-partial factor.
     n_parts = max(spark.sparkContext.defaultParallelism * 2, len(pending_buckets))
-    id2term_bc = spark.sparkContext.broadcast(id2term)
-    segmenter = _make_segmenter(segment_size, avgdl, n_buckets_total, id2term_bc)
+    partials = flat.mapInPandas(_make_partial_builder(salts_bc), PARTIAL_SCHEMA)
+    merger = _make_merge_segmenter(segment_size, avgdl, n_buckets_total)
     segments = (
-        slim.repartition(n_parts, "ekey", "term_s")
-        .sortWithinPartitions("ekey", "term_s", "doc_id")
-        .mapInPandas(segmenter, SEGMENT_SCHEMA)
+        partials.repartition(n_parts, "term", "salt")
+        .sortWithinPartitions("term", "salt", "first_doc")
+        .mapInPandas(merger, SEGMENT_SCHEMA)
     )
     # Second (cheap) shuffle of the already-compressed segment rows so
     # each bucket directory gets ONE file instead of n_parts files —

@@ -90,12 +90,27 @@ def merge_staged_epochs(spark: SparkSession, staging_dir: str,
     run_id = _uuid.uuid4().hex[:12]
 
     delta = spark.read.parquet(*epochs)
-    (
-        delta.repartition(n_buckets, "bucket")
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(paths.flat)
+    # append in the SAME layout the index's flat table uses (mixing
+    # hive bucket=* dirs with plain sorted files in one directory
+    # breaks partition discovery): new-layout flat gets sorted plain
+    # files (row-group pruning), pre-upgrade flat keeps hive dirs
+    old_layout = any(
+        p.startswith("bucket=") for p in os.listdir(paths.flat)
     )
+    if old_layout:  # pragma: no cover - upgrade path for old indexes
+        (
+            delta.repartition(n_buckets, "bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(paths.flat)
+        )
+    else:
+        (
+            delta.select(*spark.read.parquet(paths.flat).columns)
+            .sortWithinPartitions("bucket", "term", "doc_id")
+            .write.mode("append")
+            .parquet(paths.flat)
+        )
     _stage_a_stats(spark, paths, n_buckets=n_buckets,
                    salt_threshold=salt_threshold)
     touched = list(range(n_buckets))  # avgdl moved -> all buckets
