@@ -1,0 +1,99 @@
+"""Physical-plan audit for the headline queries.
+
+Prints `explain("formatted")` extracts for each headline entry at
+$SPARK_GRAFT_SF_DIR (default sf0.01) and checks the plan properties
+that matter at 100 TB:
+
+- parquet scans carry PushedFilters / a pruned ReadSchema (no
+  read-everything scans under a narrow projection);
+- dimension joins are BroadcastHashJoin (no shuffle for small sides);
+- expression work sits inside WholeStageCodegen spans;
+- no CartesianProduct except the explicitly-quadratic exact baselines
+  (ann_cosine_topk's 1-row broadcast crossjoin is allowed: it is a
+  BroadcastNestedLoopJoin against a single query vector).
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...]
+Exit code 1 if any REQUIRED property is missing.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+# query -> (must-contain substrings, must-NOT-contain substrings)
+CHECKS: dict[str, tuple[list[str], list[str]]] = {
+    "pricing_summary": (["PushedFilters: [IsNotNull(l_shipdate)",
+                         "codegen id"], ["CartesianProduct"]),
+    "revenue_by_nation": (["BroadcastHashJoin", "codegen id"],
+                          ["CartesianProduct", "SortMergeJoin"]),
+    "shipping_priority": (["BroadcastHashJoin",
+                           "PushedFilters: [IsNotNull(c_mktsegment)"],
+                          ["CartesianProduct"]),
+    "local_supplier_volume": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    "orders_with_late_ship": (["LeftSemi"], ["CartesianProduct"]),
+    "term_frequency": (["codegen id"], []),
+    "top_customers_per_nation": (["Window", "codegen id"], []),
+    "dedup_exact_text": (["HashAggregate"], ["CartesianProduct"]),
+    "minhash_lsh_pairs": (["ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin"],
+                          ["CartesianProduct"]),
+}
+
+
+def audit(spark, sf_dir: str, only=None, verbose: bool = True) -> list[str]:
+    """Run the plan checks; returns the failing query names. AQE is
+    toggled off around explain() RENDERING only (it hides the final
+    codegen spans) and restored — codegen presence does not depend on
+    AQE; production sessions keep AQE on."""
+    from search_engine_spark.entry_queries import QUERIES
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    failures = []
+    try:
+        for name, (need, forbid) in CHECKS.items():
+            if only and name not in only:
+                continue
+            df = QUERIES[name](spark, sf_dir)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
+            probs = []
+            for frag in need:
+                alts = frag.split("|")
+                if not any(a in plan for a in alts):
+                    probs.append(f"missing {frag!r}")
+            for frag in forbid:
+                if frag in plan:
+                    probs.append(f"forbidden {frag!r} present")
+            if verbose:
+                status = "ok  " if not probs else "FAIL"
+                print(f"{status} {name}: "
+                      f"{'; '.join(probs) if probs else 'plan properties hold'}")
+            if probs:
+                failures.append(name)
+                if verbose:
+                    print(plan)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    return failures
+
+
+def main() -> int:
+    from search_engine_spark.session import get_spark
+
+    spark = get_spark("explain-audit", cores=8, shuffle_partitions=8)
+    failures = audit(spark, SF_DIR, only=set(sys.argv[2:]) or None)
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
