@@ -97,3 +97,42 @@ def test_read_batch_duplicate_id_is_an_error(tmp_path):
     p2.write_text("q2\texplicit\nauto line two\n")
     with pytest.raises(SystemExit, match="duplicate query id"):
         _read_batch(str(p2))
+
+
+def test_partial_builder_multibatch_carry(spark, tmp_path):
+    """SPIMI regression (caught only at 600k scale in round 2): a term
+    whose run spans MANY Arrow batches within one partition must be
+    carried across batch boundaries without double-emitting or
+    splitting postings. 25k single-term docs in ONE partition >> the
+    10k maxRecordsPerBatch, so the builder sees several whole batches
+    that all continue the same carry run, plus term changes landing
+    mid-batch."""
+    from tests.oracle import brute_force_topk
+
+    n = 25_000
+    rows = [(i, "aaa common") for i in range(n)]
+    rows += [(n + i, f"zz{i % 5} common tail") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    d = str(tmp_path / "carryidx")
+    build_index(spark, docs, d, n_buckets=4, segment_size=512, stem=False,
+                salt_threshold=1_000_000, max_salts=4)
+    segs = spark.read.parquet(f"{d}/postings")
+    by_term = {
+        r.term: r.total
+        for r in segs.groupBy("term").agg(F.sum("n").alias("total")).collect()
+    }
+    assert by_term["aaa"] == n          # no loss, no double-emit
+    assert by_term["common"] == n + 200
+    # decoded postings are exactly the doc range, each once
+    reader = IndexReader(spark, d)
+    got = sorted(
+        r.doc_id for r in reader.decoded_postings(["aaa"], [0, 1, 2, 3])
+        .select("doc_id").collect()
+    )
+    assert got == list(range(n))
+    # scores agree with brute force end-to-end
+    corpus = [(i, t) for i, t in rows]
+    want = brute_force_topk(corpus, ["common", "aaa"], k=5)
+    local = LocalSearcher(d)
+    got_q = local.search(["common", "aaa"], k=5, stem=False)
+    assert [x for x, _ in got_q] == [x for x, _ in want]
