@@ -53,18 +53,27 @@ def _minhash_params(num_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndar
     return a, b
 
 
-def _shingle_hash_col(text_col: str, shingle_n: int):
-    """array<long> of xxhash64 over the doc's distinct word shingles —
-    computed entirely JVM-side (codegen'd); the Python kernel never
-    touches string bytes."""
-    toks = F.split(F.col(text_col), " ")
-    sh = F.array_distinct(
+def _shingle_expr(text_col: str, shingle_n: int):
+    """array<string> of the doc's DISTINCT word shingles (NULL text =
+    empty text). Single source of truth for shingle semantics — both
+    the kernel minhash (via xxhash64) and the JVM min-md5 variant use
+    exactly this expression, so their notion of 'shingle' can never
+    silently diverge."""
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_n)),
         )
     )
-    return F.transform(sh, lambda s: F.xxhash64(s))
+
+
+def _shingle_hash_col(text_col: str, shingle_n: int):
+    """array<long> of xxhash64 over the doc's distinct word shingles —
+    computed entirely JVM-side (codegen'd); the Python kernel never
+    touches string bytes."""
+    return F.transform(_shingle_expr(text_col, shingle_n),
+                       lambda s: F.xxhash64(s))
 
 
 def _row_chunks(lens: np.ndarray, max_items: int) -> Iterator[tuple[int, int]]:
@@ -177,14 +186,10 @@ def minhash_lsh_pairs_jvm(
     minhash_lsh_pairs is the Arrow-kernel alternative (one hash pass,
     numpy mins)."""
     n_hashes = bands * rows_per_band
-    toks = F.split(F.col(text_col), " ")
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_n)),
-        )
+    shingled = df.select(
+        F.col(id_col).alias("doc_id"),
+        _shingle_expr(text_col, shingle_n).alias("sh"),
     )
-    shingled = df.select(F.col(id_col).alias("doc_id"), sh.alias("sh"))
     mins = [
         F.array_min(
             F.transform(F.col("sh"),
@@ -229,7 +234,10 @@ def simhash60(df: DataFrame, *, id_col: str = "doc_id",
     (whole-stage codegen'd — shiftright with a lambda-bound shift
     needs the SQL expression form, which the pyspark wrapper doesn't
     expose). simhash64 is the Arrow-kernel 64-bit sibling."""
-    narrow = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    narrow = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    )
     hashed = narrow.selectExpr(
         "doc_id",
         "transform(filter(split(_t, ' '), t -> t != ''),"
@@ -259,7 +267,10 @@ def simhash64(df: DataFrame, *, id_col: str = "doc_id",
     chunk, no per-token Python. simhash60 is the built-ins-only
     SQL-reproducible sibling."""
     shifts = np.arange(64, dtype=np.uint64)
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda t: t != "",
+    )
     hashed = df.select(
         F.col(id_col).alias("doc_id"),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("ths"),

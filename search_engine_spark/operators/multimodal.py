@@ -3,11 +3,11 @@
 Images/audio/video ride as `binary` columns with a metadata struct —
 the Spark-side contract (schema, partitioning, Arrow batch shape, UDF
 signatures) is real and tested; the actual codec work is STUBBED
-because no image/audio libraries exist in this container. Each stub is
-clearly marked: `decode_image_stub` produces a deterministic fake
-(seeded from the payload hash) with the same output schema a real
-decoder would emit, and `decode_image_real` raises NotImplementedError
-pointing at the swap site.
+because no image/audio libraries exist in this container. The stub is
+clearly marked: `stub_features` derives a deterministic fake feature
+vector from the payload (md5-hex chain — reproducible by an ANSI-SQL
+oracle), and `decode_image_real` raises NotImplementedError at the
+real-decoder swap site.
 
 At 100 TB the rules encoded here: never shuffle payload bytes you can
 drop first (select metadata-only before wide ops); size Arrow batches
@@ -29,7 +29,7 @@ MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, mime string,"
     " width int, height int, duration_ms int"
 )
-FEATURE_DIM = 32
+FEATURE_DIM = 32  # = 2 x md5 digest length; stub_features' output size
 
 
 def make_media_table(spark, n: int, *, partitions: int = 4) -> DataFrame:
@@ -84,19 +84,14 @@ def rebatch_by_bytes(batches: Iterator[pd.DataFrame], payload_col: str,
 
 
 def decode_image_real(payload: bytes) -> np.ndarray:  # pragma: no cover
-    """Swap site for a real decoder (PIL/opencv not in this container)."""
+    """Swap site for a real decoder (PIL/opencv not in this container).
+    A real deployment decodes pixels here and feeds a model; in this
+    environment the deterministic `stub_features` below carries the
+    pipeline instead."""
     raise NotImplementedError(
         "image decoding requires an image library; deterministic stub "
-        "decode_image_stub carries the pipeline in this environment"
+        "stub_features carries the pipeline in this environment"
     )
-
-
-def decode_image_stub(payload: bytes) -> np.ndarray:
-    """Deterministic fake decode: payload hash seeds a tiny 'pixel'
-    array with the same dtype/shape contract a real decoder has."""
-    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
 
 
 def stub_features(payload: bytes) -> np.ndarray:

@@ -733,7 +733,9 @@ def extend_index(
             .write.mode("append").partitionBy("bucket").parquet(paths.flat)
         )
     else:
-        new_flat.sortWithinPartitions("bucket", "term").write.mode(
+        # full stage-A invariant incl. doc_id: the SPIMI partial
+        # builder's batched fast path needs doc-sorted runs
+        new_flat.sortWithinPartitions("bucket", "term", "doc_id").write.mode(
             "append"
         ).parquet(paths.flat)
     _stage_a_stats(spark, paths, n_buckets=n_buckets,

@@ -94,15 +94,27 @@ class IndexReader:
         from search_engine_spark.functions.hashing import term_bucket
 
         buckets = sorted({term_bucket(t, self.n_buckets) for t in qterms})
-        if self._dict_ds is None:
-            self._dict_ds = pads.dataset(
-                self.paths.dictionary, format="parquet", partitioning="hive"
+
+        def read():
+            if self._dict_ds is None:
+                self._dict_ds = pads.dataset(
+                    self.paths.dictionary, format="parquet",
+                    partitioning="hive",
+                )
+            return self._dict_ds.to_table(
+                columns=["term", "df", "bucket"],
+                filter=pads.field("bucket").isin(buckets)
+                & pads.field("term").isin(qterms),
             )
-        tbl = self._dict_ds.to_table(
-            columns=["term", "df", "bucket"],
-            filter=pads.field("bucket").isin(buckets)
-            & pads.field("term").isin(qterms),
-        )
+
+        try:
+            tbl = read()
+        except (FileNotFoundError, OSError):
+            # the dictionary was rewritten under us (extend_index /
+            # merge_staged_epochs overwrite it) — drop the cached file
+            # listing and retry once against the fresh layout
+            self._dict_ds = None
+            tbl = read()
         Row = namedtuple("DictRow", ["term", "df", "bucket"])
         return [
             Row(t, int(d), int(b))

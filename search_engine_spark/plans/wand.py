@@ -116,37 +116,49 @@ class LocalSearcher:
         st = pq.read_table(os.path.join(index_dir, "stats")).to_pandas()
         self.n_docs = int(st.n_docs.iloc[0])
         self.avgdl = float(st.avgdl.iloc[0])
-        # collection constants: meta JSON (stage A) or infer from dirs
+        # collection constants from the meta JSON (written by stage A).
+        # The lazy dictionary NEEDS the exact build-time n_buckets —
+        # inferring it from the populated bucket dirs undercounts when
+        # the highest buckets happen to hold no terms, which would
+        # silently mis-route every lookup. A pre-meta index therefore
+        # falls back to the round-1 EAGER dictionary (full in-memory
+        # maps: correct, just vocabulary-sized).
         meta_path = os.path.join(index_dir, "index_meta.json")
-        if os.path.exists(meta_path):
+        self._eager = not os.path.exists(meta_path)
+        if not self._eager:
             import json
 
             with open(meta_path) as f:
                 self.n_buckets = int(json.load(f)["n_buckets"])
-        else:  # pre-meta index: bucket dirs are the layout
-            self.n_buckets = 1 + max(
-                int(p.split("=")[1])
-                for p in os.listdir(os.path.join(index_dir, "dictionary"))
-                if p.startswith("bucket=")
-            )
         # dictionary row-group index (mirrors the postings one below)
         self._dict_rg: dict[int, list[tuple[str, int, str, str]]] = {}
         self._dict_files: dict[str, pq.ParquetFile] = {}
-        for frag in ds.dataset(
-            os.path.join(index_dir, "dictionary"), format="parquet",
-            partitioning="hive",
-        ).get_fragments():
-            path = frag.path
-            bucket = int(path.split("bucket=")[1].split("/")[0])
-            pf = pq.ParquetFile(path)
-            self._dict_files[path] = pf
-            term_idx = pf.schema_arrow.get_field_index("term")
-            md = pf.metadata
-            for rg in range(md.num_row_groups):
-                stats = md.row_group(rg).column(term_idx).statistics
-                lo = stats.min if stats is not None else None
-                hi = stats.max if stats is not None else None
-                self._dict_rg.setdefault(bucket, []).append((path, rg, lo, hi))
+        self._eager_df: dict[str, int] = {}
+        self._eager_bucket: dict[str, int] = {}
+        if self._eager:  # pre-meta index: round-1 eager dictionary
+            d = pq.read_table(
+                os.path.join(index_dir, "dictionary"),
+                columns=["term", "df", "bucket"],
+            ).to_pandas()
+            self._eager_df = dict(zip(d.term, d.df.astype(int)))
+            self._eager_bucket = dict(zip(d.term, d.bucket.astype(int)))
+            self.n_buckets = 1 + max(self._eager_bucket.values(), default=0)
+        else:
+            for frag in ds.dataset(
+                os.path.join(index_dir, "dictionary"), format="parquet",
+                partitioning="hive",
+            ).get_fragments():
+                path = frag.path
+                bucket = int(path.split("bucket=")[1].split("/")[0])
+                pf = pq.ParquetFile(path)
+                self._dict_files[path] = pf
+                term_idx = pf.schema_arrow.get_field_index("term")
+                md = pf.metadata
+                for rg in range(md.num_row_groups):
+                    stats = md.row_group(rg).column(term_idx).statistics
+                    lo = stats.min if stats is not None else None
+                    hi = stats.max if stats is not None else None
+                    self._dict_rg.setdefault(bucket, []).append((path, rg, lo, hi))
         self._dict_cache: dict[str, tuple[int, int] | None] = {}
         self._df = _LazyTermMap(self, "df")
         self._bucket = _LazyTermMap(self, "bucket")
@@ -194,6 +206,9 @@ class LocalSearcher:
         """(df, bucket) for term, or None if absent — row-group-pruned
         dictionary read, LRU-cached (misses cached too: absent query
         terms are common and must stay cheap)."""
+        if self._eager:
+            df = self._eager_df.get(term)
+            return None if df is None else (df, self._eager_bucket[term])
         cache = self._dict_cache
         if term in cache:
             val = cache.pop(term)

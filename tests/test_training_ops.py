@@ -303,3 +303,24 @@ def test_ivf_topk_all_probes_is_exact(spark):
     # partial probing returns a subset of some cells, still sane
     part = [r.vec_id for r in ivf_topk(assigned, cents, qv, k=5, nprobe=2).collect()]
     assert len(part) == 5 and len(set(part) & {v for v, _ in exact}) >= 1
+
+
+def test_null_text_rows_do_not_crash(spark):
+    """NULL text must behave as empty text in every dedup operator —
+    a single NULL row previously aborted the whole simhash job."""
+    from search_engine_spark.operators.dedup import (
+        minhash_lsh_pairs_jvm,
+        minhash_signatures,
+        simhash60,
+        simhash64,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None)], "doc_id long, text string"
+    )
+    s64 = {r.doc_id: r.simhash for r in simhash64(df).collect()}
+    assert s64[2] == 0
+    s60 = {r.doc_id: r.simhash for r in simhash60(df).collect()}
+    assert s60[2] == 0
+    assert len(minhash_signatures(df).collect()) == 2
+    minhash_lsh_pairs_jvm(df).collect()  # no crash
