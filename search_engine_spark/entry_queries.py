@@ -845,6 +845,104 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_doclen_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles of document length (Spark
+    percentile == DuckDB quantile_cont, verified to the last ulp)."""
+    dl = doc_lengths(term_frequencies(split_terms(_t(spark, sf_dir, "documents"))))
+    return dl.agg(
+        F.round(F.expr("percentile(doclen, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(doclen, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(doclen, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(doclen, 0.9)"), 6).alias("p90"),
+    )
+
+
+SQL_DOCLEN_QUANTILES = f"""
+WITH {_TOK_CTE}
+SELECT round(quantile_cont(doclen, 0.25), 6) AS p25,
+       round(quantile_cont(doclen, 0.5), 6) AS p50,
+       round(quantile_cont(doclen, 0.75), 6) AS p75,
+       round(quantile_cont(doclen, 0.9), 6) AS p90
+FROM dl
+"""
+
+
+def q_top_bigrams(spark, sf_dir):
+    """Corpus-wide word-bigram counts, top 20 (collocation mining —
+    the n-gram machinery WITH duplicates, unlike the dedup shingles)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = docs.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+SQL_TOP_BIGRAMS = """
+WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT array_to_string(w[i:i+1], ' ') AS bigram
+  FROM t, unnest(generate_series(1, len(w) - 1)) AS s(i)
+  WHERE len(w) >= 2
+)
+SELECT bigram, count(*)::BIGINT AS n
+FROM g GROUP BY bigram
+ORDER BY n DESC, bigram ASC LIMIT 20
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 tf-idf terms per document (document keywording):
+    tfidf = tf * ln((1 + N) / (1 + df)), ranked by (score desc,
+    term asc) via a per-doc window."""
+    tf = term_frequencies(split_terms(_t(spark, sf_dir, "documents")))
+    dfs = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = tf.select("doc_id").distinct().count()
+    scored = tf.join(dfs, "term").withColumn(
+        "tfidf",
+        F.col("tf")
+        * F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df"))),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rn")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH {_TOK_CTE},
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((1.0 + nd.n) / (1.0 + dfs.df)) AS tfidf
+  FROM tf JOIN dfs USING (term) CROSS JOIN nd
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, round(tfidf, 6) AS tfidf, rn
+FROM ranked WHERE rn <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Engine-path (full analyzer) — rows-only checks, no SQL equivalent
 # ---------------------------------------------------------------------------
@@ -1119,6 +1217,9 @@ QUERIES = {
     "event_props_json": q_event_props_json,
     "orders_rollup": q_orders_rollup,
     "windowed_event_counts": q_windowed_event_counts,
+    "doclen_quantiles": q_doclen_quantiles,
+    "top_bigrams": q_top_bigrams,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "local_supplier_volume": q_local_supplier_volume,
     "bm25_stemmed_topk": q_bm25_stemmed_topk,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1164,6 +1265,9 @@ ORACLES = {
     "event_props_json": SQL_EVENT_PROPS_JSON,
     "orders_rollup": SQL_ORDERS_ROLLUP,
     "windowed_event_counts": SQL_WINDOWED_EVENT_COUNTS,
+    "doclen_quantiles": SQL_DOCLEN_QUANTILES,
+    "top_bigrams": SQL_TOP_BIGRAMS,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
