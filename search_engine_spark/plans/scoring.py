@@ -86,8 +86,11 @@ def bm25_exhaustive(
     cand = postings_flat.join(F.broadcast(qdf), "term")
 
     # per-term df and collection stats computed over the SAME postings
-    # (cheap second aggs; at scale these come from the dictionary table)
-    dfs = postings_flat.groupBy("term").agg(F.count("*").alias("df"))
+    # (cheap second aggs; at scale these come from the dictionary
+    # table). df is aggregated over the QUERY'S terms only — the
+    # broadcast stays |q| rows; a vocabulary-wide df agg would build
+    # and broadcast a 10^8-row map at web scale.
+    dfs = cand.groupBy("term").agg(F.count("*").alias("df"))
     stats = postings_flat.select("doc_id", "doclen").dropDuplicates(["doc_id"]).agg(
         F.count("*").alias("n_docs"), F.avg("doclen").alias("avgdl")
     )
