@@ -114,3 +114,47 @@ def test_streaming_ingest_merges_to_batch_index(spark, tmp_path):
     for qq in ("spark join", "data"):
         assert [(r.doc_id, round(r.score, 9)) for r in ri.search(qq, k=10).collect()] == \
                [(r.doc_id, round(r.score, 9)) for r in rf.search(qq, k=10).collect()]
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """stream == batch for the ingest-side exact dedup: the kept
+    content-hash set (and row count) agree on finite input."""
+    import pandas as pd
+
+    from search_engine_spark.streaming.dedup import dedup_exact
+
+    rows = []
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    for i in range(40):
+        rows.append((i, f"doc body {i % 25}", base + pd.Timedelta(seconds=i)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+    inp = tmp_path / "in"
+    inp.mkdir()
+    # Spark's streaming parquet reader wants microsecond timestamps
+    pdf.iloc[:20].to_parquet(inp / "a.parquet", coerce_timestamps="us")
+    pdf.iloc[20:].to_parquet(inp / "b.parquet", coerce_timestamps="us")
+
+    batch = dedup_exact(
+        spark.createDataFrame(pdf), text_col="text", ts_col="ts"
+    )
+    want = {r.content_hash for r in batch.collect()}
+    assert len(want) == 25
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .format("parquet").load(str(inp))
+    )
+    out = str(tmp_path / "out")
+    q = (
+        dedup_exact(stream, text_col="text", ts_col="ts")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_rows = spark.read.parquet(out).collect()
+    got = {r.content_hash for r in got_rows}
+    assert got == want
+    assert len(got_rows) == 25  # each hash kept exactly once
