@@ -220,3 +220,39 @@ def test_extend_index_converges_to_full_rebuild(spark, documents, tmp_path_facto
     m = spark.read.parquet(f"{d_inc}/manifest")
     assert m.filter(F.col("status") == "invalidated").count() > 0
     assert m.select("run_id").distinct().count() >= 2
+
+
+def test_spimi_randomized_small_batches(spark, tmp_path_factory):
+    """Index == exhaustive under pathological batching: tiny Arrow
+    batches force the partial builder's carry across MANY batch
+    boundaries and the merge segmenter's streaming finalize; random
+    doc->partition placement makes partial doc ranges interleave."""
+    import numpy as np
+
+    from search_engine_spark.plans.index_query import IndexReader
+    from tests.oracle import brute_force_topk
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        rng = np.random.default_rng(99)
+        vocab = [f"w{i}" for i in range(20)]
+        probs = np.arange(1, 21, dtype=float) ** -1.2
+        probs /= probs.sum()
+        docs = []
+        for did in rng.permutation(400).tolist():  # scrambled id order
+            n = int(rng.integers(1, 30))
+            docs.append((did, " ".join(rng.choice(vocab, p=probs, size=n))))
+        df = spark.createDataFrame(docs, "doc_id long, text string").repartition(7)
+        d = str(tmp_path_factory.mktemp("spimi_small"))
+        build_index(spark, df, d, n_buckets=4, segment_size=16, stem=False,
+                    salt_threshold=50, max_salts=3)
+        reader = IndexReader(spark, d)
+        for qterms in (["w0"], ["w0", "w3"], ["w1", "w5", "w9"]):
+            got = [(r.doc_id, round(r.score, 9))
+                   for r in reader.search(qterms, k=12, stem=False).collect()]
+            want = [(x, round(s, 9))
+                    for x, s in brute_force_topk(docs, qterms, k=12)]
+            assert got == want, qterms
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
