@@ -943,6 +943,42 @@ FROM ranked WHERE rn <= 3
 """
 
 
+def q_asof_click_before_purchase(spark, sf_dir):
+    """As-of join (point-in-time): each purchase event attached to the
+    user's LATEST click at-or-before it — one union + per-key window,
+    never a theta/cross join (operators/asof.py)."""
+    from search_engine_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = asof_join(left, right, on="user_id", ts="ts",
+                  right_cols=["event_id", "value"], tiebreak="event_id")
+    return j.select(
+        "event_id", "user_id",
+        F.col("event_id_asof").alias("click_event_id"),
+        F.round("value_asof", 6).alias("click_value"),
+    )
+
+
+SQL_ASOF_CLICK_BEFORE_PURCHASE = """
+SELECT l.event_id, l.user_id,
+       r.event_id AS click_event_id,
+       round(r.value, 6) AS click_value
+FROM (SELECT event_id, ts, user_id FROM events
+      WHERE event_type = 'purchase') l
+LEFT JOIN (SELECT user_id, ts, event_id, value FROM events
+           WHERE event_type = 'click') r
+  ON r.user_id = l.user_id AND r.ts <= l.ts
+QUALIFY row_number() OVER (PARTITION BY l.event_id
+                           ORDER BY r.ts DESC, r.event_id DESC) = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Engine-path (full analyzer) — rows-only checks, no SQL equivalent
 # ---------------------------------------------------------------------------
@@ -968,8 +1004,9 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
-SQL_MINHASH_LSH_PAIRS = """
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+# shared CTE text: word shingles -> 16 min-md5 hashes -> 4 bands
+_MINHASH_CTES = """
+t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 shl AS (
   SELECT doc_id,
          list_distinct(list_transform(
@@ -984,11 +1021,49 @@ shl AS (
   SELECT doc_id, h // 4 AS band_id,
          string_agg(v, '|' ORDER BY h) AS band_key
   FROM hs GROUP BY doc_id, h // 4
-)
+)"""
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH {_MINHASH_CTES}
 SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
 FROM bands l JOIN bands r
   ON l.band_id = r.band_id AND l.band_key = r.band_key
  AND l.doc_id < r.doc_id
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-CLUSTER assignment: connected components over the
+    minhash-LSH candidate graph (iterative min-label propagation —
+    converges in O(component diameter) equi-join rounds); cluster_id =
+    min doc_id of the component, singletons keep their own id."""
+    from search_engine_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs_jvm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs_jvm(docs, bands=4, rows_per_band=4, shingle_n=3)
+    return connected_components(pairs, docs.select("doc_id"))
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+), sym AS (
+  SELECT a AS x, b AS y FROM pairs
+  UNION ALL
+  SELECT b AS x, a AS y FROM pairs
+), cc AS (
+  SELECT doc_id AS x, doc_id AS label FROM documents
+  UNION
+  SELECT s.x, cc.label FROM cc JOIN sym s ON cc.x = s.y
+)
+SELECT x AS doc_id, min(label)::BIGINT AS cluster_id FROM cc GROUP BY x
 """
 
 
@@ -1220,6 +1295,8 @@ QUERIES = {
     "doclen_quantiles": q_doclen_quantiles,
     "top_bigrams": q_top_bigrams,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "dedup_clusters": q_dedup_clusters,
+    "asof_click_before_purchase": q_asof_click_before_purchase,
     "local_supplier_volume": q_local_supplier_volume,
     "bm25_stemmed_topk": q_bm25_stemmed_topk,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1268,6 +1345,8 @@ ORACLES = {
     "doclen_quantiles": SQL_DOCLEN_QUANTILES,
     "top_bigrams": SQL_TOP_BIGRAMS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "asof_click_before_purchase": SQL_ASOF_CLICK_BEFORE_PURCHASE,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,

@@ -306,6 +306,55 @@ def simhash64(df: DataFrame, *, id_col: str = "doc_id",
     return hashed.mapInPandas(gen, "doc_id long, simhash long")
 
 
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, *, max_iters: int = 25,
+) -> DataFrame:
+    """Duplicate-CLUSTER assignment: connected components over a
+    candidate-pair graph (edges a<b from minhash_lsh_pairs*, nodes =
+    every doc) via min-label propagation.
+
+    Each round joins the current labels across both edge directions
+    and keeps the minimum reachable label; convergence (no label
+    changed) is checked driver-side per round — O(component diameter)
+    rounds, and near-dup components are shallow (duplicates of one
+    page all link to each other). Every join is an equi-join on node
+    id (shuffle co-partitioned); the per-round `localCheckpoint`
+    truncates the growing lineage so round N's plan does not replay
+    rounds 1..N-1. At 10^12 nodes the same loop runs with the
+    large-star/small-star optimization; the fixpoint structure is
+    identical.
+
+    Returns (doc_id, cluster_id = min doc_id of the component);
+    singletons keep their own id."""
+    sym = edges.selectExpr("a AS x", "b AS y").unionByName(
+        edges.selectExpr("b AS x", "a AS y")
+    )
+    labels = nodes.select(F.col("doc_id").alias("x"),
+                          F.col("doc_id").alias("label"))
+    for _ in range(max_iters):
+        neigh = (
+            sym.join(labels.withColumnRenamed("x", "y2"),
+                     sym.y == F.col("y2"))
+            .groupBy("x").agg(F.min("label").alias("nmin"))
+        )
+        new = (
+            labels.join(neigh, "x", "left")
+            .select(
+                "x",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("_chg"),
+            )
+        )
+        new = new.localCheckpoint(eager=True)
+        changed = new.filter(F.col("_chg")).limit(1).count()
+        labels = new.drop("_chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("x").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, candidates: DataFrame, *, id_col: str = "doc_id",
     text_col: str = "text", shingle_n: int = 3, threshold: float = 0.7,

@@ -324,3 +324,55 @@ def test_null_text_rows_do_not_crash(spark):
     assert s60[2] == 0
     assert len(minhash_signatures(df).collect()) == 2
     minhash_lsh_pairs_jvm(df).collect()  # no crash
+
+
+def test_connected_components(spark):
+    """Min-label propagation: planted clusters, singletons, and a long
+    chain (diameter >> 1) all converge to the component-min label."""
+    from search_engine_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (7, 8)], "a long, b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    cc = {r.doc_id: r.cluster_id
+          for r in connected_components(edges, nodes).collect()}
+    assert cc[1] == cc[2] == cc[3] == 1
+    assert cc[5] == cc[6] == 5
+    assert cc[7] == cc[8] == cc[9] == 7
+    assert cc[0] == 0 and cc[4] == 4  # singletons keep their own id
+    # a 13-node path needs 12 propagation rounds — well under the cap
+    chain = spark.createDataFrame([(i, i + 1) for i in range(12)],
+                                  "a long, b long")
+    nodes2 = spark.createDataFrame([(i,) for i in range(13)], "doc_id long")
+    cc2 = {r.doc_id: r.cluster_id
+           for r in connected_components(chain, nodes2).collect()}
+    assert set(cc2.values()) == {0}
+
+
+def test_asof_join(spark):
+    """Point-in-time semantics: latest right row at-or-before each left
+    ts per key; inclusive at equal ts; NULLs with no prior row;
+    deterministic tie-break among equal-ts right rows."""
+    import datetime as dt
+
+    from search_engine_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(100, t(5), 1), (101, t(2), 1), (102, t(1), 2), (103, t(9), 9)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    right = spark.createDataFrame(
+        [(1, t(2), 10, 1.0), (1, t(2), 11, 2.0), (1, t(4), 12, 3.0),
+         (2, t(3), 13, 4.0)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    out = {r.event_id: (r.event_id_asof, r.value_asof)
+           for r in asof_join(left, right, on="user_id", ts="ts",
+                              right_cols=["event_id", "value"],
+                              tiebreak="event_id").collect()}
+    assert out[100] == (12, 3.0)   # latest before t=5
+    assert out[101] == (11, 2.0)   # inclusive at equal ts; max tiebreak
+    assert out[102] == (None, None)  # right row is later than left
+    assert out[103] == (None, None)  # key with no right rows at all
