@@ -979,6 +979,75 @@ QUALIFY row_number() OVER (PARTITION BY l.event_id
 """
 
 
+def q_train_split_assignment(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split: the split is a pure
+    function of the doc id (md5-derived bucket 0..99), so it is stable
+    across runs, cluster sizes, and engines — the property a training
+    pipeline needs to never leak validation docs into training."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    return docs.select(
+        "doc_id",
+        bucket.cast("long").alias("split_bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+SQL_TRAIN_SPLIT_ASSIGNMENT = """
+WITH b AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100)
+           AS split_bucket
+  FROM documents
+)
+SELECT doc_id, split_bucket,
+       CASE WHEN split_bucket < 80 THEN 'train'
+            WHEN split_bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def q_embedding_quantization(spark, sf_dir):
+    """int8 symmetric quantization audit per embedding: scale =
+    max|x| / 127 and the max absolute dequantization error (max is
+    order-independent -> engine-comparable)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    mx = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    scale = mx / F.lit(127.0)
+    err = F.array_max(
+        F.transform(x, lambda v: F.abs(v - F.round(v / scale) * scale))
+    )
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.round(err, 6).alias("max_abs_err"),
+    )
+
+
+SQL_EMBEDDING_QUANTIZATION = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+), s AS (
+  SELECT vec_id, x,
+         list_max(list_transform(x, v -> abs(v))) / 127.0 AS scale
+  FROM e
+)
+SELECT vec_id, round(scale, 6) AS scale,
+       round(list_max(list_transform(
+           x, v -> abs(v - round(v / scale) * scale))), 6) AS max_abs_err
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # Engine-path (full analyzer) — rows-only checks, no SQL equivalent
 # ---------------------------------------------------------------------------
@@ -1297,6 +1366,8 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "dedup_clusters": q_dedup_clusters,
     "asof_click_before_purchase": q_asof_click_before_purchase,
+    "train_split_assignment": q_train_split_assignment,
+    "embedding_quantization": q_embedding_quantization,
     "local_supplier_volume": q_local_supplier_volume,
     "bm25_stemmed_topk": q_bm25_stemmed_topk,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1347,6 +1418,8 @@ ORACLES = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "asof_click_before_purchase": SQL_ASOF_CLICK_BEFORE_PURCHASE,
+    "train_split_assignment": SQL_TRAIN_SPLIT_ASSIGNMENT,
+    "embedding_quantization": SQL_EMBEDDING_QUANTIZATION,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
