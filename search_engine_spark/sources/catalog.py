@@ -79,6 +79,32 @@ class Catalog:
         return os.path.isdir(self.path(table))
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    *,
+    buckets: int,
+    key: str,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Write `df` as a BUCKETED (and optionally sorted) table: rows are
+    hash-clustered into `buckets` files per partition on `key`, so two
+    tables bucketed the same way JOIN WITHOUT ANY SHUFFLE — Catalyst
+    sees the output partitioning requirement already satisfied and
+    drops both Exchanges. This is the persist-once/join-many answer for
+    repeated big-to-big joins (fact-to-fact at 100 TB): the shuffle is
+    paid once at write time, never per query.
+    (Bucketing requires the table catalog — hence saveAsTable with an
+    explicit external path; plain .parquet() cannot record bucket
+    metadata.)"""
+    w = df.write.mode(mode).bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.option("path", path).saveAsTable(table)
+
+
 def register_index_views(spark: SparkSession, index_dir: str,
                          prefix: str = "") -> list[str]:
     """Expose a built index's tables to spark.sql as temp views

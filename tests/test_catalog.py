@@ -40,3 +40,41 @@ def test_iceberg_branch_when_jars_present(spark, tmp_path):
     assert cat.read("local.tdb.t_ice").count() == 50
     cat.write(df.limit(5), "local.tdb.t_ice", mode="append")
     assert cat.read("local.tdb.t_ice").count() == 55
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed+sorted on the join key must join with ZERO
+    Exchange operators — the co-located big-to-big join pattern (the
+    shuffle is paid once at write time, never per query)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.sources.catalog import write_bucketed
+
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    write_bucketed(a, "t_bkt_a", str(tmp_path / "a"), buckets=4, key="k")
+    write_bucketed(b, "t_bkt_b", str(tmp_path / "b"), buckets=4, key="k")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # render final plan
+    try:
+        j = spark.table("t_bkt_a").join(spark.table("t_bkt_b"), "k")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")
