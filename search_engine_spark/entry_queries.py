@@ -979,6 +979,36 @@ QUALIFY row_number() OVER (PARTITION BY l.event_id
 """
 
 
+def q_media_resize_plan(spark, sf_dir):
+    """Multimodal resize PLAN: aspect-preserving fit-in-box target
+    dimensions per image — metadata math in pure built-ins (the pixel
+    resample is the stubbed decoder's job; see multimodal.py)."""
+    from search_engine_spark.operators.multimodal import (
+        make_media_table,
+        resize_plan,
+    )
+
+    return resize_plan(make_media_table(spark, 200), max_dim=256)
+
+
+# media metadata is i-derived (multimodal.make_media_table): images are
+# i % 3 == 0, width = 64 + i%512, height = 64 + (i*3)%512
+SQL_MEDIA_RESIZE_PLAN = """
+WITH m AS (
+  SELECT i AS media_id,
+         (64 + i % 512)::INT AS width,
+         (64 + (i * 3) % 512)::INT AS height
+  FROM generate_series(0, 199) t(i) WHERE i % 3 = 0
+), s AS (
+  SELECT *, least(1.0, 256.0 / greatest(width, height)) AS sc FROM m
+)
+SELECT media_id, width, height,
+       greatest(floor(width * sc), 1)::INT AS new_w,
+       greatest(floor(height * sc), 1)::INT AS new_h
+FROM s
+"""
+
+
 def q_train_split_assignment(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test split: the split is a pure
     function of the doc id (md5-derived bucket 0..99), so it is stable
@@ -1367,6 +1397,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "asof_click_before_purchase": q_asof_click_before_purchase,
     "train_split_assignment": q_train_split_assignment,
+    "media_resize_plan": q_media_resize_plan,
     "embedding_quantization": q_embedding_quantization,
     "local_supplier_volume": q_local_supplier_volume,
     "bm25_stemmed_topk": q_bm25_stemmed_topk,
@@ -1419,6 +1450,7 @@ ORACLES = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "asof_click_before_purchase": SQL_ASOF_CLICK_BEFORE_PURCHASE,
     "train_split_assignment": SQL_TRAIN_SPLIT_ASSIGNMENT,
+    "media_resize_plan": SQL_MEDIA_RESIZE_PLAN,
     "embedding_quantization": SQL_EMBEDDING_QUANTIZATION,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

@@ -136,6 +136,29 @@ def extract_features(df: DataFrame, *, payload_col: str = "payload",
     )
 
 
+def resize_plan(df: DataFrame, *, max_dim: int = 256) -> DataFrame:
+    """Image-resize PLAN: target dimensions for fitting each image
+    inside a max_dim box preserving aspect ratio — pure metadata math,
+    all built-ins (the pixel resample itself is the stubbed decoder's
+    job; a real decoder consumes (new_w, new_h) per row). Images
+    already inside the box keep their dimensions (scale capped at 1)."""
+    imgs = df.filter(F.col("kind") == "image")
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(float(max_dim))
+        / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    )
+    return imgs.select(
+        "media_id",
+        "width",
+        "height",
+        F.greatest(F.floor(F.col("width") * scale), F.lit(1))
+        .cast("int").alias("new_w"),
+        F.greatest(F.floor(F.col("height") * scale), F.lit(1))
+        .cast("int").alias("new_h"),
+    )
+
+
 def frame_sample_plan(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling PLAN: explode per-video timestamps to one
     row per sampled frame (pure built-ins — sequence/explode); the

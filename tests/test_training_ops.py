@@ -376,3 +376,21 @@ def test_asof_join(spark):
     assert out[101] == (11, 2.0)   # inclusive at equal ts; max tiebreak
     assert out[102] == (None, None)  # right row is later than left
     assert out[103] == (None, None)  # key with no right rows at all
+
+
+def test_resize_plan(spark):
+    """Aspect-preserving fit-in-box targets; no upscaling; never 0."""
+    from search_engine_spark.operators.multimodal import (
+        make_media_table,
+        resize_plan,
+    )
+
+    out = resize_plan(make_media_table(spark, 60), max_dim=128).collect()
+    assert out  # images exist
+    for r in out:
+        assert max(r.new_w, r.new_h) <= 128 or (r.width <= 128 and r.height <= 128)
+        assert r.new_w >= 1 and r.new_h >= 1
+        if r.width <= 128 and r.height <= 128:  # inside box: untouched
+            assert (r.new_w, r.new_h) == (r.width, r.height)
+        # aspect ratio preserved within floor rounding
+        assert abs(r.new_w / r.new_h - r.width / r.height) < 0.15
