@@ -1359,6 +1359,91 @@ FROM b GROUP BY media_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Phrase queries + n-gram repetition quality (operators/phrases.py)
+# ---------------------------------------------------------------------------
+
+PHRASE2 = ["table", "hash"]          # 2-word phrase, multi-occurrence docs
+PHRASE3 = ["slow", "hash", "batch"]  # 3-word phrase
+
+
+def q_phrase_match_counts(spark, sf_dir):
+    """Exact consecutive-phrase frequency per doc ("table hash"),
+    overlapping windows counted — the scan-path phrase operator
+    (sliding-window HOFs, codegen, zero shuffle). The index path
+    (positional postings, LocalSearcher.search_phrase) is
+    property-tested equal in tests/test_phrases.py."""
+    from search_engine_spark.operators.phrases import phrase_counts
+
+    return phrase_counts(_t(spark, sf_dir, "documents"), PHRASE2)
+
+
+SQL_PHRASE_MATCH_COUNTS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+hits AS (
+  SELECT doc_id
+  FROM t, unnest(generate_series(1, len(w) - 1)) AS s(i)
+  WHERE len(w) >= 2 AND w[i] = 'table' AND w[i + 1] = 'hash'
+)
+SELECT doc_id, count(*)::BIGINT AS phrase_tf FROM hits GROUP BY doc_id
+"""
+
+
+def q_phrase_topk(spark, sf_dir):
+    """Top-10 docs for a 3-word phrase by (phrase_tf desc, doc_id asc)
+    with explicit ranks — TakeOrderedAndProject, no full sort."""
+    from search_engine_spark.operators.phrases import phrase_topk
+
+    return phrase_topk(_t(spark, sf_dir, "documents"), PHRASE3, 10)
+
+
+SQL_PHRASE_TOPK = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+hits AS (
+  SELECT doc_id
+  FROM t, unnest(generate_series(1, len(w) - 2)) AS s(i)
+  WHERE len(w) >= 3 AND w[i] = 'slow' AND w[i + 1] = 'hash'
+        AND w[i + 2] = 'batch'
+), c AS (
+  SELECT doc_id, count(*)::BIGINT AS phrase_tf FROM hits GROUP BY doc_id
+)
+SELECT doc_id, phrase_tf,
+       row_number() OVER (ORDER BY phrase_tf DESC, doc_id ASC)::BIGINT AS rank
+FROM c ORDER BY phrase_tf DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_dup_ngram_quality(spark, sf_dir):
+    """Gopher-style repetition signals: per-doc duplicate bigram /
+    trigram fractions (1 - distinct/total), array built-ins only."""
+    from search_engine_spark.operators.phrases import dup_ngram_stats
+
+    return dup_ngram_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_DUP_NGRAM_QUALITY = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE len(string_split(text, ' ')) >= 3),
+g2 AS (
+  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+  FROM t, unnest(generate_series(1, len(w) - 1)) AS s(i)
+), g3 AS (
+  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+  FROM t, unnest(generate_series(1, len(w) - 2)) AS s(i)
+), a2 AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         round(1.0 - count(DISTINCT g)::DOUBLE / count(*), 6) AS dup_bigram_frac
+  FROM g2 GROUP BY doc_id
+), a3 AS (
+  SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+         round(1.0 - count(DISTINCT g)::DOUBLE / count(*), 6) AS dup_trigram_frac
+  FROM g3 GROUP BY doc_id
+)
+SELECT a2.doc_id, n_bigrams, dup_bigram_frac, n_trigrams, dup_trigram_frac
+FROM a2 JOIN a3 USING (doc_id)
+"""
+
+
 QUERIES = {
     "term_frequency": q_term_frequency,
     "document_frequency": q_document_frequency,
@@ -1410,6 +1495,9 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "embedding_near_dup": q_embedding_near_dup,
     "near_dup_lsh": q_near_dup_lsh,
+    "phrase_match_counts": q_phrase_match_counts,
+    "phrase_topk": q_phrase_topk,
+    "dup_ngram_quality": q_dup_ngram_quality,
 }
 
 ORACLES = {
@@ -1459,6 +1547,9 @@ ORACLES = {
     "simhash_fingerprints": SQL_SIMHASH_FINGERPRINTS,
     "lang_id": SQL_LANG_ID,
     "content_fingerprints": SQL_CONTENT_FINGERPRINTS,
+    "phrase_match_counts": SQL_PHRASE_MATCH_COUNTS,
+    "phrase_topk": SQL_PHRASE_TOPK,
+    "dup_ngram_quality": SQL_DUP_NGRAM_QUALITY,
     # intentionally rows-only (non-SQL-expressible), with their pytest
     # exactness anchors:
     # bm25_stemmed_topk — Porter 1980 stemmer is not ANSI-SQL; rank

@@ -1,0 +1,311 @@
+"""Positional posting index + serving-path phrase search.
+
+Phrase queries need term POSITIONS, which the base index deliberately
+omits (postings carry only tf — SURVEY.md §2.3 T6). This module adds
+the standard IR answer: a positional postings table, built the same
+Spark-first way as the base index and served by the same
+pyarrow-row-group-pruned local reader pattern as plans/wand.py.
+
+Layout: one row per (term, doc) — `term, doc_id, npos, positions`
+where `positions` is a delta-gap + LEB128-varint blob of the term's
+0-based token offsets in the doc (first offset raw, then gaps >= 1).
+Rows are hive-partitioned by bucket = pmod(xxhash64(term), n_buckets)
+and sorted by (term, doc_id) within files, so a phrase query touches
+only its terms' buckets and row groups — identical seek structure to
+the base postings (plans/wand.py LocalSearcher).
+
+Scale notes (10^12 docs): the build is ONE shuffle of roughly
+corpus-token-count bytes (position blobs varint-compress to ~1-2
+bytes/token) — positional indexes are canonically ~2x the base index,
+and this one pays one repartition to get bucket-partition pruning at
+serving time. Hot-term groups need no salting here: rows stay
+per-(term, doc), never collected into one task's memory — the shuffle
+key is `bucket` and within-partition sort spills via
+UnsafeExternalSorter. Phrase evaluation reads ONLY the phrase terms'
+rows: doc-id intersection first (cheapest filter), then
+position-adjacency checks on the surviving docs.
+
+Equivalence: PhraseSearcher.search_phrase == the scan-path
+operators/phrases.py sliding-window counts, property-tested on
+randomized corpora/phrases (tests/test_phrases.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow.compute as pc
+import pyarrow.dataset as ds
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from search_engine_spark.functions.codec import decode_varints, encode_varints_runs
+
+POSITIONS_SCHEMA = "term string, doc_id long, npos int, positions binary"
+
+
+def encode_positions(pos: np.ndarray) -> bytes:
+    """Delta-gap + varint encode a strictly-increasing offset array."""
+    p = np.ascontiguousarray(pos, dtype=np.int64)
+    if p.size == 0:
+        return b""
+    gaps = np.empty_like(p)
+    gaps[0] = p[0]
+    np.subtract(p[1:], p[:-1], out=gaps[1:])
+    from search_engine_spark.functions.codec import encode_varints
+
+    return encode_varints(gaps)
+
+
+def decode_positions(blob: bytes) -> np.ndarray:
+    """Inverse of encode_positions -> int64 offsets."""
+    gaps = decode_varints(blob)
+    return np.cumsum(gaps.astype(np.int64))
+
+
+def _positions_kernel(stem: bool, text_col: str, id_col: str,
+                      html_col: str | None):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from search_engine_spark.functions.text import analyze, extract_text
+
+        memo: dict[str, str] = {}
+        for pdf in batches:
+            texts = pdf[text_col]
+            htmls = pdf[html_col] if html_col else None
+            ids_in = pdf[id_col].to_numpy()
+            out_terms: list[str] = []
+            out_docs: list[int] = []
+            # one concatenated offsets array + run starts -> ONE
+            # vectorized varint pass for the whole batch (per-run
+            # codec calls are the measured overhead killer — see
+            # functions/codec.py encode_varints_runs)
+            all_gaps: list[np.ndarray] = []
+            run_starts: list[int] = []
+            run_len = 0
+            for i in range(len(pdf)):
+                txt = texts.iat[i]
+                if (txt is None or txt != txt) and htmls is not None:
+                    txt = extract_text(htmls.iat[i])
+                toks = analyze(txt, stem=stem, memo=memo)
+                if not toks:
+                    continue
+                arr = pd.Series(toks, dtype="object")
+                # positions per distinct term, in first-occurrence order
+                codes, uniq = pd.factorize(arr)
+                order = np.argsort(codes, kind="stable")
+                sorted_codes = codes[order]
+                pos_sorted = order.astype(np.int64)  # token offsets
+                starts = np.flatnonzero(
+                    np.diff(sorted_codes, prepend=sorted_codes[0] - 1)
+                )
+                bounds = np.append(starts, sorted_codes.size)
+                did = int(ids_in[i])
+                for u in range(len(uniq)):
+                    seg = pos_sorted[bounds[u]:bounds[u + 1]]
+                    gaps = np.empty_like(seg)
+                    gaps[0] = seg[0]
+                    np.subtract(seg[1:], seg[:-1], out=gaps[1:])
+                    out_terms.append(uniq[u])
+                    out_docs.append(did)
+                    all_gaps.append(gaps)
+                    run_starts.append(run_len)
+                    run_len += seg.size
+            if not out_terms:
+                continue
+            flat = (
+                np.concatenate(all_gaps)
+                if all_gaps
+                else np.empty(0, dtype=np.int64)
+            )
+            blobs = encode_varints_runs(
+                flat, np.asarray(run_starts, dtype=np.int64)
+            )
+            npos = np.diff(np.append(run_starts, run_len)).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "term": pd.Series(out_terms, dtype="object"),
+                    "doc_id": np.asarray(out_docs, dtype=np.int64),
+                    "npos": npos,
+                    "positions": blobs,
+                }
+            )
+
+    return gen
+
+
+def build_positions(
+    spark: SparkSession,
+    source: DataFrame,
+    index_dir: str,
+    *,
+    n_buckets: int = 8,
+    stem: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    html_col: str | None = None,
+) -> str:
+    """Build the positional postings table under <index_dir>/positions.
+
+    Same text pipeline as the base index (analyze = tokenize [+ Porter];
+    stemming is 1:1 so stemmed-token offset == raw-token offset).
+    """
+    cols = [id_col, text_col] + ([html_col] if html_col else [])
+    narrow = source.select(*cols)
+    rows = narrow.mapInPandas(
+        _positions_kernel(stem, text_col, id_col, html_col), POSITIONS_SCHEMA
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int")
+    )
+    out = os.path.join(index_dir, "positions")
+    (
+        rows.repartition("bucket")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(1024 * 1024))
+        .partitionBy("bucket")
+        .parquet(out)
+    )
+    with open(os.path.join(index_dir, "positions_meta.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets, "stem": stem}, f)
+    return out
+
+
+class PhraseSearcher:
+    """Local serving path for exact-phrase queries over the positional
+    table — pyarrow row-group-pruned reads, no Spark job, mirroring
+    plans/wand.py LocalSearcher's seek structure.
+
+    search_phrase evaluation order (cheapest filter first):
+    1. per phrase term: (doc_ids, blobs) via bucket + row-group-stat
+       pruned reads, LRU-cached;
+    2. sorted doc_id intersection across the phrase's DISTINCT terms
+       (rarest first — classic conjunctive order);
+    3. per surviving doc: decode offsets, adjacency-check
+       positions(w_0) + j ∩ positions(w_j) left to right; phrase tf =
+       surviving start-offset count (overlaps counted — identical
+       semantics to the scan path's sliding window).
+    """
+
+    _CACHE = 512
+
+    def __init__(self, index_dir: str):
+        with open(os.path.join(index_dir, "positions_meta.json")) as f:
+            meta = json.load(f)
+        self.n_buckets = int(meta["n_buckets"])
+        self.stem = bool(meta["stem"])
+        root = os.path.join(index_dir, "positions")
+        self._files: dict[str, pq.ParquetFile] = {}
+        self._rg: dict[int, list[tuple[str, int, str, str]]] = {}
+        for frag in ds.dataset(
+            root, format="parquet", partitioning="hive"
+        ).get_fragments():
+            path = frag.path
+            bucket = int(path.split("bucket=")[1].split("/")[0])
+            pf = pq.ParquetFile(path)
+            self._files[path] = pf
+            term_idx = pf.schema_arrow.get_field_index("term")
+            md = pf.metadata
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(term_idx).statistics
+                lo = stats.min if stats is not None else None
+                hi = stats.max if stats is not None else None
+                self._rg.setdefault(bucket, []).append((path, rg, lo, hi))
+        self._term_cache: dict[str, tuple[np.ndarray, list[bytes]]] = {}
+
+    def _term_rows(self, term: str) -> tuple[np.ndarray, list[bytes]]:
+        """(sorted doc_ids, position blobs aligned to them)."""
+        cached = self._term_cache.get(term)
+        if cached is not None:
+            self._term_cache[term] = self._term_cache.pop(term)
+            return cached
+        from search_engine_spark.functions.hashing import term_bucket
+
+        b = term_bucket(term, self.n_buckets)
+        docs_parts: list[np.ndarray] = []
+        blob_parts: list[list[bytes]] = []
+        for path, rg, lo, hi in self._rg.get(b, ()):
+            if (lo is None or lo <= term) and (hi is None or term <= hi):
+                tbl = self._files[path].read_row_groups(
+                    [rg], columns=["term", "doc_id", "positions"]
+                )
+                sel = tbl.filter(pc.equal(tbl["term"], term))
+                if sel.num_rows:
+                    docs_parts.append(
+                        sel["doc_id"].to_numpy(zero_copy_only=False)
+                    )
+                    blob_parts.append(sel["positions"].to_pylist())
+        if docs_parts:
+            docs = np.concatenate(docs_parts)
+            blobs = [bl for part in blob_parts for bl in part]
+            order = np.argsort(docs, kind="stable")
+            docs = docs[order]
+            blobs = [blobs[int(j)] for j in order]
+        else:
+            docs = np.empty(0, dtype=np.int64)
+            blobs = []
+        val = (docs, blobs)
+        if len(self._term_cache) >= self._CACHE:
+            self._term_cache.pop(next(iter(self._term_cache)))
+        self._term_cache[term] = val
+        return val
+
+    def phrase_terms(self, query: str) -> list[str]:
+        """Analyze a phrase with the SAME pipeline the table was built
+        with (order-preserving — phrases are positional)."""
+        from search_engine_spark.functions.text import analyze
+
+        return analyze(query, stem=self.stem)
+
+    def phrase_counts(self, phrase: list[str]) -> list[tuple[int, int]]:
+        """All (doc_id, phrase_tf) with tf > 0, doc_id-ascending."""
+        if not phrase:
+            return []
+        distinct = list(dict.fromkeys(phrase))
+        per_term = {t: self._term_rows(t) for t in distinct}
+        if any(per_term[t][0].size == 0 for t in distinct):
+            return []
+        # conjunctive doc filter, rarest term first
+        distinct.sort(key=lambda t: per_term[t][0].size)
+        cand = per_term[distinct[0]][0]
+        for t in distinct[1:]:
+            cand = np.intersect1d(cand, per_term[t][0], assume_unique=True)
+            if cand.size == 0:
+                return []
+        # per-candidate positional adjacency
+        idx = {
+            t: np.searchsorted(per_term[t][0], cand) for t in distinct
+        }
+        out: list[tuple[int, int]] = []
+        for ci in range(cand.size):
+            pos: dict[str, np.ndarray] = {}
+            starts = None
+            for j, w in enumerate(phrase):
+                p = pos.get(w)
+                if p is None:
+                    docs, blobs = per_term[w]
+                    p = decode_positions(blobs[int(idx[w][ci])])
+                    pos[w] = p
+                shifted = p - j
+                starts = (
+                    shifted
+                    if starts is None
+                    else np.intersect1d(starts, shifted, assume_unique=True)
+                )
+                if starts.size == 0:
+                    break
+            if starts is not None and starts.size:
+                out.append((int(cand[ci]), int(starts.size)))
+        return out
+
+    def search_phrase(self, query: str | list[str], k: int = 10) -> list[tuple[int, int]]:
+        """Top-k (doc_id, phrase_tf) by (tf desc, doc_id asc)."""
+        phrase = (
+            self.phrase_terms(query) if isinstance(query, str) else list(query)
+        )
+        hits = self.phrase_counts(phrase)
+        hits.sort(key=lambda r: (-r[1], r[0]))
+        return hits[:k]

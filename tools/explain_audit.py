@@ -43,6 +43,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "dedup_exact_text": (["HashAggregate"], ["CartesianProduct"]),
     "minhash_lsh_pairs": (["ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin"],
                           ["CartesianProduct"]),
+    # phrase/ngram scans must stay single-stage: pruned 2-column read,
+    # no shuffle, no Python boundary (pure JVM higher-order functions)
+    "phrase_match_counts": (["ReadSchema: struct<doc_id:bigint,text:string>"],
+                            ["Exchange", "Python", "CartesianProduct"]),
+    "dup_ngram_quality": (["ReadSchema: struct<doc_id:bigint,text:string>"],
+                          ["Exchange", "Python", "CartesianProduct"]),
 }
 
 
