@@ -35,6 +35,11 @@ def main() -> None:
     ap.add_argument("--extend", action="store_true",
                     help="append --input's docs to an EXISTING index "
                          "(converges to a full rebuild over the union)")
+    ap.add_argument("--positions", action="store_true",
+                    help="also build the positional postings table "
+                         "(enables exact-phrase queries: query.py "
+                         "--phrase). Roughly doubles index size — the "
+                         "canonical positional-index cost")
     args = ap.parse_args()
 
     import os
@@ -100,6 +105,17 @@ def main() -> None:
             .write.mode("append" if args.extend else "overwrite")
             .parquet(urlmap_path)
         )
+    if args.positions:
+        if args.extend:
+            ap.error("--positions with --extend is not supported yet; "
+                     "rebuild positions after extending")
+        from search_engine_spark.plans.positions import build_positions
+
+        build_positions(
+            spark, src, args.index_dir, n_buckets=args.n_buckets,
+            stem=not args.no_stem, html_col=html_col,
+        )
+        summary["positions_built"] = True
     summary["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(summary))
     spark.stop()

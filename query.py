@@ -66,6 +66,11 @@ def main() -> None:
                     help="answer every query in FILE (one per line, "
                          "optional 'id<TAB>text'); with --distributed "
                          "all queries run in ONE Spark job")
+    ap.add_argument("--phrase", action="store_true",
+                    help="treat the query as an exact consecutive "
+                         "phrase (requires an index built with "
+                         "build_index.py --positions); ranks by "
+                         "phrase frequency, tie-break doc_id")
     ap.add_argument("--urls", action="store_true",
                     help="print urls (requires an index built from "
                          "pages input — urlmap table present)")
@@ -82,11 +87,43 @@ def main() -> None:
         ap.error("--urls needs the index's urlmap table (built from "
                  "pages input)")
 
+    if args.phrase and not os.path.exists(
+        os.path.join(args.index_dir, "positions_meta.json")
+    ):
+        ap.error("--phrase needs the positional table — rebuild with "
+                 "build_index.py --positions")
+    if args.phrase and args.batch:
+        ap.error("--phrase answers a single phrase query")
+
     stem = not args.no_stem
     t0 = time.time()
     # per-query ranked results: {qid: [(doc_id, score), ...]}
     results: dict[str, list[tuple[int, float]]] = {}
-    if args.batch:
+    if args.phrase:
+        if args.distributed:
+            from search_engine_spark.plans.positions import (
+                phrase_search_distributed,
+            )
+            from search_engine_spark.session import get_spark
+
+            spark = get_spark("phrase-query")
+            results[""] = [
+                (r.doc_id, float(r.phrase_tf))
+                for r in phrase_search_distributed(
+                    spark, args.index_dir, args.qtext, k=args.k
+                ).collect()
+            ]
+            spark.stop()
+        else:
+            from search_engine_spark.plans.positions import PhraseSearcher
+
+            results[""] = [
+                (d, float(tf))
+                for d, tf in PhraseSearcher(args.index_dir).search_phrase(
+                    args.qtext, k=args.k
+                )
+            ]
+    elif args.batch:
         queries = _read_batch(args.batch)
         if args.distributed:
             from search_engine_spark.plans.index_query import IndexReader

@@ -1444,6 +1444,90 @@ FROM a2 JOIN a3 USING (doc_id)
 """
 
 
+def q_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical ranking fused with embedding
+    cosine ranking by reciprocal rank fusion (Cormack et al. 2009,
+    rrf = Σ 1/(60 + rank)). Ranks are computed on 6-rounded scores
+    (cross-engine float-stable) with id tie-breaks; candidates are the
+    top-20 of each system; fusion is a full outer join (a doc ranked
+    by only one system still scores)."""
+    lex_scores = bm25_exhaustive(
+        spark, _postings(spark, sf_dir), "spark join", k=20, stem=False
+    ).select("doc_id", F.round("score", 6).alias("s"))
+    w = W.orderBy(F.desc("s"), F.asc("doc_id"))
+    lex = lex_scores.select(
+        "doc_id", F.row_number().over(w).alias("lex_rank")
+    ).filter(F.col("lex_rank") <= 20)
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cos = emb.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(_cosine_cols(F.col("embedding"), F.col("qv")), 6).alias("c"),
+    )
+    wv = W.orderBy(F.desc("c"), F.asc("doc_id"))
+    vec = cos.select(
+        "doc_id", F.row_number().over(wv).alias("vec_rank")
+    ).filter(F.col("vec_rank") <= 20)
+
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("vec_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(10)
+    )
+    return fused
+
+
+SQL_HYBRID_RRF_TOPK = f"""
+WITH {_TOK_CTE},
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(doclen) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+q AS (SELECT * FROM (VALUES ('spark'), ('join')) AS t(term)),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (tf.tf * {K1 + 1.0} / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / s.avgdl)))
+           AS partial
+  FROM tf JOIN q USING (term) JOIN dfs USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+lex0 AS (
+  SELECT doc_id, round(sum(partial), 6) AS s
+  FROM scored GROUP BY doc_id HAVING count(*) = 2
+),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS lex_rank
+  FROM lex0 QUALIFY lex_rank <= 20
+),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+cosd AS (
+  SELECT vec_id AS doc_id,
+         round(list_dot_product(embedding::DOUBLE[], v)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(v, v))), 6) AS c
+  FROM embeddings CROSS JOIN qv
+),
+vec AS (
+  SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id ASC) AS vec_rank
+  FROM cosd QUALIFY vec_rank <= 20
+)
+SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+       round(coalesce(1.0 / (60 + lex_rank), 0)
+             + coalesce(1.0 / (60 + vec_rank), 0), 6) AS rrf_score
+FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+ORDER BY rrf_score DESC, coalesce(lex.doc_id, vec.doc_id) ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "term_frequency": q_term_frequency,
     "document_frequency": q_document_frequency,
@@ -1498,6 +1582,7 @@ QUERIES = {
     "phrase_match_counts": q_phrase_match_counts,
     "phrase_topk": q_phrase_topk,
     "dup_ngram_quality": q_dup_ngram_quality,
+    "hybrid_rrf_topk": q_hybrid_rrf_topk,
 }
 
 ORACLES = {
@@ -1550,6 +1635,7 @@ ORACLES = {
     "phrase_match_counts": SQL_PHRASE_MATCH_COUNTS,
     "phrase_topk": SQL_PHRASE_TOPK,
     "dup_ngram_quality": SQL_DUP_NGRAM_QUALITY,
+    "hybrid_rrf_topk": SQL_HYBRID_RRF_TOPK,
     # intentionally rows-only (non-SQL-expressible), with their pytest
     # exactness anchors:
     # bm25_stemmed_topk — Porter 1980 stemmer is not ANSI-SQL; rank

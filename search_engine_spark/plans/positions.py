@@ -174,6 +174,77 @@ def build_positions(
     return out
 
 
+def phrase_search_distributed(
+    spark: SparkSession,
+    index_dir: str,
+    query: str | list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Cluster-scale phrase evaluation over the positional table —
+    the Spark twin of PhraseSearcher (property-tested identical).
+
+    Plan: scan ONLY the phrase terms' bucket partitions (static
+    partition pruning on the hive `bucket` column + a pushed `term
+    IN (...)` filter), conjunctive group filter (a doc must hold all
+    distinct phrase terms), then one tiny applyInPandas adjacency
+    kernel per surviving doc group (K rows each — bounded memory
+    regardless of corpus size), TakeOrderedAndProject top-k. Shuffle
+    is one exchange of the phrase terms' rows only.
+    """
+    with open(os.path.join(index_dir, "positions_meta.json")) as f:
+        meta = json.load(f)
+    if isinstance(query, str):
+        from search_engine_spark.functions.text import analyze
+
+        phrase = analyze(query, stem=bool(meta["stem"]))
+    else:
+        phrase = list(query)
+    if not phrase:
+        return spark.createDataFrame([], "doc_id long, phrase_tf long")
+    distinct = list(dict.fromkeys(phrase))
+    from search_engine_spark.functions.hashing import term_bucket
+
+    buckets = sorted({term_bucket(t, int(meta["n_buckets"])) for t in distinct})
+    rows = (
+        spark.read.parquet(os.path.join(index_dir, "positions"))
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(distinct))
+        .select("term", "doc_id", "positions")
+    )
+
+    def adjacency(pdf: pd.DataFrame) -> pd.DataFrame:
+        pos = {
+            t: decode_positions(b)
+            for t, b in zip(pdf["term"], pdf["positions"])
+        }
+        if len(pos) < len(distinct):
+            return pd.DataFrame({"doc_id": [], "phrase_tf": []}).astype(
+                {"doc_id": "int64", "phrase_tf": "int64"}
+            )
+        starts = None
+        for j, w in enumerate(phrase):
+            shifted = pos[w] - j
+            starts = (
+                shifted
+                if starts is None
+                else np.intersect1d(starts, shifted, assume_unique=True)
+            )
+            if starts.size == 0:
+                break
+        n = int(starts.size) if starts is not None else 0
+        if n == 0:
+            return pd.DataFrame({"doc_id": [], "phrase_tf": []}).astype(
+                {"doc_id": "int64", "phrase_tf": "int64"}
+            )
+        return pd.DataFrame(
+            {"doc_id": [int(pdf["doc_id"].iat[0])], "phrase_tf": [n]}
+        )
+
+    counts = rows.groupBy("doc_id").applyInPandas(
+        adjacency, "doc_id long, phrase_tf long"
+    )
+    return counts.orderBy(F.desc("phrase_tf"), F.asc("doc_id")).limit(k)
+
+
 class PhraseSearcher:
     """Local serving path for exact-phrase queries over the positional
     table — pyarrow row-group-pruned reads, no Spark job, mirroring
@@ -216,8 +287,10 @@ class PhraseSearcher:
                 self._rg.setdefault(bucket, []).append((path, rg, lo, hi))
         self._term_cache: dict[str, tuple[np.ndarray, list[bytes]]] = {}
 
-    def _term_rows(self, term: str) -> tuple[np.ndarray, list[bytes]]:
-        """(sorted doc_ids, position blobs aligned to them)."""
+    def _term_rows(
+        self, term: str
+    ) -> tuple[np.ndarray, np.ndarray, list[bytes]]:
+        """(sorted doc_ids, npos counts, position blobs), aligned."""
         cached = self._term_cache.get(term)
         if cached is not None:
             self._term_cache[term] = self._term_cache.pop(term)
@@ -226,28 +299,35 @@ class PhraseSearcher:
 
         b = term_bucket(term, self.n_buckets)
         docs_parts: list[np.ndarray] = []
+        npos_parts: list[np.ndarray] = []
         blob_parts: list[list[bytes]] = []
         for path, rg, lo, hi in self._rg.get(b, ()):
             if (lo is None or lo <= term) and (hi is None or term <= hi):
                 tbl = self._files[path].read_row_groups(
-                    [rg], columns=["term", "doc_id", "positions"]
+                    [rg], columns=["term", "doc_id", "npos", "positions"]
                 )
                 sel = tbl.filter(pc.equal(tbl["term"], term))
                 if sel.num_rows:
                     docs_parts.append(
                         sel["doc_id"].to_numpy(zero_copy_only=False)
                     )
+                    npos_parts.append(
+                        sel["npos"].to_numpy(zero_copy_only=False)
+                    )
                     blob_parts.append(sel["positions"].to_pylist())
         if docs_parts:
             docs = np.concatenate(docs_parts)
+            npos = np.concatenate(npos_parts).astype(np.int64)
             blobs = [bl for part in blob_parts for bl in part]
             order = np.argsort(docs, kind="stable")
             docs = docs[order]
+            npos = npos[order]
             blobs = [blobs[int(j)] for j in order]
         else:
             docs = np.empty(0, dtype=np.int64)
+            npos = np.empty(0, dtype=np.int64)
             blobs = []
-        val = (docs, blobs)
+        val = (docs, npos, blobs)
         if len(self._term_cache) >= self._CACHE:
             self._term_cache.pop(next(iter(self._term_cache)))
         self._term_cache[term] = val
@@ -260,52 +340,117 @@ class PhraseSearcher:
 
         return analyze(query, stem=self.stem)
 
-    def phrase_counts(self, phrase: list[str]) -> list[tuple[int, int]]:
-        """All (doc_id, phrase_tf) with tf > 0, doc_id-ascending."""
-        if not phrase:
-            return []
+    def _candidates(self, phrase: list[str]):
+        """Conjunctive doc intersection + per-term row indices.
+        Returns (cand doc_ids, per_term rows, idx arrays) or None."""
         distinct = list(dict.fromkeys(phrase))
         per_term = {t: self._term_rows(t) for t in distinct}
         if any(per_term[t][0].size == 0 for t in distinct):
-            return []
-        # conjunctive doc filter, rarest term first
-        distinct.sort(key=lambda t: per_term[t][0].size)
-        cand = per_term[distinct[0]][0]
-        for t in distinct[1:]:
+            return None
+        order = sorted(distinct, key=lambda t: per_term[t][0].size)
+        cand = per_term[order[0]][0]
+        for t in order[1:]:
             cand = np.intersect1d(cand, per_term[t][0], assume_unique=True)
             if cand.size == 0:
-                return []
-        # per-candidate positional adjacency
-        idx = {
-            t: np.searchsorted(per_term[t][0], cand) for t in distinct
-        }
-        out: list[tuple[int, int]] = []
-        for ci in range(cand.size):
-            pos: dict[str, np.ndarray] = {}
-            starts = None
-            for j, w in enumerate(phrase):
-                p = pos.get(w)
-                if p is None:
-                    docs, blobs = per_term[w]
-                    p = decode_positions(blobs[int(idx[w][ci])])
-                    pos[w] = p
-                shifted = p - j
-                starts = (
-                    shifted
-                    if starts is None
-                    else np.intersect1d(starts, shifted, assume_unique=True)
-                )
-                if starts.size == 0:
-                    break
-            if starts is not None and starts.size:
-                out.append((int(cand[ci]), int(starts.size)))
-        return out
+                return None
+        idx = {t: np.searchsorted(per_term[t][0], cand) for t in distinct}
+        return cand, per_term, idx
+
+    _KEY_SHIFT = np.int64(1) << np.int64(33)  # doclen < 2^33 everywhere
+
+    def _batch_tfs(self, phrase, per_term, idx, sel: np.ndarray) -> np.ndarray:
+        """Phrase tf for EVERY candidate in `sel` (indices into the
+        candidate array) in one vectorized pass per phrase slot — no
+        per-doc Python loop:
+
+        blobs of all selected docs are joined and varint-decoded in
+        ONE codec call; per-doc positions come from a segmented cumsum;
+        each (candidate, start-offset) pair becomes a single int64 key
+        (ordinal * 2^33 + offset), and phrase-slot j's keys are
+        np.intersect1d-ed across slots. Surviving keys' ordinals,
+        bincounted, are the per-candidate tfs."""
+        n = int(sel.size)
+        pos_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        keys: np.ndarray | None = None
+        for j, w in enumerate(phrase):
+            cached = pos_cache.get(w)
+            if cached is None:
+                _, npos, blobs = per_term[w]
+                rows = idx[w][sel]
+                counts = npos[rows]
+                joined = b"".join(blobs[int(r)] for r in rows)
+                gaps = decode_varints(joined).astype(np.int64)
+                c = np.cumsum(gaps)
+                ends = np.cumsum(counts)
+                starts = ends - counts
+                # per-segment base = running sum BEFORE the segment
+                base = np.where(starts > 0, c[starts - 1], 0)
+                pos = c - np.repeat(base, counts)
+                ordrep = np.repeat(np.arange(n, dtype=np.int64), counts)
+                cached = (pos, ordrep)
+                pos_cache[w] = cached
+            pos, ordrep = cached
+            key = ordrep * self._KEY_SHIFT + (pos - j + len(phrase))
+            keys = (
+                key
+                if keys is None
+                else np.intersect1d(keys, key, assume_unique=True)
+            )
+            if keys.size == 0:
+                return np.zeros(n, dtype=np.int64)
+        return np.bincount(keys // self._KEY_SHIFT, minlength=n)
+
+    def phrase_counts(self, phrase: list[str]) -> list[tuple[int, int]]:
+        """All (doc_id, phrase_tf) with tf > 0, doc_id-ascending
+        (exhaustive — the equivalence-test surface)."""
+        if not phrase:
+            return []
+        found = self._candidates(phrase)
+        if found is None:
+            return []
+        cand, per_term, idx = found
+        tfs = self._batch_tfs(
+            phrase, per_term, idx, np.arange(cand.size, dtype=np.int64)
+        )
+        nz = np.flatnonzero(tfs)
+        return [(int(cand[i]), int(tfs[i])) for i in nz]
 
     def search_phrase(self, query: str | list[str], k: int = 10) -> list[tuple[int, int]]:
-        """Top-k (doc_id, phrase_tf) by (tf desc, doc_id asc)."""
+        """Top-k (doc_id, phrase_tf) by (tf desc, doc_id asc), with
+        WAND-style bound pruning: tf(doc) <= min_t npos_t(doc), so
+        candidates are evaluated in descending-bound order and the
+        scan stops once bound < the k-th heap tf — every remaining
+        doc is provably beaten. Tie-safe: docs with bound == theta
+        are still evaluated (doc_id tie-break can admit them), so
+        pruned == exhaustive (property-tested)."""
         phrase = (
             self.phrase_terms(query) if isinstance(query, str) else list(query)
         )
-        hits = self.phrase_counts(phrase)
-        hits.sort(key=lambda r: (-r[1], r[0]))
-        return hits[:k]
+        if not phrase:
+            return []
+        found = self._candidates(phrase)
+        if found is None:
+            return []
+        cand, per_term, idx = found
+        distinct = list(dict.fromkeys(phrase))
+        ub = per_term[distinct[0]][1][idx[distinct[0]]].copy()
+        for t in distinct[1:]:
+            np.minimum(ub, per_term[t][1][idx[t]], out=ub)
+        # descending bound, doc_id-ascending within equal bounds
+        order = np.lexsort((cand, -ub))
+        import heapq
+
+        heap: list[tuple[int, int]] = []  # (tf, -doc_id) min-heap
+        chunk = max(4 * k, 512)
+        for lo in range(0, order.size, chunk):
+            sel = order[lo:lo + chunk]
+            if len(heap) == k and ub[sel[0]] < heap[0][0]:
+                break  # bounds only fall from here: nothing can enter
+            tfs = self._batch_tfs(phrase, per_term, idx, sel)
+            for i in np.flatnonzero(tfs):
+                entry = (int(tfs[i]), -int(cand[sel[i]]))
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif entry > heap[0]:
+                    heapq.heapreplace(heap, entry)
+        return [(-d, tf) for tf, d in sorted(heap, key=lambda e: (-e[0], -e[1]))]

@@ -148,6 +148,45 @@ def test_positional_search_topk_order(spark, tmp_path):
         assert all(tf <= worst_kept for tf in dropped)
 
 
+def test_pruned_search_equals_exhaustive(spark, tmp_path):
+    """WAND-style bound pruning in search_phrase must equal the
+    exhaustive sort of phrase_counts for every k."""
+    rng = random.Random(23)
+    pdf = _random_corpus(rng, 150)
+    idx_dir = os.path.join(str(tmp_path), "idx_prune")
+    build_positions(
+        spark, spark.createDataFrame(pdf), idx_dir, n_buckets=4, stem=False
+    )
+    s = PhraseSearcher(idx_dir)
+    for _ in range(20):
+        phrase = [rng.choice(VOCAB) for _ in range(rng.randint(1, 3))]
+        full = s.phrase_counts(phrase)
+        full.sort(key=lambda r: (-r[1], r[0]))
+        for k in (1, 3, 10, 10_000):
+            assert s.search_phrase(phrase, k=k) == full[:k], (phrase, k)
+
+
+def test_distributed_phrase_equals_local(spark, tmp_path):
+    from search_engine_spark.plans.positions import phrase_search_distributed
+
+    rng = random.Random(17)
+    pdf = _random_corpus(rng, 100)
+    idx_dir = os.path.join(str(tmp_path), "idx_dist")
+    build_positions(
+        spark, spark.createDataFrame(pdf), idx_dir, n_buckets=4, stem=False
+    )
+    local = PhraseSearcher(idx_dir)
+    for phrase in (["table", "merge"], ["hash", "hash"],
+                   ["spark", "join", "scan"], ["missing", "spark"]):
+        want = local.search_phrase(phrase, k=8)
+        got = [
+            (int(r.doc_id), int(r.phrase_tf))
+            for r in phrase_search_distributed(spark, idx_dir, phrase, k=8)
+            .collect()
+        ]
+        assert got == want, phrase
+
+
 def test_positional_repeated_word_phrase(spark, tmp_path):
     pdf = pd.DataFrame(
         {"doc_id": [0, 1], "text": ["go go go stop", "go stop go"]}
