@@ -54,6 +54,7 @@ HEADLINE = [
     "pricing_summary", "revenue_by_nation",
 ]
 WAND_QUERIES = ["the", "spark join", "data filter window", "index search merge"]
+PHRASE_QUERIES = ["the bold", "of the", "spark join", "data filter window"]
 
 
 def materialize_corpus(corpus_dir: str) -> None:
@@ -158,6 +159,16 @@ def main() -> None:
     t0 = time.time()
     reader.search("spark join", k=10).collect()
     queries["bm25_index_distributed"] = round(time.time() - t0, 3)
+
+    # positional table (same corpus) for the phrase-serving p50
+    from search_engine_spark.plans.positions import build_positions
+
+    t0 = time.time()
+    build_positions(
+        spark, spark.read.parquet(corpus), idx_big,
+        n_buckets=64, stem=True, html_col="html",
+    )
+    extra["positions_build_s"] = round(time.time() - t0, 3)
     spark.stop()
 
     from search_engine_spark.plans.wand import LocalSearcher
@@ -185,6 +196,26 @@ def main() -> None:
             s.search(q, k=10, mode="or")
             lat_or.append(time.perf_counter() - t0)
     extra["wand_or_p50_ms"] = round(statistics.median(lat_or) * 1000, 3)
+
+    # exact-phrase serving p50 (positional index; includes the
+    # hottest stopword bigram — worst-case candidate volume)
+    from search_engine_spark.plans.positions import PhraseSearcher
+
+    ps = PhraseSearcher(idx_big)
+    t0 = time.perf_counter()
+    for q in PHRASE_QUERIES:
+        ps.search_phrase(q, k=10)  # warm (reads + caches term rows)
+    t_pass = time.perf_counter() - t0
+    # adaptive repetitions: ~5s budget (the stopword bigram scans a
+    # large candidate set by design — worst case, not typical case)
+    reps = max(3, min(50, int(5.0 / max(t_pass, 1e-3))))
+    lat_ph = []
+    for _ in range(reps):
+        for q in PHRASE_QUERIES:
+            t0 = time.perf_counter()
+            ps.search_phrase(q, k=10)
+            lat_ph.append(time.perf_counter() - t0)
+    extra["phrase_p50_ms"] = round(statistics.median(lat_ph) * 1000, 3)
 
     shutil.rmtree(work, ignore_errors=True)
     out = {

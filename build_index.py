@@ -106,15 +106,28 @@ def main() -> None:
             .parquet(urlmap_path)
         )
     if args.positions:
-        if args.extend:
-            ap.error("--positions with --extend is not supported yet; "
-                     "rebuild positions after extending")
         from search_engine_spark.plans.positions import build_positions
 
-        build_positions(
-            spark, src, args.index_dir, n_buckets=args.n_buckets,
-            stem=not args.no_stem, html_col=html_col,
-        )
+        if args.extend:
+            # append-in-kind: src is already the genuinely-new docs
+            # (left-anti url join above) with fresh dense ids; rows
+            # are per (term, doc), so the union table == a rebuild.
+            # n_buckets/stem are validated against positions_meta.
+            import json as _json
+
+            with open(os.path.join(args.index_dir,
+                                   "positions_meta.json")) as f:
+                pmeta = _json.load(f)
+            build_positions(
+                spark, src, args.index_dir,
+                n_buckets=int(pmeta["n_buckets"]),
+                stem=bool(pmeta["stem"]), html_col=html_col, mode="append",
+            )
+        else:
+            build_positions(
+                spark, src, args.index_dir, n_buckets=args.n_buckets,
+                stem=not args.no_stem, html_col=html_col,
+            )
         summary["positions_built"] = True
     summary["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(summary))

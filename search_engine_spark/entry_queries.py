@@ -1009,6 +1009,34 @@ FROM s
 """
 
 
+def q_media_frame_sample(spark, sf_dir):
+    """Video frame-sampling PLAN: one row per sampled frame timestamp
+    (every 1 s, inclusive of 0 and of an exactly-landing end) — the
+    Spark-side plumbing for a stubbed frame decoder (sequence +
+    explode, pure built-ins)."""
+    from search_engine_spark.operators.multimodal import (
+        frame_sample_plan,
+        make_media_table,
+    )
+
+    frames = frame_sample_plan(make_media_table(spark, 200), every_ms=1000)
+    return frames.select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
+
+
+# media metadata is i-derived (multimodal.make_media_table): videos are
+# i % 3 == 2, duration_ms = (i * 37) % 60000
+SQL_MEDIA_FRAME_SAMPLE = """
+WITH v AS (
+  SELECT i AS media_id, (i * 37) % 60000 AS duration_ms
+  FROM generate_series(0, 199) t(i) WHERE i % 3 = 2
+)
+SELECT media_id, g::BIGINT AS frame_ts_ms
+FROM v, unnest(generate_series(0, duration_ms, 1000)) s(g)
+"""
+
+
 def q_train_split_assignment(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test split: the split is a pure
     function of the doc id (md5-derived bucket 0..99), so it is stable
@@ -1444,6 +1472,78 @@ FROM a2 JOIN a3 USING (doc_id)
 """
 
 
+def q_phrase_snippets(spark, sf_dir):
+    """Keyword-in-context snippets: for every doc containing the
+    phrase, the 1-based offset of the FIRST occurrence and a snippet
+    of up to 3 tokens of context either side — the result-page
+    highlighting surface, all JVM higher-order functions."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    k = len(PHRASE2)
+    target = F.array(*[F.lit(w) for w in PHRASE2])
+    # guard: sequence(1, 0) would be DESCENDING in Spark and slice()
+    # rejects start 0 — docs shorter than the phrase yield null
+    first = F.when(
+        F.size(toks) >= k,
+        F.try_element_at(
+            F.filter(
+                F.sequence(F.lit(1), F.size(toks) - k + 1),
+                lambda i: F.slice(toks, i, k) == target,
+            ),
+            F.lit(1),
+        ),
+    )
+    start = F.greatest(first - 3, F.lit(1))
+    end = F.least(first + k + 2, F.size(toks))
+    return docs.select(
+        "doc_id",
+        first.cast("long").alias("first_pos"),
+        F.array_join(F.slice(toks, start, end - start + 1), " ").alias(
+            "snippet"
+        ),
+    ).filter(F.col("first_pos").isNotNull())
+
+
+SQL_PHRASE_SNIPPETS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+m AS (
+  SELECT doc_id, w,
+         list_filter(generate_series(1, greatest(len(w) - 1, 0)),
+                     i -> w[i] = 'table' AND w[i + 1] = 'hash')[1] AS first_pos
+  FROM t
+)
+SELECT doc_id, first_pos::BIGINT AS first_pos,
+       array_to_string(w[greatest(first_pos - 3, 1) : first_pos + 4], ' ')
+         AS snippet
+FROM m WHERE first_pos IS NOT NULL
+"""
+
+
+def q_near_query(spark, sf_dir):
+    """Proximity query: docs where 'slow' and 'batch' co-occur within
+    3 tokens, with the minimal token distance — posexplode + per-doc
+    position self-join (only the two terms' rows shuffle). Serving
+    twin: PhraseSearcher.near_counts (property-tested equal)."""
+    from search_engine_spark.operators.phrases import near_counts
+
+    return near_counts(_t(spark, sf_dir, "documents"), "slow", "batch", 3)
+
+
+SQL_NEAR_QUERY = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+p AS (
+  SELECT doc_id, i, w[i] AS term
+  FROM t, unnest(generate_series(1, len(w))) AS s(i)
+),
+a AS (SELECT doc_id, i AS pa FROM p WHERE term = 'slow'),
+b AS (SELECT doc_id, i AS pb FROM p WHERE term = 'batch')
+SELECT a.doc_id, min(abs(pa - pb))::BIGINT AS min_dist
+FROM a JOIN b ON a.doc_id = b.doc_id
+WHERE abs(pa - pb) <= 3
+GROUP BY a.doc_id
+"""
+
+
 def q_hybrid_rrf_topk(spark, sf_dir):
     """Hybrid retrieval: BM25 lexical ranking fused with embedding
     cosine ranking by reciprocal rank fusion (Cormack et al. 2009,
@@ -1583,6 +1683,9 @@ QUERIES = {
     "phrase_topk": q_phrase_topk,
     "dup_ngram_quality": q_dup_ngram_quality,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
+    "phrase_snippets": q_phrase_snippets,
+    "near_query": q_near_query,
+    "media_frame_sample": q_media_frame_sample,
 }
 
 ORACLES = {
@@ -1636,6 +1739,9 @@ ORACLES = {
     "phrase_topk": SQL_PHRASE_TOPK,
     "dup_ngram_quality": SQL_DUP_NGRAM_QUALITY,
     "hybrid_rrf_topk": SQL_HYBRID_RRF_TOPK,
+    "phrase_snippets": SQL_PHRASE_SNIPPETS,
+    "near_query": SQL_NEAR_QUERY,
+    "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
     # intentionally rows-only (non-SQL-expressible), with their pytest
     # exactness anchors:
     # bm25_stemmed_topk — Porter 1980 stemmer is not ANSI-SQL; rank

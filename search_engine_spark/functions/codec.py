@@ -82,25 +82,36 @@ def encode_varints_runs(values: np.ndarray, run_starts: np.ndarray) -> list[byte
 
 
 def decode_varints(buf: bytes) -> np.ndarray:
-    """Decode a LEB128 byte string back to a uint64 array."""
+    """Decode a LEB128 byte string back to a uint64 array.
+
+    Byte-PLANE decode: at most ceil(64/7)=10 vectorized gather passes
+    (one per possible limb position), each `vals |= limb << 7p` over
+    the still-live groups. This replaces the earlier np.add.at scatter
+    (element-at-a-time ufunc.at, ~10x slower on multi-MB buffers —
+    measured on the hot-term positional decode)."""
     raw = np.frombuffer(buf, dtype=np.uint8)
     if raw.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_end = (raw & 0x80) == 0
-    n = int(is_end.sum())
-    # group id of each byte = number of terminators strictly before it
-    gid = np.zeros(raw.size, dtype=np.int64)
-    gid[1:] = np.cumsum(is_end[:-1])
-    # position of each byte within its group
-    group_starts = np.zeros(n, dtype=np.int64)
     ends = np.flatnonzero(is_end)
+    n = ends.size
+    group_starts = np.empty(n, dtype=np.int64)
+    group_starts[0] = 0
     group_starts[1:] = ends[:-1] + 1
-    within = np.arange(raw.size, dtype=np.int64) - group_starts[gid]
+    group_len = ends - group_starts + 1
     vals = np.zeros(n, dtype=np.uint64)
-    limbs = (raw & 0x7F).astype(np.uint64) << (
-        np.uint64(7) * within.astype(np.uint64)
-    )
-    np.add.at(vals, gid, limbs)
+    data = (raw & 0x7F).astype(np.uint64)
+    max_len = int(group_len.max())
+    live = np.arange(n, dtype=np.int64)
+    starts = group_starts
+    lens = group_len
+    for p in range(max_len):
+        if p > 0:
+            keep = lens > p
+            live = live[keep]
+            starts = starts[keep]
+            lens = lens[keep]
+        vals[live] |= data[starts + p] << np.uint64(7 * p)
     return vals
 
 

@@ -117,6 +117,41 @@ def phrase_topk(
     )
 
 
+def near_counts(
+    df: DataFrame,
+    term_a: str,
+    term_b: str,
+    slop: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Scan-path proximity query: (doc_id, min_dist) for docs where
+    the two terms co-occur within `slop` tokens. Distributed plan:
+    posexplode -> filter to the two terms (pushed) -> per-doc
+    self-join on position distance -> min — shuffles only the two
+    terms' position rows, keyed by doc. The serving twin is
+    plans/positions.py PhraseSearcher.near_counts (property-tested
+    equal)."""
+    toks = tokens_col(text_col)
+    pos = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "term")
+    ).filter(F.col("term").isin([term_a, term_b]))
+    a = pos.filter(F.col("term") == term_a).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = pos.filter(F.col("term") == term_b).select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    return (
+        a.join(b, "doc_id")
+        .filter(F.abs(F.col("pa") - F.col("pb")) <= slop)
+        .groupBy("doc_id")
+        .agg(F.min(F.abs(F.col("pa") - F.col("pb"))).cast("long")
+             .alias("min_dist"))
+    )
+
+
 def dup_ngram_stats(
     df: DataFrame,
     *,

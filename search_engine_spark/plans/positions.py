@@ -147,12 +147,30 @@ def build_positions(
     id_col: str = "doc_id",
     text_col: str = "text",
     html_col: str | None = None,
+    mode: str = "overwrite",
 ) -> str:
     """Build the positional postings table under <index_dir>/positions.
 
     Same text pipeline as the base index (analyze = tokenize [+ Porter];
     stemming is 1:1 so stemmed-token offset == raw-token offset).
+
+    mode="append" extends an existing table with NEW docs only (rows
+    are per (term, doc), so appending fresh doc_ids is exactly the
+    union table — the caller guarantees the ids are new, as
+    build_index.py --extend's left-anti url join does). The existing
+    meta must agree on n_buckets/stem: term→bucket routing and the
+    analyze pipeline are physical invariants of the table.
     """
+    meta_path = os.path.join(index_dir, "positions_meta.json")
+    if mode == "append":
+        with open(meta_path) as f:
+            prev = json.load(f)
+        if int(prev["n_buckets"]) != n_buckets or bool(prev["stem"]) != stem:
+            raise ValueError(
+                f"positions table was built with n_buckets="
+                f"{prev['n_buckets']}, stem={prev['stem']} — append must "
+                "match (term routing / analysis are physical invariants)"
+            )
     cols = [id_col, text_col] + ([html_col] if html_col else [])
     narrow = source.select(*cols)
     rows = narrow.mapInPandas(
@@ -164,12 +182,12 @@ def build_positions(
     (
         rows.repartition("bucket")
         .sortWithinPartitions("term", "doc_id")
-        .write.mode("overwrite")
+        .write.mode(mode)
         .option("parquet.block.size", str(1024 * 1024))
         .partitionBy("bucket")
         .parquet(out)
     )
-    with open(os.path.join(index_dir, "positions_meta.json"), "w") as f:
+    with open(meta_path, "w") as f:
         json.dump({"n_buckets": n_buckets, "stem": stem}, f)
     return out
 
@@ -286,6 +304,70 @@ class PhraseSearcher:
                 hi = stats.max if stats is not None else None
                 self._rg.setdefault(bucket, []).append((path, rg, lo, hi))
         self._term_cache: dict[str, tuple[np.ndarray, list[bytes]]] = {}
+        # decoded-positions cache: term -> (flat positions, per-row
+        # start offsets into them). Bounded by total cached VALUES
+        # (hot terms carry millions of positions; 32M int64 ≈ 256 MB
+        # ceiling), LRU-evicted.
+        self._pos_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._pos_cache_values = 0
+        self._POS_CACHE_MAX = 32_000_000
+
+    def _term_positions_full(self, term: str, rows_data):
+        """Decode ALL of a term's position blobs once -> (flat
+        positions, per-row start offsets), LRU-cached by value count."""
+        cached = self._pos_cache.get(term)
+        if cached is not None:
+            self._pos_cache[term] = self._pos_cache.pop(term)
+            return cached
+        _, npos, blobs = rows_data
+        gaps = decode_varints(b"".join(blobs)).astype(np.int64)
+        c = np.cumsum(gaps)
+        ends = np.cumsum(npos)
+        starts = ends - npos
+        base = np.where(starts > 0, c[starts - 1], 0)
+        pos = c - np.repeat(base, npos)
+        val = (pos, starts)
+        if pos.size <= self._POS_CACHE_MAX:
+            self._pos_cache[term] = val
+            self._pos_cache_values += pos.size
+            while self._pos_cache_values > self._POS_CACHE_MAX and len(
+                self._pos_cache
+            ) > 1:
+                old_pos, _ = self._pos_cache.pop(next(iter(self._pos_cache)))
+                self._pos_cache_values -= old_pos.size
+        return val
+
+    def _gather_positions(
+        self, term: str, rows_data, rows: np.ndarray, counts: np.ndarray,
+        *, hot: bool = False,
+    ) -> np.ndarray:
+        """Concatenated positions of the selected rows. Hot terms
+        (`hot` = the QUERY's candidate set is a large fraction of the
+        term's docs, judged once per query — not per 512-row chunk —
+        or already decoded) go through the full-decode cache + a pure
+        gather; selective reads decode only the selected blobs (never
+        pay a full hot-term decode for a rare-phrase query)."""
+        docs, npos, blobs = rows_data
+        if term in self._pos_cache or hot:
+            pos, starts = self._term_positions_full(term, rows_data)
+            total = int(counts.sum())
+            if total == 0:
+                return np.empty(0, dtype=np.int64)
+            # segment-gather: index = start[row] + within-segment arange
+            prefix = np.cumsum(counts) - counts
+            out_idx = (
+                np.repeat(starts[rows] - prefix, counts)
+                + np.arange(total, dtype=np.int64)
+            )
+            return pos[out_idx]
+        gaps = decode_varints(
+            b"".join(blobs[int(r)] for r in rows)
+        ).astype(np.int64)
+        c = np.cumsum(gaps)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        base = np.where(starts > 0, c[starts - 1], 0)
+        return c - np.repeat(base, counts)
 
     def _term_rows(
         self, term: str
@@ -370,25 +452,21 @@ class PhraseSearcher:
         np.intersect1d-ed across slots. Surviving keys' ordinals,
         bincounted, are the per-candidate tfs."""
         n = int(sel.size)
-        pos_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        local: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         keys: np.ndarray | None = None
         for j, w in enumerate(phrase):
-            cached = pos_cache.get(w)
+            cached = local.get(w)
             if cached is None:
-                _, npos, blobs = per_term[w]
+                docs_w, npos, _ = per_term[w]
                 rows = idx[w][sel]
                 counts = npos[rows]
-                joined = b"".join(blobs[int(r)] for r in rows)
-                gaps = decode_varints(joined).astype(np.int64)
-                c = np.cumsum(gaps)
-                ends = np.cumsum(counts)
-                starts = ends - counts
-                # per-segment base = running sum BEFORE the segment
-                base = np.where(starts > 0, c[starts - 1], 0)
-                pos = c - np.repeat(base, counts)
+                pos = self._gather_positions(
+                    w, per_term[w], rows, counts,
+                    hot=idx[w].size * 4 >= docs_w.size,
+                )
                 ordrep = np.repeat(np.arange(n, dtype=np.int64), counts)
                 cached = (pos, ordrep)
-                pos_cache[w] = cached
+                local[w] = cached
             pos, ordrep = cached
             key = ordrep * self._KEY_SHIFT + (pos - j + len(phrase))
             keys = (
@@ -414,6 +492,61 @@ class PhraseSearcher:
         )
         nz = np.flatnonzero(tfs)
         return [(int(cand[i]), int(tfs[i])) for i in nz]
+
+    def near_counts(
+        self, term_a: str, term_b: str, slop: int
+    ) -> list[tuple[int, int]]:
+        """Proximity query: all (doc_id, min_dist) where the two terms
+        co-occur within `slop` tokens (min_dist = min |pos_a - pos_b|),
+        doc_id-ascending. Fully vectorized across candidates: both
+        terms' positions become int64 (candidate, pos) keys; each
+        a-key's nearest b-key comes from one searchsorted; cross-
+        candidate neighbor pairs produce distances >= 2^33 - doclen,
+        which can never pass a real slop, so no per-doc loop is
+        needed. Same-term queries (a == b) are rejected — distance 0
+        to itself is meaningless; use phrase/tf queries instead."""
+        if term_a == term_b:
+            raise ValueError("near query needs two distinct terms")
+        found = self._candidates([term_a, term_b])
+        if found is None:
+            return []
+        cand, per_term, idx = found
+        sel = np.arange(cand.size, dtype=np.int64)
+        keys = {}
+        for w in (term_a, term_b):
+            docs_w, npos, _ = per_term[w]
+            rows = idx[w][sel]
+            counts = npos[rows]
+            pos = self._gather_positions(
+                w, per_term[w], rows, counts,
+                hot=idx[w].size * 4 >= docs_w.size,
+            )
+            ordrep = np.repeat(sel, counts)
+            keys[w] = (ordrep * self._KEY_SHIFT + pos, ordrep)
+        ka, orda = keys[term_a]
+        kb, _ = keys[term_b]
+        right = np.searchsorted(kb, ka)
+        dist = np.full(ka.size, np.iinfo(np.int64).max, dtype=np.int64)
+        has_r = right < kb.size
+        dist[has_r] = kb[right[has_r]] - ka[has_r]
+        has_l = right > 0
+        np.minimum(
+            dist, np.where(has_l, ka - kb[np.maximum(right, 1) - 1],
+                           np.iinfo(np.int64).max),
+            out=dist,
+        )
+        best = np.full(cand.size, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(best, orda, dist)
+        ok = np.flatnonzero(best <= slop)
+        return [(int(cand[i]), int(best[i])) for i in ok]
+
+    def search_near(
+        self, term_a: str, term_b: str, slop: int = 3, k: int = 10
+    ) -> list[tuple[int, int]]:
+        """Top-k proximity hits by (min_dist asc, doc_id asc)."""
+        hits = self.near_counts(term_a, term_b, slop)
+        hits.sort(key=lambda r: (r[1], r[0]))
+        return hits[:k]
 
     def search_phrase(self, query: str | list[str], k: int = 10) -> list[tuple[int, int]]:
         """Top-k (doc_id, phrase_tf) by (tf desc, doc_id asc), with
@@ -441,11 +574,25 @@ class PhraseSearcher:
         import heapq
 
         heap: list[tuple[int, int]] = []  # (tf, -doc_id) min-heap
-        chunk = max(4 * k, 512)
+        chunk = max(4 * k, 4096)
         for lo in range(0, order.size, chunk):
             sel = order[lo:lo + chunk]
-            if len(heap) == k and ub[sel[0]] < heap[0][0]:
-                break  # bounds only fall from here: nothing can enter
+            if len(heap) == k:
+                theta, ndmax = heap[0]
+                if ub[sel[0]] < theta:
+                    break  # bounds only fall from here: nothing can enter
+                # dominance prune: a candidate's best possible entry is
+                # (ub, -doc); if that cannot beat the worst heap entry
+                # it never will (theta only rises, the worst theta-doc
+                # only shrinks). Equal-ub bands are doc-ascending, so
+                # tie-heavy queries (every tf == 1) die here after the
+                # first chunk instead of scanning every candidate.
+                m = (ub[sel] > theta) | (
+                    (ub[sel] == theta) & (-cand[sel] > ndmax)
+                )
+                if not m.any():
+                    continue
+                sel = sel[m]
             tfs = self._batch_tfs(phrase, per_term, idx, sel)
             for i in np.flatnonzero(tfs):
                 entry = (int(tfs[i]), -int(cand[sel[i]]))

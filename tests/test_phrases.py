@@ -203,6 +203,70 @@ def test_positional_repeated_word_phrase(spark, tmp_path):
     assert s.phrase_counts(["missing", "go"]) == []
 
 
+def test_near_counts_index_vs_scan_vs_reference(spark, tmp_path):
+    """Proximity: index path == scan path == brute-force reference."""
+    from search_engine_spark.operators.phrases import near_counts as scan_near
+
+    rng = random.Random(53)
+    pdf = _random_corpus(rng, 120)
+    idx_dir = os.path.join(str(tmp_path), "idx_near")
+    build_positions(
+        spark, spark.createDataFrame(pdf), idx_dir, n_buckets=4, stem=False
+    )
+    s = PhraseSearcher(idx_dir)
+    docs = spark.createDataFrame(pdf)
+    for a, b, slop in (("hash", "join", 3), ("table", "row", 1),
+                       ("spark", "sort", 5), ("scan", "merge", 0)):
+        idx_res = dict(s.near_counts(a, b, slop))
+        scan_res = {
+            int(r.doc_id): int(r.min_dist)
+            for r in scan_near(docs, a, b, slop).collect()
+        }
+        ref = {}
+        for _, row in pdf.iterrows():
+            toks = row.text.split(" ")
+            pa = [i for i, t in enumerate(toks) if t == a]
+            pb = [i for i, t in enumerate(toks) if t == b]
+            if pa and pb:
+                d = min(abs(x - y) for x in pa for y in pb)
+                if d <= slop:
+                    ref[int(row.doc_id)] = d
+        assert idx_res == ref, (a, b, slop)
+        assert scan_res == ref, (a, b, slop)
+    with pytest.raises(ValueError):
+        s.near_counts("hash", "hash", 2)
+    ranked = s.search_near("hash", "join", slop=4, k=5)
+    keys = [(d, doc) for doc, d in ranked]
+    assert keys == sorted(keys)[: len(keys)]
+
+
+def test_positions_append_equals_rebuild(spark, tmp_path):
+    """Appending new docs (fresh ids) to the positional table must be
+    indistinguishable from rebuilding over the union corpus."""
+    rng = random.Random(31)
+    a = _random_corpus(rng, 60)
+    b = _random_corpus(rng, 40)
+    b["doc_id"] = b["doc_id"] + 1000  # disjoint id space
+    inc_dir = os.path.join(str(tmp_path), "idx_inc")
+    full_dir = os.path.join(str(tmp_path), "idx_full")
+    build_positions(spark, spark.createDataFrame(a), inc_dir,
+                    n_buckets=4, stem=False)
+    build_positions(spark, spark.createDataFrame(b), inc_dir,
+                    n_buckets=4, stem=False, mode="append")
+    build_positions(
+        spark, spark.createDataFrame(pd.concat([a, b])), full_dir,
+        n_buckets=4, stem=False,
+    )
+    s_inc = PhraseSearcher(inc_dir)
+    s_full = PhraseSearcher(full_dir)
+    for _ in range(10):
+        phrase = [rng.choice(VOCAB) for _ in range(rng.randint(1, 3))]
+        assert s_inc.phrase_counts(phrase) == s_full.phrase_counts(phrase)
+    with pytest.raises(ValueError):
+        build_positions(spark, spark.createDataFrame(b), inc_dir,
+                        n_buckets=8, stem=False, mode="append")
+
+
 # ---------------------------------------------------------------------------
 # dup-ngram quality
 # ---------------------------------------------------------------------------
