@@ -1009,6 +1009,28 @@ FROM s
 """
 
 
+def q_prefix_term_stats(spark, sf_dir):
+    """Wildcard/prefix query: df + cf for every term starting with
+    's' (dictionary range scan; the serving twin is
+    LocalSearcher.prefix_terms — row-group-pruned, pytest-checked)."""
+    tf = term_frequencies(split_terms(_t(spark, sf_dir, "documents")))
+    return (
+        tf.filter(F.col("term").startswith("s"))
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
+    )
+
+
+SQL_PREFIX_TERM_STATS = f"""
+WITH {_TOK_CTE}
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM tf WHERE term LIKE 's%' GROUP BY term
+"""
+
+
 def q_media_frame_sample(spark, sf_dir):
     """Video frame-sampling PLAN: one row per sampled frame timestamp
     (every 1 s, inclusive of 0 and of an exactly-landing end) — the
@@ -1686,6 +1708,7 @@ QUERIES = {
     "phrase_snippets": q_phrase_snippets,
     "near_query": q_near_query,
     "media_frame_sample": q_media_frame_sample,
+    "prefix_term_stats": q_prefix_term_stats,
 }
 
 ORACLES = {
@@ -1742,6 +1765,7 @@ ORACLES = {
     "phrase_snippets": SQL_PHRASE_SNIPPETS,
     "near_query": SQL_NEAR_QUERY,
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
+    "prefix_term_stats": SQL_PREFIX_TERM_STATS,
     # intentionally rows-only (non-SQL-expressible), with their pytest
     # exactness anchors:
     # bm25_stemmed_topk — Porter 1980 stemmer is not ANSI-SQL; rank

@@ -202,6 +202,48 @@ class LocalSearcher:
         self._seg_decoded: dict[str, dict] = {}
         self._cache_terms = cache_terms
 
+    def prefix_terms(
+        self, prefix: str, limit: int = 1000
+    ) -> list[tuple[str, int]]:
+        """Wildcard/prefix query against the dictionary: all terms
+        starting with `prefix`, as (term, df), term-ascending, capped
+        at `limit`. Hash partitioning spreads a prefix range over
+        every BUCKET, but within each bucket file the dictionary is
+        term-sorted, so only the row groups whose [min, max] term
+        range intersects the prefix interval are read — cost is
+        O(matching row groups), not O(vocabulary)."""
+        if not prefix:
+            raise ValueError("empty prefix")
+        if self._eager:
+            out = [
+                (t, int(df))
+                for t, df in self._eager_df.items()
+                if t.startswith(prefix)
+            ]
+            out.sort()
+            return out[:limit]
+        import pyarrow.compute as pc
+
+        out = []
+        for rgs in self._dict_rg.values():
+            for path, rg, lo, hi in rgs:
+                # row group can contain prefix matches iff its term
+                # range intersects [prefix, prefix + U+10FFFF)
+                if (hi is not None and hi < prefix) or (
+                    lo is not None and not lo[: len(prefix)] <= prefix
+                ):
+                    continue
+                tbl = self._dict_files[path].read_row_groups(
+                    [rg], columns=["term", "df"]
+                )
+                sel = tbl.filter(pc.starts_with(tbl["term"], prefix))
+                out.extend(
+                    zip(sel["term"].to_pylist(),
+                        (int(v) for v in sel["df"].to_pylist()))
+                )
+        out.sort()
+        return out[:limit]
+
     def _dict_lookup(self, term: str) -> tuple[int, int] | None:
         """(df, bucket) for term, or None if absent — row-group-pruned
         dictionary read, LRU-cached (misses cached too: absent query

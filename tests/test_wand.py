@@ -165,3 +165,29 @@ def test_randomized_equivalence(spark, tmp_path_factory, seed):
                 assert gs == pytest.approx(ws, abs=1e-9)
             # repeat warm: may route the vectorized fast path — identical
             assert s.search(qterms, k=k, stem=False, mode=mode) == got
+
+
+def test_prefix_terms_matches_corpus(searcher, documents_pdf):
+    """Dictionary prefix scan == recount from the raw corpus (index
+    built stem=False; corpus text is clean lowercase words)."""
+    from collections import Counter
+
+    from search_engine_spark.functions.text import tokenize
+
+    df_ref: Counter = Counter()
+    for t in documents_pdf.text:
+        for term in set(tokenize(t)):
+            df_ref[term] += 1
+    for prefix in ("s", "sp", "qu", "zzz"):
+        got = searcher.prefix_terms(prefix)
+        want = sorted(
+            (t, n) for t, n in df_ref.items() if t.startswith(prefix)
+        )
+        assert got == want, prefix
+    assert searcher.prefix_terms("s", limit=3) == want[:0] + sorted(
+        (t, n) for t, n in df_ref.items() if t.startswith("s")
+    )[:3]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        searcher.prefix_terms("")
