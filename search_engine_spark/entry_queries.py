@@ -1031,6 +1031,67 @@ FROM tf WHERE term LIKE 's%' GROUP BY term
 """
 
 
+def q_fuzzy_term_match(spark, sf_dir):
+    """Did-you-mean: vocabulary terms within edit distance 1 of the
+    misspelling 'spak', with df — JVM levenshtein over the distinct
+    vocabulary (both engines ship the same builtin). At web scale the
+    candidate set would come from a deletion-neighborhood index; the
+    ranking/selection semantics are what this entry pins."""
+    tf = term_frequencies(split_terms(_t(spark, sf_dir, "documents")))
+    vocab = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    return vocab.filter(
+        F.levenshtein(F.col("term"), F.lit("spak")) <= 1
+    ).select(
+        "term", "df",
+        F.levenshtein(F.col("term"), F.lit("spak")).cast("long").alias("dist"),
+    )
+
+
+SQL_FUZZY_TERM_MATCH = f"""
+WITH {_TOK_CTE},
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT term, df, levenshtein(term, 'spak')::BIGINT AS dist
+FROM vocab WHERE levenshtein(term, 'spak') <= 1
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: ~20% of docs per (lang,
+    source) stratum, selected by an id-derived md5 bucket — stable
+    across runs, engines, and cluster sizes (no Bernoulli RNG), the
+    reproducibility a training pipeline needs. Returns per-stratum
+    totals and sampled counts plus the sampled-id checksum."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long"),
+        F.lit(100),
+    )
+    flagged = docs.select(
+        "lang", "source", "doc_id", (bucket < 20).alias("sampled")
+    )
+    return flagged.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("sampled").cast("long")).cast("long").alias("n_sampled"),
+        F.sum(F.when(F.col("sampled"), F.col("doc_id")).otherwise(0))
+        .cast("long").alias("sampled_id_sum"),
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH f AS (
+  SELECT lang, source, doc_id,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100) < 20
+           AS sampled
+  FROM documents
+)
+SELECT lang, source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN sampled THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+       sum(CASE WHEN sampled THEN doc_id ELSE 0 END)::BIGINT AS sampled_id_sum
+FROM f GROUP BY lang, source
+"""
+
+
 def q_media_frame_sample(spark, sf_dir):
     """Video frame-sampling PLAN: one row per sampled frame timestamp
     (every 1 s, inclusive of 0 and of an exactly-landing end) — the
@@ -1709,6 +1770,8 @@ QUERIES = {
     "near_query": q_near_query,
     "media_frame_sample": q_media_frame_sample,
     "prefix_term_stats": q_prefix_term_stats,
+    "fuzzy_term_match": q_fuzzy_term_match,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLES = {
@@ -1766,6 +1829,8 @@ ORACLES = {
     "near_query": SQL_NEAR_QUERY,
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
     "prefix_term_stats": SQL_PREFIX_TERM_STATS,
+    "fuzzy_term_match": SQL_FUZZY_TERM_MATCH,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     # intentionally rows-only (non-SQL-expressible), with their pytest
     # exactness anchors:
     # bm25_stemmed_topk — Porter 1980 stemmer is not ANSI-SQL; rank
