@@ -108,12 +108,13 @@ def write_bucketed(
 def register_index_views(spark: SparkSession, index_dir: str,
                          prefix: str = "") -> list[str]:
     """Expose a built index's tables to spark.sql as temp views
-    (postings_flat / postings / dictionary / docs / stats / manifest —
-    whichever exist). The engine's tables are plain columnar tables;
-    any ad-hoc SQL over them composes with the DataFrame operators."""
+    (postings_flat / postings / dictionary / docs / stats / manifest /
+    positions / urlmap — whichever exist). The engine's tables are
+    plain columnar tables; any ad-hoc SQL over them composes with the
+    DataFrame operators."""
     names = []
     for t in ("postings_flat", "postings", "dictionary", "docs", "stats",
-              "manifest"):
+              "manifest", "positions", "urlmap"):
         p = os.path.join(index_dir, t)
         if os.path.isdir(p):
             view = f"{prefix}{t}"

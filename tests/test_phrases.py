@@ -240,6 +240,29 @@ def test_near_counts_index_vs_scan_vs_reference(spark, tmp_path):
     assert keys == sorted(keys)[: len(keys)]
 
 
+def test_positions_sql_view(spark, tmp_path):
+    """The positions table registers into the SQL surface like every
+    other index table; per-(term, doc) row counts agree with the
+    serving reader."""
+    from search_engine_spark.sources.catalog import register_index_views
+
+    rng = random.Random(71)
+    pdf = _random_corpus(rng, 40)
+    idx_dir = os.path.join(str(tmp_path), "idx_sql")
+    build_positions(spark, spark.createDataFrame(pdf), idx_dir,
+                    n_buckets=4, stem=False)
+    views = register_index_views(spark, idx_dir, prefix="sqlv_")
+    assert "sqlv_positions" in views
+    row = spark.sql(
+        "SELECT count(*) AS n, sum(npos) AS total FROM sqlv_positions "
+        "WHERE term = 'hash'"
+    ).collect()[0]
+    s = PhraseSearcher(idx_dir)
+    docs, npos, _ = s._term_rows("hash")
+    assert int(row.n) == docs.size
+    assert int(row.total) == int(npos.sum())
+
+
 def test_positions_append_equals_rebuild(spark, tmp_path):
     """Appending new docs (fresh ids) to the positional table must be
     indistinguishable from rebuilding over the union corpus."""
