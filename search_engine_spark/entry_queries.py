@@ -904,6 +904,82 @@ ORDER BY n DESC, bigram ASC LIMIT 20
 """
 
 
+def q_bigram_pmi(spark, sf_dir):
+    """Collocation strength: pointwise mutual information of the 15
+    most frequent word bigrams — pmi = ln(n_xy * T1 / (n_x * n_y)),
+    with T1 = total unigrams (corpus-probability convention, both
+    engines identical). Same n-gram machinery as top_bigrams plus two
+    broadcast-sized unigram joins."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = docs.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    t1 = uni.agg(F.sum("n")).collect()[0][0]
+    big = (
+        grams.groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("n_xy"))
+        .orderBy(F.desc("n_xy"), F.asc("bigram"))
+        .limit(15)
+    )
+    w1 = F.split(F.col("bigram"), " ")[0]
+    w2 = F.split(F.col("bigram"), " ")[1]
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n").alias("n_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n").alias("n_y"))
+    return (
+        big.withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "bigram", "n_xy",
+            F.round(
+                F.log(F.col("n_xy") * F.lit(float(t1))
+                      / (F.col("n_x") * F.col("n_y"))),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+SQL_BIGRAM_PMI = """
+WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT array_to_string(w[i:i+1], ' ') AS bigram
+  FROM t, unnest(generate_series(1, len(w) - 1)) AS s(i)
+  WHERE len(w) >= 2
+),
+uni AS (
+  SELECT u.x AS w, count(*)::BIGINT AS n
+  FROM t, unnest(t.w) AS u(x) GROUP BY u.x
+),
+t1 AS (SELECT sum(n)::DOUBLE AS total FROM uni),
+big AS (
+  SELECT bigram, count(*)::BIGINT AS n_xy
+  FROM g GROUP BY bigram ORDER BY n_xy DESC, bigram ASC LIMIT 15
+)
+SELECT bigram, n_xy,
+       round(ln(n_xy * t1.total / (u1.n * u2.n)), 6) AS pmi
+FROM big
+CROSS JOIN t1
+JOIN uni u1 ON u1.w = string_split(big.bigram, ' ')[1]
+JOIN uni u2 ON u2.w = string_split(big.bigram, ' ')[2]
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-3 tf-idf terms per document (document keywording):
     tfidf = tf * ln((1 + N) / (1 + df)), ranked by (score desc,
@@ -1772,6 +1848,7 @@ QUERIES = {
     "prefix_term_stats": q_prefix_term_stats,
     "fuzzy_term_match": q_fuzzy_term_match,
     "stratified_sample": q_stratified_sample,
+    "bigram_pmi": q_bigram_pmi,
 }
 
 ORACLES = {
@@ -1831,6 +1908,7 @@ ORACLES = {
     "prefix_term_stats": SQL_PREFIX_TERM_STATS,
     "fuzzy_term_match": SQL_FUZZY_TERM_MATCH,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "bigram_pmi": SQL_BIGRAM_PMI,
     # intentionally rows-only (non-SQL-expressible), with their pytest
     # exactness anchors:
     # bm25_stemmed_topk — Porter 1980 stemmer is not ANSI-SQL; rank
