@@ -66,12 +66,17 @@ def main() -> None:
             # append-only extension: genuinely new urls only (an updated
             # snapshot of an indexed url is a doc update — not supported
             # by append; rebuild or re-extend after deletion support)
-            existing = spark.read.parquet(urlmap_path).select("url")
-            src = src.join(existing, "url", "left_anti")
-            # new docs continue the dense id space after existing ones
-            from search_engine_spark.plans.build_index import IndexPaths, _read_meta
-
-            offset = int(_read_meta(spark, IndexPaths(args.index_dir))["n_docs"])
+            existing = spark.read.parquet(urlmap_path)
+            src = src.join(existing.select("url"), "url", "left_anti")
+            # new docs continue the dense id space after existing ones.
+            # Offset by max(doc_id)+1 from urlmap — NOT meta['n_docs']:
+            # n_docs counts docs with >=1 posting (empty docs are
+            # dropped from the flat table by the P4 filter), so it can
+            # be SMALLER than the allocated id range and overlapping
+            # ids would corrupt the merge with duplicate (term, doc_id)
+            # postings.
+            max_id = existing.agg(F.max("doc_id")).collect()[0][0]
+            offset = int(max_id) + 1 if max_id is not None else 0
             src = assign_dense_ids(src, "url").withColumn(
                 "doc_id", F.col("doc_id") + F.lit(offset)
             )
@@ -115,8 +120,12 @@ def main() -> None:
             # n_buckets/stem are validated against positions_meta.
             import json as _json
 
-            with open(os.path.join(args.index_dir,
-                                   "positions_meta.json")) as f:
+            pmeta_path = os.path.join(args.index_dir, "positions_meta.json")
+            if not os.path.exists(pmeta_path):
+                ap.error("--positions --extend needs an existing "
+                         "positional table — run a full build with "
+                         "--positions first")
+            with open(pmeta_path) as f:
                 pmeta = _json.load(f)
             build_positions(
                 spark, src, args.index_dir,

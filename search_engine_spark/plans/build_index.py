@@ -706,8 +706,13 @@ def extend_index(
     moves materially; BM25's length normalization depends on the
     collection-wide avgdl).
 
-    doc_ids of new docs must not collide with existing ones (caller
-    offsets by meta['n_docs'] — see operators.ids.assign_dense_ids).
+    doc_ids of new docs must not collide with existing ones. Offset by
+    max(existing doc_id) + 1 (e.g. from urlmap) — NOT meta['n_docs']:
+    n_docs counts docs with >=1 posting, which is smaller than the
+    allocated id range whenever empty docs were dropped (P4), and an
+    overlapping offset corrupts the merge with duplicate (term,
+    doc_id) postings (caught by the codec's strictly-increasing
+    guard; regression-tested in tests/test_cli_extend.py).
     """
     paths = IndexPaths(index_dir)
     run_id = run_id or uuid.uuid4().hex[:12]
