@@ -35,6 +35,13 @@ def main() -> None:
     ap.add_argument("--extend", action="store_true",
                     help="append --input's docs to an EXISTING index "
                          "(converges to a full rebuild over the union)")
+    ap.add_argument("--update", action="store_true",
+                    help="with --extend (pages format): re-crawled urls "
+                         "whose warc_ts is NEWER than the indexed "
+                         "snapshot replace it — the old doc_id is "
+                         "tombstoned (plans/deletes) and the new "
+                         "snapshot indexed under a fresh id; compact "
+                         "later to reclaim space")
     ap.add_argument("--positions", action="store_true",
                     help="also build the positional postings table "
                          "(enables exact-phrase queries: query.py "
@@ -63,11 +70,38 @@ def main() -> None:
             src = src.filter(F.col("lang") == args.lang)  # pushed-down predicate
         src = latest_snapshot(src, "url", "warc_ts")
         if args.extend:
-            # append-only extension: genuinely new urls only (an updated
-            # snapshot of an indexed url is a doc update — not supported
-            # by append; rebuild or re-extend after deletion support)
             existing = spark.read.parquet(urlmap_path)
-            src = src.join(existing.select("url"), "url", "left_anti")
+            if args.update:
+                # re-crawl update = tombstone the indexed snapshot's
+                # doc_id + index the new snapshot as a new doc. The
+                # old postings stay on disk (masked at query time)
+                # until compaction — the standard segment-file update
+                # story. Ties (warc_ts not strictly newer) are treated
+                # as already-indexed and dropped.
+                from search_engine_spark.plans.deletes import delete_docs
+
+                old = existing.select(
+                    "url",
+                    F.col("doc_id").alias("_old_id"),
+                    F.col("warc_ts").alias("_old_ts"),
+                )
+                updated = (
+                    src.join(old, "url")
+                    .filter(F.col("warc_ts") > F.col("_old_ts"))
+                )
+                n_upd = delete_docs(
+                    spark, args.index_dir, updated.select(
+                        F.col("_old_id").alias("doc_id")
+                    )
+                )["tombstones_appended"]
+                fresh = src.join(existing.select("url"), "url", "left_anti")
+                src = fresh.unionByName(
+                    updated.drop("_old_id", "_old_ts")
+                )
+                print(json.dumps({"urls_updated": n_upd}))
+            else:
+                # append-only extension: genuinely new urls only
+                src = src.join(existing.select("url"), "url", "left_anti")
             # new docs continue the dense id space after existing ones.
             # Offset by max(doc_id)+1 from urlmap — NOT meta['n_docs']:
             # n_docs counts docs with >=1 posting (empty docs are

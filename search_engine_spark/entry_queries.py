@@ -1232,6 +1232,78 @@ FROM b
 """
 
 
+def q_split_contamination(spark, sf_dir):
+    """Benchmark-decontamination check over the deterministic split
+    ([[train_split_assignment]]): eval (val/test) docs sharing at least
+    one exact 4-gram with ANY train doc, with the count of distinct
+    shared 4-grams. The web-scale recipe (13-gram overlap against the
+    training set) at test size — the plan is the scale plan: shingles
+    exploded in-row, one equi-join keyed on the shingle string (shuffle
+    co-partitioned; never a cross join), count-distinct per eval doc.
+    At 10^12 docs the train side is hashed to fingerprints first; the
+    join shape is identical."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    with_split = docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.split("text", " ").alias("t"),
+    )
+    sh = with_split.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("t") - 4, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice("t", i + 1, 4)),
+                )
+            )
+        ).alias("sh"),
+    )
+    train_sh = sh.filter(F.col("split") == "train").select("sh").distinct()
+    return (
+        sh.filter(F.col("split") != "train")
+        .join(train_sh, "sh")
+        .groupBy("doc_id", "split")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+
+
+SQL_SPLIT_CONTAMINATION = """
+WITH b AS (
+  SELECT doc_id, text,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100)
+           AS sb
+  FROM documents
+),
+d AS (
+  SELECT doc_id,
+         CASE WHEN sb < 80 THEN 'train'
+              WHEN sb < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         string_split(text, ' ') AS w
+  FROM b
+),
+sh AS (
+  SELECT DISTINCT doc_id, split, array_to_string(w[i:i+3], ' ') AS sh
+  FROM d, unnest(generate_series(1, greatest(len(w) - 3, 1))) AS g(i)
+),
+tr AS (SELECT DISTINCT sh FROM sh WHERE split = 'train')
+SELECT s.doc_id, s.split, count(*)::BIGINT AS n_shared
+FROM sh s JOIN tr USING (sh)
+WHERE s.split <> 'train'
+GROUP BY 1, 2
+"""
+
+
 def q_embedding_quantization(spark, sf_dir):
     """int8 symmetric quantization audit per embedding: scale =
     max|x| / 127 and the max absolute dequantization error (max is
@@ -1825,6 +1897,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "asof_click_before_purchase": q_asof_click_before_purchase,
     "train_split_assignment": q_train_split_assignment,
+    "split_contamination": q_split_contamination,
     "media_resize_plan": q_media_resize_plan,
     "embedding_quantization": q_embedding_quantization,
     "local_supplier_volume": q_local_supplier_volume,
@@ -1889,6 +1962,7 @@ ORACLES = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "asof_click_before_purchase": SQL_ASOF_CLICK_BEFORE_PURCHASE,
     "train_split_assignment": SQL_TRAIN_SPLIT_ASSIGNMENT,
+    "split_contamination": SQL_SPLIT_CONTAMINATION,
     "media_resize_plan": SQL_MEDIA_RESIZE_PLAN,
     "embedding_quantization": SQL_EMBEDDING_QUANTIZATION,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,

@@ -32,8 +32,14 @@ from search_engine_spark.plans.scoring import analyze_query
 
 DECODED_SCHEMA = "term string, doc_id long, tf int, doclen int"
 
+_NO_DELETES = np.empty(0, dtype=np.int64)
 
-def _decode_segments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+
+def _decode_segments(batches: Iterator[pd.DataFrame],
+                     deleted: np.ndarray = _NO_DELETES,
+                     ) -> Iterator[pd.DataFrame]:
+    from search_engine_spark.plans.deletes import mask_deleted
+
     for pdf in batches:
         terms: list[np.ndarray] = []
         docs: list[np.ndarray] = []
@@ -42,6 +48,7 @@ def _decode_segments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for row in pdf.itertuples(index=False):
             d, t = decode_postings(row.doc_ids, row.tfs)
             l = decode_varints(row.doclens).astype(np.int64)
+            d, t, l = mask_deleted(deleted, d, t, l)
             terms.append(np.full(d.size, row.term, dtype=object))
             docs.append(d)
             tfs.append(t)
@@ -74,6 +81,26 @@ class IndexReader:
         self.avgdl = float(meta["avgdl"])
         self.n_buckets = int(meta["n_buckets"])
         self._dict_ds = None  # lazy pyarrow dataset over the dictionary
+        # tombstones (plans/deletes): masked inside the decode UDF when
+        # the set is closure-sized (one vectorized searchsorted per
+        # Arrow batch, zero extra plan nodes); huge sets anti-join
+        # instead so the task closure never ships an unbounded array.
+        # df/n_docs/avgdl stay build-time values until compact_index.
+        from search_engine_spark.plans.deletes import (
+            IN_CLOSURE_MAX, load_tombstones,
+        )
+
+        self._deleted = load_tombstones(index_dir)
+        self._deleted_in_closure = self._deleted.size <= IN_CLOSURE_MAX
+
+    def refresh_deletes(self) -> None:
+        """Re-read the tombstone table on a live reader."""
+        from search_engine_spark.plans.deletes import (
+            IN_CLOSURE_MAX, load_tombstones,
+        )
+
+        self._deleted = load_tombstones(self.paths.root)
+        self._deleted_in_closure = self._deleted.size <= IN_CLOSURE_MAX
 
     def lookup_terms(self, qterms: list[str]) -> list:
         """J1: dictionary rows for the query's terms — NO Spark job.
@@ -129,9 +156,21 @@ class IndexReader:
         segs = self.spark.read.parquet(self.paths.postings).filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(qterms)
         )
-        return segs.select("term", "doc_ids", "tfs", "doclens").mapInPandas(
-            _decode_segments, DECODED_SCHEMA
-        )
+        cols = segs.select("term", "doc_ids", "tfs", "doclens")
+        if self._deleted.size and self._deleted_in_closure:
+            deleted = self._deleted
+
+            def decode(batches):
+                return _decode_segments(batches, deleted)
+
+            return cols.mapInPandas(decode, DECODED_SCHEMA)
+        decoded = cols.mapInPandas(_decode_segments, DECODED_SCHEMA)
+        if self._deleted.size:  # closure-oversized set: anti-join
+            from search_engine_spark.plans.deletes import tombstones_df
+
+            tomb = tombstones_df(self.spark, self.paths.root)
+            decoded = decoded.join(tomb, "doc_id", "left_anti")
+        return decoded
 
     def search(self, qtext_or_terms, *, k: int = 10, stem: bool = True,
                mode: str = "and") -> DataFrame:

@@ -260,6 +260,13 @@ def phrase_search_distributed(
     counts = rows.groupBy("doc_id").applyInPandas(
         adjacency, "doc_id long, phrase_tf long"
     )
+    # tombstone filter (plans/deletes) — identical semantics to the
+    # local PhraseSearcher's candidate mask
+    from search_engine_spark.plans.deletes import tombstones_df
+
+    tomb = tombstones_df(spark, index_dir)
+    if tomb is not None:
+        counts = counts.join(F.broadcast(tomb), "doc_id", "left_anti")
     return counts.orderBy(F.desc("phrase_tf"), F.asc("doc_id")).limit(k)
 
 
@@ -284,8 +291,14 @@ class PhraseSearcher:
     def __init__(self, index_dir: str):
         with open(os.path.join(index_dir, "positions_meta.json")) as f:
             meta = json.load(f)
+        self.root = index_dir
         self.n_buckets = int(meta["n_buckets"])
         self.stem = bool(meta["stem"])
+        # tombstones (plans/deletes): masked out of the candidate set,
+        # so phrase hits never surface logically-deleted docs
+        from search_engine_spark.plans.deletes import load_tombstones
+
+        self._deleted = load_tombstones(index_dir)
         root = os.path.join(index_dir, "positions")
         self._files: dict[str, pq.ParquetFile] = {}
         self._rg: dict[int, list[tuple[str, int, str, str]]] = {}
@@ -433,6 +446,12 @@ class PhraseSearcher:
         cand = per_term[order[0]][0]
         for t in order[1:]:
             cand = np.intersect1d(cand, per_term[t][0], assume_unique=True)
+            if cand.size == 0:
+                return None
+        if self._deleted.size:
+            from search_engine_spark.plans.deletes import mask_deleted
+
+            (cand,) = mask_deleted(self._deleted, cand)
             if cand.size == 0:
                 return None
         idx = {t: np.searchsorted(per_term[t][0], cand) for t in distinct}

@@ -43,6 +43,7 @@ import pyarrow.parquet as pq
 
 from search_engine_spark import B, K1
 from search_engine_spark.functions.codec import decode_postings, decode_varints
+from search_engine_spark.plans.deletes import load_tombstones, mask_deleted
 from search_engine_spark.plans.scoring import analyze_query
 
 
@@ -201,6 +202,21 @@ class LocalSearcher:
         # cold segments on first contact)
         self._seg_decoded: dict[str, dict] = {}
         self._cache_terms = cache_terms
+        # tombstoned doc_ids (plans/deletes): masked out of every
+        # decode, so all downstream paths — block-max, warm vectorized,
+        # OR — see only live docs. Segment max_tfnorm bounds stay valid
+        # upper bounds (a max over a superset). df/n_docs/avgdl keep
+        # build-time values until compaction (Lucene-style contract).
+        self._deleted = load_tombstones(index_dir)
+
+    def refresh_deletes(self) -> None:
+        """Re-read the tombstone table (after delete_docs /
+        compact_index on a live server) and drop the decoded caches
+        that baked the old mask in. Dictionary/segment-metadata caches
+        stay — deletes don't move them."""
+        self._deleted = load_tombstones(self.root)
+        self._decoded_cache.clear()
+        self._seg_decoded.clear()
 
     def prefix_terms(
         self, prefix: str, limit: int = 1000
@@ -331,6 +347,7 @@ class LocalSearcher:
         if hit is None:
             cand, ctf = decode_postings(row.doc_ids, row.tfs)
             cdl = decode_varints(row.doclens).astype(np.int64)
+            cand, ctf, cdl = mask_deleted(self._deleted, cand, ctf, cdl)
             hit = (cand, idf_t * self._tfnorm(ctf, cdl))
             cache[key] = hit
         return hit
@@ -603,7 +620,7 @@ class LocalSearcher:
             contrib = idf[t] * self._tfnorm(
                 np.concatenate(tfs)[order], np.concatenate(dls)[order]
             )
-            out = (d[order], contrib)
+            out = mask_deleted(self._deleted, d[order], contrib)
             # cache only full-span decodes (subsets depend on the query)
             if len(keep) == len(segs):
                 if len(self._decoded_cache) >= self._cache_terms:

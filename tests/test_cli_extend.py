@@ -86,3 +86,82 @@ def test_cli_extend_with_empty_docs(spark, tmp_path):
 
     for q in ("spark join", "number44", "fast"):
         assert urls_for(idx, q) == urls_for(full, q), q
+
+
+def test_cli_extend_update_recrawl(spark, tmp_path):
+    """--extend --update: re-crawled urls with newer warc_ts REPLACE
+    their indexed snapshot (old doc_id tombstoned, new text indexed);
+    stale re-crawls (older ts) are dropped; after index_admin.py
+    compact, the index equals a fresh build over latest-per-url."""
+    first = _pages_pdf(40)
+    # re-crawls of urls 10..29: one day newer, changed text
+    upd = _pages_pdf(20, start=10)
+    upd["warc_ts"] = upd["warc_ts"] + pd.Timedelta(days=1)
+    upd["text"] = "recrawled body " + upd["url"].str.split("/p").str[-1]
+    upd["html"] = [
+        f"<html><body>{t}</body></html>".encode() for t in upd["text"]
+    ]
+    # a STALE re-crawl of url 5 (older ts) — must be ignored
+    stale = _pages_pdf(1, start=5, empty_every=10**9)
+    stale["warc_ts"] = stale["warc_ts"] - pd.Timedelta(days=1)
+    stale["text"] = "should never be indexed"
+    stale["html"] = [b"<html><body>should never be indexed</body></html>"]
+    new = _pages_pdf(10, start=40)
+    second = pd.concat([upd, stale, new], ignore_index=True)
+
+    p1 = os.path.join(str(tmp_path), "pages1")
+    p2 = os.path.join(str(tmp_path), "pages2")
+    spark.createDataFrame(first).write.parquet(p1)
+    spark.createDataFrame(second).write.parquet(p2)
+    idx = os.path.join(str(tmp_path), "idx")
+    full = os.path.join(str(tmp_path), "idx_full")
+
+    r = _run_cli(["build_index.py", "--input", p1, "--input-format", "pages",
+                  "--index-dir", idx, "--n-buckets", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run_cli(["build_index.py", "--input", p2, "--input-format", "pages",
+                  "--index-dir", idx, "--n-buckets", "4",
+                  "--extend", "--update"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [json.loads(x) for x in r.stdout.strip().splitlines()]
+    assert {"urls_updated": 20} in [
+        {k: v} for d in lines for k, v in d.items() if k == "urls_updated"
+    ]
+
+    from search_engine_spark.plans.wand import LocalSearcher
+
+    # stale snapshot never indexed; updated content immediately visible,
+    # old content masked
+    assert LocalSearcher(idx).search("recrawled body", k=50)
+    assert not LocalSearcher(idx).search("never", k=10)
+    old10 = LocalSearcher(idx).search("number10", k=10)
+    assert not old10  # number10 only existed in the replaced snapshot
+
+    r = _run_cli(["index_admin.py", "compact", "--index-dir", idx])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])[
+        "tombstones_applied"] == 20
+
+    # fresh build over the union corpus (latest_snapshot picks the
+    # same winners) must answer identically by url
+    p_union = os.path.join(str(tmp_path), "pages_union")
+    spark.createDataFrame(
+        pd.concat([first, second], ignore_index=True)
+    ).write.parquet(p_union)
+    r = _run_cli(["build_index.py", "--input", p_union,
+                  "--input-format", "pages", "--index-dir", full,
+                  "--n-buckets", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    def urls_for(index_dir, qtext):
+        s = LocalSearcher(index_dir)
+        hits = s.search(qtext, k=1000)
+        um = pd.read_parquet(os.path.join(index_dir, "urlmap"))
+        m = dict(zip(um.doc_id, um.url))
+        return sorted((m[d], round(sc, 9)) for d, sc in hits)
+
+    for q in ("spark join", "recrawled", "number44", "fast"):
+        assert urls_for(idx, q) == urls_for(full, q), q
+    # urlmap holds exactly one row per live url after compaction
+    um = pd.read_parquet(os.path.join(idx, "urlmap"))
+    assert um.url.is_unique

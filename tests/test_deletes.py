@@ -1,0 +1,217 @@
+"""Deletion lifecycle: tombstones, query-time filtering, compaction
+(plans/deletes; SURVEY.md §2 lifecycle verbs build/resume/extend +
+delete/compact).
+
+Contract under test (the Lucene-style semantics documented in
+plans/deletes.py):
+- after delete_docs, NO path surfaces a deleted doc (LocalSearcher
+  AND/OR, warm and cold, pruned and unpruned; IndexReader one-shot and
+  batch; PhraseSearcher and its distributed twin) and the top-k
+  REFILLS with the next-best live docs;
+- surviving docs' scores are UNCHANGED by a logical delete (df /
+  n_docs / avgdl keep build-time values until compaction);
+- compact_index converges to exactly the index a fresh build over the
+  surviving corpus produces (dictionary, stats, decoded postings,
+  query results — value-identical);
+- tombstones survive extend_index (the flat still carries deleted
+  docs' postings until compaction; masking stays on).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.plans.build_index import build_index, extend_index
+from search_engine_spark.plans.deletes import (
+    compact_index,
+    delete_docs,
+    load_tombstones,
+)
+from search_engine_spark.plans.index_query import IndexReader
+from search_engine_spark.plans.wand import LocalSearcher
+
+QUERIES = [
+    ("the", 10),
+    ("window", 10),
+    ("spark join", 10),
+    ("fast hash merge", 10),
+    ("the fast", 25),
+]
+
+
+@pytest.fixture()
+def index_dir(spark, documents, tmp_path_factory):
+    # function-scoped: every test mutates its own index copy
+    d = str(tmp_path_factory.mktemp("index_del"))
+    build_index(
+        spark, documents, d, n_buckets=8, segment_size=64, stem=False,
+        salt_threshold=50, max_salts=4,
+    )
+    return d
+
+
+def _full_minus(searcher_full, qtext, deleted, k, mode="and"):
+    """Expected post-delete results: the FULL index's ranking with
+    deleted docs dropped, cut to k — scores must be unchanged."""
+    full = searcher_full.search(qtext, k=k + len(deleted), stem=False,
+                                mode=mode)
+    return [(d, s) for d, s in full if d not in deleted][:k]
+
+
+def _delete_set(index_dir):
+    """Doc ids that actually appear in the top ranks, so the refill
+    path is genuinely exercised."""
+    s = LocalSearcher(index_dir)
+    hits = s.search("the", k=5, stem=False) + s.search(
+        "spark join", k=5, stem=False
+    )
+    return sorted({d for d, _ in hits})
+
+
+def test_local_searcher_masks_deleted(spark, index_dir):
+    deleted = _delete_set(index_dir)
+    full = LocalSearcher(index_dir)
+    expected = {
+        (q, m): _full_minus(full, q, set(deleted), k, mode=m)
+        for q, k in QUERIES
+        for m in ("and", "or")
+    }
+    delete_docs(spark, index_dir, deleted)
+    s = LocalSearcher(index_dir)
+    for (q, m), want in expected.items():
+        for prune in (True, False):
+            got = s.search(q, k=dict(QUERIES)[q], stem=False, mode=m,
+                           prune=prune)
+            assert got == want, (q, m, prune)
+        # warm path: repeat until promotion kicks in, must stay equal
+        for _ in range(3):
+            got = s.search(q, k=dict(QUERIES)[q], stem=False, mode=m)
+        assert got == want, (q, m, "warm")
+        assert not any(d in set(deleted) for d, _ in got)
+
+
+def test_refresh_deletes_on_live_searcher(spark, index_dir):
+    s = LocalSearcher(index_dir)
+    before = s.search("the", k=10, stem=False)
+    victim = before[0][0]
+    delete_docs(spark, index_dir, [victim])
+    # stale caches: the live searcher still serves the old view
+    assert s.search("the", k=10, stem=False) == before
+    s.refresh_deletes()
+    got = s.search("the", k=10, stem=False)
+    assert victim not in {d for d, _ in got}
+    assert got == [(d, sc) for d, sc in
+                   LocalSearcher(index_dir).search("the", k=10, stem=False)]
+
+
+def test_index_reader_masks_deleted(spark, index_dir):
+    deleted = _delete_set(index_dir)
+    full = LocalSearcher(index_dir)
+    delete_docs(spark, index_dir, deleted)
+    reader = IndexReader(spark, index_dir)
+    for q, k in QUERIES:
+        for m in ("and", "or"):
+            want = _full_minus(full, q, set(deleted), k, mode=m)
+            got = [(r.doc_id, r.score)
+                   for r in reader.search(q, k=k, stem=False, mode=m).collect()]
+            assert [d for d, _ in got] == [d for d, _ in want], (q, m)
+            for (gd, gs), (wd, ws) in zip(got, want):
+                assert gs == pytest.approx(ws, abs=1e-9)
+    # batch path
+    batch = reader.search_batch(
+        {f"q{i}": q for i, (q, _) in enumerate(QUERIES)}, k=10, stem=False
+    ).collect()
+    dset = set(deleted)
+    assert all(r.doc_id not in dset for r in batch)
+
+
+def test_compact_equals_fresh_build(spark, documents, index_dir,
+                                    tmp_path_factory):
+    deleted = _delete_set(index_dir)
+    delete_docs(spark, index_dir, deleted)
+    out = compact_index(spark, index_dir, segment_size=64, max_salts=4)
+    assert out["tombstones_applied"] == len(deleted)
+    assert load_tombstones(index_dir).size == 0  # tombstones cleared
+
+    fresh_dir = str(tmp_path_factory.mktemp("index_fresh"))
+    survivors = documents.filter(~F.col("doc_id").isin(deleted))
+    build_index(
+        spark, survivors, fresh_dir, n_buckets=8, segment_size=64,
+        stem=False, salt_threshold=50, max_salts=4,
+    )
+
+    def dict_rows(d):
+        return {
+            (r.term, r.df, r.cf, r.bucket)
+            for r in spark.read.parquet(os.path.join(d, "dictionary"))
+            .select("term", "df", "cf", "bucket").collect()
+        }
+
+    assert dict_rows(index_dir) == dict_rows(fresh_dir)
+    ra, rb = IndexReader(spark, index_dir), IndexReader(spark, fresh_dir)
+    assert (ra.n_docs, ra.avgdl) == (rb.n_docs, rb.avgdl)
+    sa, sb = LocalSearcher(index_dir), LocalSearcher(fresh_dir)
+    for q, k in QUERIES:
+        for m in ("and", "or"):
+            assert sa.search(q, k=k, stem=False, mode=m) == sb.search(
+                q, k=k, stem=False, mode=m
+            ), (q, m)
+
+
+def test_compact_without_tombstones_is_noop(spark, index_dir):
+    before = LocalSearcher(index_dir).search("the", k=10, stem=False)
+    out = compact_index(spark, index_dir)
+    assert out["tombstones_applied"] == 0
+    assert LocalSearcher(index_dir).search("the", k=10, stem=False) == before
+
+
+def test_delete_nonexistent_ids_harmless(spark, index_dir):
+    before = LocalSearcher(index_dir).search("the", k=10, stem=False)
+    delete_docs(spark, index_dir, [10**12, 10**12 + 1])
+    assert LocalSearcher(index_dir).search("the", k=10, stem=False) == before
+    compact_index(spark, index_dir, segment_size=64, max_salts=4)
+    after = LocalSearcher(index_dir).search("the", k=10, stem=False)
+    assert [d for d, _ in after] == [d for d, _ in before]
+
+
+def test_tombstones_survive_extend(spark, documents, index_dir):
+    deleted = _delete_set(index_dir)
+    delete_docs(spark, index_dir, deleted)
+    max_id = documents.agg(F.max("doc_id")).collect()[0][0]
+    extra = documents.limit(20).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(int(max_id) + 1)
+    )
+    extend_index(spark, extra, index_dir, segment_size=64, stem=False,
+                 max_salts=4)
+    s = LocalSearcher(index_dir)
+    got = s.search("the", k=30, stem=False)
+    dset = set(deleted)
+    assert got and all(d not in dset for d, _ in got)
+
+
+def test_phrase_paths_mask_deleted(spark, documents, index_dir):
+    from search_engine_spark.plans.positions import (
+        PhraseSearcher,
+        build_positions,
+        phrase_search_distributed,
+    )
+
+    build_positions(spark, documents, index_dir, n_buckets=4, stem=False)
+    ps = PhraseSearcher(index_dir)
+    full = ps.search_phrase("the", k=10)
+    assert full
+    victim = full[0][0]
+    delete_docs(spark, index_dir, [victim])
+    ps2 = PhraseSearcher(index_dir)
+    got = ps2.search_phrase("the", k=10)
+    assert victim not in {d for d, _ in got}
+    want = [(d, n) for d, n in ps.search_phrase("the", k=11)
+            if d != victim][:10]
+    assert got == want
+    dist = phrase_search_distributed(spark, index_dir, "the", k=10).collect()
+    assert [(r.doc_id, r.phrase_tf) for r in dist] == got
+    # compaction keeps the positional table consistent
+    compact_index(spark, index_dir, segment_size=64, max_salts=4)
+    ps3 = PhraseSearcher(index_dir)
+    assert ps3.search_phrase("the", k=10) == got
