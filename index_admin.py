@@ -17,7 +17,71 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
+
+
+def index_stats(index_dir: str) -> dict:
+    """Index introspection from parquet FOOTERS + the meta JSON — no
+    Spark job, no data read. Row counts and byte totals come from
+    file/row-group metadata; per-bucket posting-row totals expose
+    residual skew after salting (max/mean bucket ratio)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    out: dict = {"index_dir": index_dir}
+    meta_path = os.path.join(index_dir, "index_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            out.update(json.load(f))
+
+    def table_stats(name, *, per_bucket=False):
+        path = os.path.join(index_dir, name)
+        if not os.path.isdir(path):
+            return None
+        rows = 0
+        data_bytes = 0
+        n_files = 0
+        n_rgs = 0
+        buckets: dict[int, int] = {}
+        dset = pads.dataset(path, format="parquet", partitioning="hive")
+        for frag in dset.get_fragments():
+            md = pq.ParquetFile(frag.path).metadata
+            rows += md.num_rows
+            n_rgs += md.num_row_groups
+            n_files += 1
+            for rg in range(md.num_row_groups):
+                data_bytes += md.row_group(rg).total_byte_size
+            if per_bucket and "bucket=" in frag.path:
+                b = int(frag.path.split("bucket=")[1].split("/")[0])
+                buckets[b] = buckets.get(b, 0) + md.num_rows
+        st = {"rows": rows, "data_bytes": data_bytes,
+              "files": n_files, "row_groups": n_rgs}
+        if per_bucket and buckets:
+            vals = sorted(buckets.values())
+            mean = sum(vals) / len(vals)
+            st["buckets"] = len(buckets)
+            st["bucket_rows_max"] = vals[-1]
+            st["bucket_skew"] = round(vals[-1] / mean, 3) if mean else None
+        return st
+
+    for name, pb in (("postings", True), ("postings_flat", False),
+                     ("dictionary", True), ("docs", False),
+                     ("urlmap", False), ("positions", True),
+                     ("deletes", False), ("manifest", False)):
+        st = table_stats(name, per_bucket=pb)
+        if st is not None:
+            out[name] = st
+    if "dictionary" in out:
+        out["vocabulary"] = out["dictionary"]["rows"]
+    if "postings_flat" in out and out["postings_flat"]["rows"]:
+        segs = out.get("postings", {})
+        out["bytes_per_posting"] = round(
+            segs.get("data_bytes", 0) / out["postings_flat"]["rows"], 3
+        )
+    if "deletes" in out:
+        out["pending_tombstones"] = out["deletes"]["rows"]
+    return out
 
 
 def main() -> None:
@@ -37,7 +101,16 @@ def main() -> None:
     c.add_argument("--segment-size", type=int, default=4096)
     c.add_argument("--max-salts", type=int, default=32)
 
+    s = sub.add_parser("stats", help="index introspection (no Spark job)")
+    s.add_argument("--index-dir", required=True)
+
     args = ap.parse_args()
+
+    if args.cmd == "stats":
+        # pure pyarrow-footer walk — works without a SparkSession, so
+        # it is safe to run against a live index from an ops shell
+        print(json.dumps(index_stats(args.index_dir)))
+        return
 
     from search_engine_spark.session import get_spark
 

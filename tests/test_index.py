@@ -256,3 +256,19 @@ def test_spimi_randomized_small_batches(spark, tmp_path_factory):
             assert got == want, qterms
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_index_stats_footer_walk(spark, reader, flat):
+    """index_admin.py stats: footer-only introspection must agree with
+    the actual table contents (no Spark job, no data read)."""
+    from index_admin import index_stats
+
+    st = index_stats(reader.paths.root)
+    assert st["n_docs"] == reader.n_docs
+    assert st["n_buckets"] == reader.n_buckets
+    assert st["postings_flat"]["rows"] == flat.count()
+    dic = spark.read.parquet(reader.paths.dictionary)
+    assert st["vocabulary"] == dic.count()
+    assert st["postings"]["buckets"] == 8
+    assert st["bytes_per_posting"] > 0
+    assert st["postings"]["bucket_skew"] >= 1.0
