@@ -47,6 +47,10 @@ def main() -> None:
                          "(enables exact-phrase queries: query.py "
                          "--phrase). Roughly doubles index size — the "
                          "canonical positional-index cost")
+    ap.add_argument("--store-text", action="store_true",
+                    help="also persist a doc_id-sorted stored-field "
+                         "table (docstore) so query.py --snippets can "
+                         "render result snippets without the corpus")
     args = ap.parse_args()
 
     import os
@@ -172,6 +176,17 @@ def main() -> None:
                 stem=not args.no_stem, html_col=html_col,
             )
         summary["positions_built"] = True
+    if args.store_text:
+        from search_engine_spark.plans.docstore import build_docstore
+
+        # pages-format text == extract_text(html) (generator invariant;
+        # tests/test_pages.py) — stored as-is so snippet tokenization
+        # matches the indexed tokens exactly
+        build_docstore(
+            spark, src, args.index_dir,
+            mode="append" if args.extend else "overwrite",
+        )
+        summary["docstore_built"] = True
     summary["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(summary))
     spark.stop()

@@ -74,6 +74,10 @@ def main() -> None:
     ap.add_argument("--urls", action="store_true",
                     help="print urls (requires an index built from "
                          "pages input — urlmap table present)")
+    ap.add_argument("--snippets", action="store_true",
+                    help="print a query-biased snippet per hit "
+                         "(requires an index built with build_index.py "
+                         "--store-text)")
     args = ap.parse_args()
 
     if not os.path.isdir(args.index_dir) or not os.path.isdir(
@@ -86,6 +90,11 @@ def main() -> None:
     if args.urls and not os.path.isdir(os.path.join(args.index_dir, "urlmap")):
         ap.error("--urls needs the index's urlmap table (built from "
                  "pages input)")
+    if args.snippets and not os.path.isdir(
+        os.path.join(args.index_dir, "docstore")
+    ):
+        ap.error("--snippets needs the docstore table — rebuild with "
+                 "build_index.py --store-text")
 
     if args.phrase and not os.path.exists(
         os.path.join(args.index_dir, "positions_meta.json")
@@ -171,12 +180,39 @@ def main() -> None:
         ids = sorted({int(d) for hits in results.values() for d, _ in hits})
         if ids:
             urls = _url_lookup(args.index_dir, ids)
+    texts: dict[int, str] = {}
+    snip_terms: dict[str, list[str]] = {}
+    if args.snippets:
+        from search_engine_spark.plans.docstore import DocStore
+        from search_engine_spark.plans.scoring import analyze_query
+
+        ids = {int(d) for hits in results.values() for d, _ in hits}
+        if ids:
+            texts = DocStore(args.index_dir).get_texts(ids)
+        snip_stem = stem
+        if args.phrase:
+            # match the positional analyzer (phrase path ignores --no-stem)
+            with open(
+                os.path.join(args.index_dir, "positions_meta.json")
+            ) as f:
+                snip_stem = bool(json.load(f)["stem"])
+        qmap = queries if args.batch else {"": args.qtext}
+        snip_terms = {
+            qid: analyze_query(q, stem=snip_stem) for qid, q in qmap.items()
+        }
     n = 0
     for qid in results:
         for rank, (doc_id, score) in enumerate(results[qid], 1):
             n += 1
             lead = f"{qid}\t" if qid else ""
             tail = f"\t{urls.get(doc_id, '?')}" if args.urls else ""
+            if args.snippets:
+                from search_engine_spark.plans.docstore import snippet
+
+                tail += "\t" + snippet(
+                    texts.get(doc_id), snip_terms.get(qid, []),
+                    stem=snip_stem,
+                )
             print(f"{lead}{rank}\t{doc_id}\t{score:.6f}{tail}")
     print(json.dumps({"n": n, "n_queries": len(results),
                       "wall_s": round(wall, 4)}))

@@ -194,6 +194,16 @@ def compact_index(
             .parquet(tmp),
         )
 
+    docstore = os.path.join(index_dir, "docstore")
+    if os.path.isdir(docstore):
+        kept = spark.read.parquet(docstore).join(tomb, "doc_id", "left_anti")
+        _swap_rewrite(
+            docstore,
+            lambda tmp: kept.sort("doc_id").write.mode("overwrite")
+            .option("parquet.block.size", str(1024 * 1024))
+            .parquet(tmp),
+        )
+
     positions = os.path.join(index_dir, "positions")
     if os.path.isdir(positions):
         import json
