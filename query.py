@@ -19,6 +19,19 @@ import json
 import time
 
 
+def split_not_terms(qtext: str) -> tuple[str, str]:
+    """Split '-term' NOT-tokens out of a query string:
+    'spark join -filter -slow' -> ('spark join', 'filter slow').
+    A bare '-' is left in place (the tokenizer drops it anyway)."""
+    pos, neg = [], []
+    for tok in qtext.split():
+        if tok.startswith("-") and len(tok) > 1:
+            neg.append(tok[1:])
+        else:
+            pos.append(tok)
+    return " ".join(pos), " ".join(neg)
+
+
 def _read_batch(path: str) -> dict[str, str]:
     queries: dict[str, str] = {}
     with open(path) as f:
@@ -53,7 +66,10 @@ def main() -> None:
     import os
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("qtext", nargs="?")
+    ap.add_argument("qtext", nargs="?",
+                    help="query text; '-term' tokens are NOT-terms "
+                         "(docs containing them are excluded; ignored "
+                         "in --phrase mode)")
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--no-stem", action="store_true")
@@ -133,7 +149,10 @@ def main() -> None:
                 )
             ]
     elif args.batch:
-        queries = _read_batch(args.batch)
+        raw = _read_batch(args.batch)
+        split = {qid: split_not_terms(text) for qid, text in raw.items()}
+        queries = {qid: pos for qid, (pos, _) in split.items()}
+        not_terms = {qid: neg for qid, (_, neg) in split.items() if neg}
         if args.distributed:
             from search_engine_spark.plans.index_query import IndexReader
             from search_engine_spark.session import get_spark
@@ -141,7 +160,8 @@ def main() -> None:
             spark = get_spark("query-batch")
             rows = (
                 IndexReader(spark, args.index_dir)
-                .search_batch(queries, k=args.k, stem=stem, mode=args.mode)
+                .search_batch(queries, k=args.k, stem=stem, mode=args.mode,
+                              excludes=not_terms or None)
                 .collect()
             )
             spark.stop()
@@ -155,23 +175,28 @@ def main() -> None:
             s = LocalSearcher(args.index_dir)
             for qid, text in queries.items():
                 results[qid] = s.search(text, k=args.k, stem=stem,
-                                        mode=args.mode)
+                                        mode=args.mode,
+                                        exclude=not_terms.get(qid) or None)
     elif args.distributed:
         from search_engine_spark.plans.index_query import IndexReader
         from search_engine_spark.session import get_spark
 
+        qpos, qneg = split_not_terms(args.qtext)
         spark = get_spark("query")
         results[""] = [
             (r.doc_id, r.score)
             for r in IndexReader(spark, args.index_dir)
-            .search(args.qtext, k=args.k, stem=stem, mode=args.mode).collect()
+            .search(qpos, k=args.k, stem=stem, mode=args.mode,
+                    exclude=qneg or None).collect()
         ]
         spark.stop()
     else:
         from search_engine_spark.plans.wand import LocalSearcher
 
+        qpos, qneg = split_not_terms(args.qtext)
         results[""] = LocalSearcher(args.index_dir).search(
-            args.qtext, k=args.k, stem=stem, mode=args.mode
+            qpos, k=args.k, stem=stem, mode=args.mode,
+            exclude=qneg or None,
         )
     wall = time.time() - t0
 
@@ -196,7 +221,12 @@ def main() -> None:
                 os.path.join(args.index_dir, "positions_meta.json")
             ) as f:
                 snip_stem = bool(json.load(f)["stem"])
-        qmap = queries if args.batch else {"": args.qtext}
+        if args.batch:
+            qmap = queries
+        elif args.phrase:
+            qmap = {"": args.qtext}
+        else:
+            qmap = {"": split_not_terms(args.qtext)[0]}
         snip_terms = {
             qid: analyze_query(q, stem=snip_stem) for qid, q in qmap.items()
         }

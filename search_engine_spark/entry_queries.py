@@ -145,6 +145,44 @@ def q_bm25_single_term(spark, sf_dir):
 SQL_BM25_SINGLE_TERM = _bm25_sql(["window"], 10)
 
 
+def q_bm25_not_query(spark, sf_dir):
+    """NOT semantics ('spark join -filter'): BM25 AND over the positive
+    terms, docs containing ANY excluded term suppressed BEFORE top-k
+    (anti-join on the excluded terms' df-bounded doc set); survivors'
+    scores are unchanged by the exclusion."""
+    res = bm25_exhaustive(
+        spark, _postings(spark, sf_dir), "spark join", k=10, stem=False,
+        exclude=["filter"],
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+SQL_BM25_NOT_QUERY = f"""
+WITH {_TOK_CTE},
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(doclen) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+q AS (SELECT * FROM (VALUES ('spark'), ('join')) AS t(term)),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (tf.tf * {K1 + 1.0} / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / s.avgdl)))
+           AS partial
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfs USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(partial), 6) AS score
+FROM scored
+WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'filter')
+GROUP BY doc_id
+HAVING count(*) = 2
+ORDER BY sum(partial) DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def q_intersect_and(spark, sf_dir):
     """J3: posting-list intersection — docs containing ALL three terms."""
     terms = ["spark", "join", "filter"]
@@ -1866,6 +1904,7 @@ QUERIES = {
     "collection_stats": q_collection_stats,
     "bm25_topk": q_bm25_topk,
     "bm25_single_term": q_bm25_single_term,
+    "bm25_not_query": q_bm25_not_query,
     "intersect_and": q_intersect_and,
     "lang_counts": q_lang_counts,
     "dedup_exact_text": q_dedup_exact_text,
@@ -1931,6 +1970,7 @@ ORACLES = {
     "collection_stats": SQL_COLLECTION_STATS,
     "bm25_topk": SQL_BM25_TOPK,
     "bm25_single_term": SQL_BM25_SINGLE_TERM,
+    "bm25_not_query": SQL_BM25_NOT_QUERY,
     "intersect_and": SQL_INTERSECT_AND,
     "lang_counts": SQL_LANG_COUNTS,
     "dedup_exact_text": SQL_DEDUP_EXACT_TEXT,

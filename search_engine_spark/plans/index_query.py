@@ -172,8 +172,19 @@ class IndexReader:
             decoded = decoded.join(tomb, "doc_id", "left_anti")
         return decoded
 
+    def _excluded_docs_df(self, exclude: list[str]) -> DataFrame | None:
+        """Distinct doc_ids containing ANY excluded term (NOT-term
+        support), as a DataFrame for a left_anti join — bucket-pruned
+        postings scan, df-bounded output."""
+        rows = self.lookup_terms(exclude)
+        if not rows:
+            return None
+        terms = sorted({r.term for r in rows})
+        buckets = sorted({r.bucket for r in rows})
+        return self.decoded_postings(terms, buckets).select("doc_id").distinct()
+
     def search(self, qtext_or_terms, *, k: int = 10, stem: bool = True,
-               mode: str = "and") -> DataFrame:
+               mode: str = "and", exclude=None) -> DataFrame:
         if mode not in ("and", "or"):
             raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
         spark = self.spark
@@ -181,6 +192,8 @@ class IndexReader:
             qterms = analyze_query(qtext_or_terms, stem=stem)
         else:
             qterms = list(dict.fromkeys(qtext_or_terms))
+        if isinstance(exclude, str):
+            exclude = analyze_query(exclude, stem=stem)
         empty = spark.createDataFrame([], "doc_id long, score double")
         if not qterms:
             return empty
@@ -220,6 +233,10 @@ class IndexReader:
         )
         if mode == "and":
             agg = agg.filter(F.col("n_matched") == n_terms)
+        if exclude:
+            edocs = self._excluded_docs_df(list(dict.fromkeys(exclude)))
+            if edocs is not None:
+                agg = agg.join(edocs, "doc_id", "left_anti")
         return (
             agg.select("doc_id", "score")
             .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -228,7 +245,7 @@ class IndexReader:
 
     def search_batch(
         self, queries: dict, *, k: int = 10, stem: bool = True,
-        mode: str = "and",
+        mode: str = "and", excludes: dict | None = None,
     ) -> DataFrame:
         """Batch mode (SURVEY.md 3.2/O2): ALL queries in ONE Spark job.
 
@@ -237,6 +254,12 @@ class IndexReader:
         fans each decoded posting out to the queries containing its
         term; ranking is a per-query row_number window. Returns
         (query_id, rank, doc_id, score).
+
+        excludes: optional {query_id: [NOT-terms]} — per-query doc
+        suppression via ONE extra pruned postings scan over the union
+        of excluded terms, fanned out by a broadcast (query_id, term)
+        map and anti-joined on (query_id, doc_id). Ranks are assigned
+        AFTER exclusion, so each query's top-k refills.
         """
         if mode not in ("and", "or"):
             raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
@@ -299,6 +322,37 @@ class IndexReader:
         )
         if mode == "and":
             agg = agg.filter(F.col("n_matched") == F.col("n_terms"))
+        if excludes:
+            emap = {
+                str(qid): [
+                    t for t in dict.fromkeys(
+                        analyze_query(ts, stem=stem)
+                        if isinstance(ts, str) else ts
+                    )
+                ]
+                for qid, ts in excludes.items()
+            }
+            all_excl = sorted({t for ts in emap.values() for t in ts})
+            erows = self.lookup_terms(all_excl) if all_excl else []
+            if erows:
+                eterms = sorted({r.term for r in erows})
+                ebuckets = sorted({r.bucket for r in erows})
+                eset = set(eterms)
+                pair_rows = [
+                    (qid, t)
+                    for qid, ts in emap.items()
+                    for t in ts if t in eset
+                ]
+                pair_df = spark.createDataFrame(
+                    pair_rows, "query_id string, term string"
+                )
+                edocs = (
+                    self.decoded_postings(eterms, ebuckets)
+                    .join(F.broadcast(pair_df), "term")
+                    .select("query_id", "doc_id")
+                    .distinct()
+                )
+                agg = agg.join(edocs, ["query_id", "doc_id"], "left_anti")
         w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             agg.withColumn("rank", F.row_number().over(w).cast("long"))

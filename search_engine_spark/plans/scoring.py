@@ -60,8 +60,14 @@ def bm25_exhaustive(
     k: int = 10,
     stem: bool = True,
     mode: str = "and",
+    exclude=None,
 ) -> DataFrame:
     """Score a query straight off flat postings (term, doc_id, tf, doclen).
+
+    exclude: terms (list or raw text, analyzed the same way) whose
+    containing docs are REMOVED from the result (NOT semantics) before
+    top-k — scoring of surviving docs is unaffected (excluded terms
+    never contribute, positively or negatively).
 
     Plan shape (all JVM-side once postings exist):
       broadcast join with the (tiny) query-term set        [J2 analogue]
@@ -110,6 +116,20 @@ def bm25_exhaustive(
     )
     if mode == "and":
         agg = agg.filter(F.col("n_matched") == n_terms)
+    if exclude:
+        if isinstance(exclude, str):
+            excl = analyze_query(exclude, stem=stem)
+        else:
+            excl = list(dict.fromkeys(exclude))
+        if excl:
+            edf = spark.createDataFrame([(t,) for t in excl], "term string")
+            excluded_docs = (
+                postings_flat.join(F.broadcast(edf), "term")
+                .select("doc_id").distinct()
+            )
+            # NOT semantics: drop docs containing ANY excluded term
+            # (anti-join on doc_id; the excluded set is df-bounded)
+            agg = agg.join(excluded_docs, "doc_id", "left_anti")
     return (
         agg.select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))

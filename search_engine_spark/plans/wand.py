@@ -376,6 +376,30 @@ class LocalSearcher:
         self._decoded_cache[term] = out
         return out
 
+    @staticmethod
+    def _in_sorted(sorted_arr: np.ndarray | None, docs: np.ndarray) -> np.ndarray:
+        """Boolean membership mask of docs in sorted_arr (None/empty →
+        all False) — one searchsorted, no set materialization."""
+        if sorted_arr is None or sorted_arr.size == 0 or docs.size == 0:
+            return np.zeros(docs.size, dtype=bool)
+        pos = np.searchsorted(sorted_arr, docs)
+        pos_c = np.minimum(pos, sorted_arr.size - 1)
+        return sorted_arr[pos_c] == docs
+
+    def _excluded_docs(self, exclude) -> np.ndarray | None:
+        """Sorted union of the excluded terms' doc lists (NOT-term
+        support). Exclusion lists must be decoded in FULL — a doc
+        containing an excluded term anywhere must be suppressed — so
+        they ride the same query-independent decoded cache the
+        positive terms use. Unknown terms are no-ops."""
+        arrs = []
+        for t in dict.fromkeys(exclude or []):
+            if t in self._df:
+                arrs.append(self._load_full(t, self._idf(t))[0])
+        if not arrs:
+            return None
+        return np.unique(np.concatenate(arrs))
+
     def _vector_topk(self, docs: np.ndarray, scores: np.ndarray, k: int):
         """Exact top-k by (score desc, doc_id asc) from parallel arrays:
         argpartition narrows to the boundary score (ties kept), then a
@@ -416,7 +440,7 @@ class LocalSearcher:
             ):
                 self._load_full(t, idf[t])
 
-    def _search_and_warm(self, qterms, idf, k):
+    def _search_and_warm(self, qterms, idf, k, excl=None):
         """Serving fast path (AND): every term's merged list is already
         decoded+cached, so the whole intersection runs as a handful of
         numpy ops — no per-segment Python loop. Only routed when warm;
@@ -430,7 +454,7 @@ class LocalSearcher:
         rarest = min(qterms, key=lambda t: self._df[t])
         docs, contrib = self._load_full(rarest, idf[rarest])
         scores = contrib.copy()
-        alive = np.ones(docs.size, dtype=bool)
+        alive = ~self._in_sorted(excl, docs)
         for t in qterms:
             if t == rarest:
                 continue
@@ -445,24 +469,33 @@ class LocalSearcher:
         self.last_segments_skipped = 0
         return self._vector_topk(docs[alive], scores[alive], k)
 
-    def _search_or_warm(self, qterms, idf, k):
+    def _search_or_warm(self, qterms, idf, k, excl=None):
         """Serving fast path (OR): scatter-add each term's cached
         contribution list into the union doc array, in the same sorted
         term order the block-max path uses — per-doc addition sequences
-        match bit-exactly (x+0.0 == 0.0+x == x for finite floats)."""
+        match bit-exactly (x+0.0 == 0.0+x == x for finite floats).
+        NOT-terms shrink the union up front; contribution scatter then
+        guards membership (an od outside the union is excluded)."""
         parts = [self._load_full(t, idf[t]) for t in qterms]
         union = np.unique(np.concatenate([p[0] for p in parts]))
+        if excl is not None:
+            union = union[~self._in_sorted(excl, union)]
         if union.size == 0:
             return []
         scores = np.zeros(union.size, dtype=np.float64)
         for od, oc in parts:
             if od.size:
-                scores[np.searchsorted(union, od)] += oc
+                pos = np.searchsorted(union, od)
+                pos_c = np.minimum(pos, union.size - 1)
+                hit = union[pos_c] == od
+                # od is strictly increasing per term -> hit indices are
+                # unique; fancy += is a safe (and faster) scatter-add
+                scores[pos_c[hit]] += oc[hit]
         self.last_segments_skipped = 0
         return self._vector_topk(union, scores, k)
 
     def _search_or(
-        self, qterms: list[str], k: int, prune: bool,
+        self, qterms: list[str], k: int, prune: bool, excl=None,
     ) -> list[tuple[int, float]]:
         """Disjunctive (OR) top-k: block-max pruned union scoring.
 
@@ -482,7 +515,7 @@ class LocalSearcher:
         if prune and self._fast:
             self._promote_repeats(qterms, idf)
             if self._warm(qterms):
-                return self._search_or_warm(qterms, idf, k)
+                return self._search_or_warm(qterms, idf, k, excl)
         per_term = []  # (term, segs_df) in fixed dedup order
         for t in qterms:
             per_term.append((t, self._segments(t)))
@@ -524,7 +557,7 @@ class LocalSearcher:
             t = per_term[i][0]
             cand, scores = self._seg_decode(t, row, idf[t])
             scores = scores.copy()
-            keep = np.ones(cand.size, dtype=bool)
+            keep = ~self._in_sorted(excl, cand)
             for j, (u, _) in enumerate(per_term):
                 if j == i:
                     continue
@@ -550,12 +583,18 @@ class LocalSearcher:
     def search(
         self, qtext_or_terms, *, k: int = 10, stem: bool = True,
         prune: bool = True, mode: str = "and", fast: bool = True,
+        exclude=None,
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), score desc then doc_id asc.
 
         mode="and" (default) is the reference's conjunctive semantics;
         mode="or" is disjunctive BM25 (matches IndexReader.search
         mode="or" — missing terms are dropped, not fatal).
+        exclude: NOT-terms (list, or raw text analyzed the same way) —
+        docs containing ANY of them are suppressed; surviving docs'
+        scores are unaffected. Block-max pruning stays exact: exclusion
+        only removes candidates, so every segment bound remains a valid
+        upper bound and theta only ever reflects eligible docs.
         prune=False disables the block-max skip (used by the
         equivalence property tests). fast=False forces the block-max
         path even when every term is warm in the serving cache (the
@@ -566,19 +605,22 @@ class LocalSearcher:
             qterms = analyze_query(qtext_or_terms, stem=stem)
         else:
             qterms = list(dict.fromkeys(qtext_or_terms))
+        if isinstance(exclude, str):
+            exclude = analyze_query(exclude, stem=stem)
         self._fast = fast
+        excl = self._excluded_docs(exclude) if exclude else None
         if mode == "or":
             qterms = [t for t in qterms if t in self._df]
             if not qterms:
                 return []
-            return self._search_or(qterms, k, prune)
+            return self._search_or(qterms, k, prune, excl)
         if not qterms or any(t not in self._df for t in qterms):
             return []
         idf = {t: self._idf(t) for t in qterms}
         if prune and fast:
             self._promote_repeats(qterms, idf)
             if self._warm(qterms):
-                return self._search_and_warm(qterms, idf, k)
+                return self._search_and_warm(qterms, idf, k, excl)
 
         # rarest term drives the intersection
         rarest = min(qterms, key=lambda t: self._df[t])
@@ -681,7 +723,7 @@ class LocalSearcher:
                 break
             cand, c_contrib = self._seg_decode(rarest, row, idf[rarest])
             scores = c_contrib.copy()
-            alive = np.ones(cand.size, dtype=bool)
+            alive = ~self._in_sorted(excl, cand)
             for t in others:
                 od, oc = load_other(t)
                 if od.size == 0:

@@ -215,3 +215,30 @@ def test_phrase_paths_mask_deleted(spark, documents, index_dir):
     compact_index(spark, index_dir, segment_size=64, max_salts=4)
     ps3 = PhraseSearcher(index_dir)
     assert ps3.search_phrase("the", k=10) == got
+
+
+def test_index_reader_oversized_tombstones_anti_join(spark, index_dir,
+                                                     monkeypatch):
+    """Closure-oversized tombstone sets must route the left_anti-join
+    branch and produce identical results to the closure mask."""
+    import search_engine_spark.plans.deletes as deletes_mod
+    import search_engine_spark.plans.index_query as iq_mod
+
+    deleted = _delete_set(index_dir)
+    full = LocalSearcher(index_dir)
+    delete_docs(spark, index_dir, deleted)
+
+    r_small = IndexReader(spark, index_dir)
+    assert r_small._deleted_in_closure
+    monkeypatch.setattr(deletes_mod, "IN_CLOSURE_MAX", 0)
+    monkeypatch.setattr(iq_mod, "IN_CLOSURE_MAX", 0, raising=False)
+    r_big = IndexReader(spark, index_dir)
+    assert not r_big._deleted_in_closure
+    for q, k in QUERIES[:3]:
+        want = _full_minus(full, q, set(deleted), k)
+        got = [(r.doc_id, r.score)
+               for r in r_big.search(q, k=k, stem=False).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        small = [(r.doc_id, r.score)
+                 for r in r_small.search(q, k=k, stem=False).collect()]
+        assert got == small, q
