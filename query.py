@@ -94,6 +94,10 @@ def main() -> None:
                     help="print a query-biased snippet per hit "
                          "(requires an index built with build_index.py "
                          "--store-text)")
+    ap.add_argument("--out", metavar="PATH",
+                    help="also write the ranked results as parquet "
+                         "(query_id, rank, doc_id, score[, url]) — the "
+                         "S5 results sink for batch/cluster runs")
     args = ap.parse_args()
 
     if not os.path.isdir(args.index_dir) or not os.path.isdir(
@@ -244,6 +248,26 @@ def main() -> None:
                     stem=snip_stem,
                 )
             print(f"{lead}{rank}\t{doc_id}\t{score:.6f}{tail}")
+    if args.out:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [
+            (qid or "", rank, int(doc_id), float(score))
+            for qid in results
+            for rank, (doc_id, score) in enumerate(results[qid], 1)
+        ]
+        cols = {
+            "query_id": pa.array([r[0] for r in rows], type=pa.string()),
+            "rank": pa.array([r[1] for r in rows], type=pa.int64()),
+            "doc_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "score": pa.array([r[3] for r in rows], type=pa.float64()),
+        }
+        if args.urls:
+            cols["url"] = pa.array(
+                [urls.get(r[2]) for r in rows], type=pa.string()
+            )
+        pq.write_table(pa.table(cols), args.out)
     print(json.dumps({"n": n, "n_queries": len(results),
                       "wall_s": round(wall, 4)}))
 

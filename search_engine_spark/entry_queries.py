@@ -183,6 +183,77 @@ LIMIT 10
 """
 
 
+def q_bm25_facet_counts(spark, sf_dir):
+    """Search-analytics facets: ALL docs matching 'spark join' (AND),
+    grouped by the documents.source facet — hit count, mean and max
+    BM25 score per facet. No top-k: the facet aggregation runs over
+    the full match set (group count is facet-cardinality-bounded, tiny
+    to collect). Max is order-independent; mean is rounded after an
+    order-stable sum of ~1e-1-magnitude partials."""
+    tf = term_frequencies(split_terms(_t(spark, sf_dir, "documents")))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    terms = ["spark", "join"]
+    qdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    cand = tf.join(F.broadcast(qdf), "term")
+    dfs = cand.groupBy("term").agg(F.count("*").alias("df"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doclen"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("doclen").alias("avgdl"))
+    from search_engine_spark.plans.scoring import idf_expr, tfnorm_expr
+
+    scored = (
+        cand.join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "partial",
+            idf_expr(F.col("df"), F.col("n_docs"))
+            * tfnorm_expr(F.col("tf"), F.col("doclen"), F.col("avgdl")),
+        )
+    )
+    matched = (
+        scored.groupBy("doc_id")
+        .agg(F.sum("partial").alias("score"), F.count("*").alias("n"))
+        .filter(F.col("n") == len(terms))
+    )
+    return (
+        matched.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_hits"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+    )
+
+
+SQL_BM25_FACET_COUNTS = f"""
+WITH {_TOK_CTE},
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(doclen) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+q AS (SELECT * FROM (VALUES ('spark'), ('join')) AS t(term)),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (tf.tf * {K1 + 1.0} / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / s.avgdl)))
+           AS partial
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfs USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+matched AS (
+  SELECT doc_id, sum(partial) AS score
+  FROM scored GROUP BY doc_id HAVING count(*) = 2
+)
+SELECT d.source, count(*)::BIGINT AS n_hits,
+       round(avg(m.score), 6) AS avg_score,
+       round(max(m.score), 6) AS max_score
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
 def q_intersect_and(spark, sf_dir):
     """J3: posting-list intersection — docs containing ALL three terms."""
     terms = ["spark", "join", "filter"]
@@ -1905,6 +1976,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_single_term": q_bm25_single_term,
     "bm25_not_query": q_bm25_not_query,
+    "bm25_facet_counts": q_bm25_facet_counts,
     "intersect_and": q_intersect_and,
     "lang_counts": q_lang_counts,
     "dedup_exact_text": q_dedup_exact_text,
@@ -1971,6 +2043,7 @@ ORACLES = {
     "bm25_topk": SQL_BM25_TOPK,
     "bm25_single_term": SQL_BM25_SINGLE_TERM,
     "bm25_not_query": SQL_BM25_NOT_QUERY,
+    "bm25_facet_counts": SQL_BM25_FACET_COUNTS,
     "intersect_and": SQL_INTERSECT_AND,
     "lang_counts": SQL_LANG_COUNTS,
     "dedup_exact_text": SQL_DEDUP_EXACT_TEXT,
