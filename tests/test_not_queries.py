@@ -140,3 +140,52 @@ def test_split_not_terms():
     assert split_not_terms("plain query") == ("plain query", "")
     assert split_not_terms("-only") == ("", "only")
     assert split_not_terms("a - b") == ("a - b", "")  # bare dash stays
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_randomized_not_equivalence(spark, tmp_path_factory, seed):
+    """Random corpus + random (query, NOT-set) pairs: every local path
+    (pruned/unpruned/warm, AND/OR) == brute force minus excluded docs,
+    exactly — including exclusion sets overlapping the query."""
+    import numpy as np
+
+    from tests.oracle import brute_force_topk
+
+    rng = np.random.default_rng(1000 + seed)
+    vocab = [f"w{i}" for i in range(30)]
+    probs = np.arange(1, 31, dtype=float) ** -1.1
+    probs /= probs.sum()
+    docs = []
+    for did in range(120):
+        n = int(rng.integers(1, 60))
+        docs.append((did, " ".join(rng.choice(vocab, p=probs, size=n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    d = str(tmp_path_factory.mktemp(f"randnot{seed}"))
+    build_index(spark, df, d, n_buckets=4, segment_size=16, stem=False,
+                salt_threshold=20, max_salts=3)
+    s = LocalSearcher(d)
+    texts = dict(docs)
+    for _ in range(12):
+        qterms = list(rng.choice(vocab, size=int(rng.integers(1, 4)),
+                                 replace=False))
+        excl = list(rng.choice(vocab, size=int(rng.integers(1, 3)),
+                               replace=False))
+        k = int(rng.integers(1, 15))
+        bad = {x for x, t in texts.items() if set(t.split()) & set(excl)}
+        for mode in ("and", "or"):
+            want = [
+                (x, sc)
+                for x, sc in brute_force_topk(docs, qterms, k=len(docs),
+                                              mode=mode)
+                if x not in bad
+            ][:k]
+            for prune in (True, False):
+                got = s.search(qterms, k=k, stem=False, mode=mode,
+                               exclude=excl, prune=prune)
+                assert [x for x, _ in got] == [x for x, _ in want], (
+                    qterms, excl, k, mode, prune)
+                for (_, gs), (_, ws) in zip(got, want):
+                    assert gs == pytest.approx(ws, abs=1e-9)
+            # warm repeat (vectorized path) must stay identical
+            assert s.search(qterms, k=k, stem=False, mode=mode,
+                            exclude=excl) == got

@@ -49,6 +49,15 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
                             ["Exchange", "Python", "CartesianProduct"]),
     "dup_ngram_quality": (["ReadSchema: struct<doc_id:bigint,text:string>"],
                           ["Exchange", "Python", "CartesianProduct"]),
+    # NOT-query exclusion must be an anti-join, never a cross/theta join
+    "bm25_not_query": (["LeftAnti", "BroadcastHashJoin"],
+                       ["CartesianProduct"]),
+    # facet join rides the doc_id key; query-term fan-out is broadcast
+    "bm25_facet_counts": (["BroadcastHashJoin", "HashAggregate"],
+                          ["CartesianProduct"]),
+    # decontamination shingle join is a keyed equi-join, never all-pairs
+    "split_contamination": (["HashAggregate"],
+                            ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 
