@@ -104,6 +104,12 @@ def main() -> None:
     s = sub.add_parser("stats", help="index introspection (no Spark job)")
     s.add_argument("--index-dir", required=True)
 
+    g = sub.add_parser("build-suggest",
+                       help="derive the SymSpell-style spelling-"
+                            "suggestion table from the dictionary "
+                            "(enables query.py --suggest)")
+    g.add_argument("--index-dir", required=True)
+
     args = ap.parse_args()
 
     if args.cmd == "stats":
@@ -139,6 +145,10 @@ def main() -> None:
             )
             ids_df = urlmap.join(F.broadcast(url_df), "url").select("doc_id")
             summary = delete_docs(spark, args.index_dir, ids_df)
+    elif args.cmd == "build-suggest":
+        from search_engine_spark.plans.suggest import build_suggest
+
+        summary = build_suggest(spark, args.index_dir)
     else:
         from search_engine_spark.plans.deletes import compact_index
 

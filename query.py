@@ -94,6 +94,10 @@ def main() -> None:
                     help="print a query-biased snippet per hit "
                          "(requires an index built with build_index.py "
                          "--store-text)")
+    ap.add_argument("--suggest", action="store_true",
+                    help="print 'did you mean' spelling suggestions "
+                         "for query terms missing from the dictionary "
+                         "(requires `index_admin.py build-suggest`)")
     ap.add_argument("--out", metavar="PATH",
                     help="also write the ranked results as parquet "
                          "(query_id, rank, doc_id, score[, url]) — the "
@@ -116,6 +120,11 @@ def main() -> None:
         ap.error("--snippets needs the docstore table — rebuild with "
                  "build_index.py --store-text")
 
+    if args.suggest and not os.path.isdir(
+        os.path.join(args.index_dir, "suggest")
+    ):
+        ap.error("--suggest needs the suggestion table — derive it with "
+                 "`python index_admin.py build-suggest --index-dir ...`")
     if args.phrase and not os.path.exists(
         os.path.join(args.index_dir, "positions_meta.json")
     ):
@@ -248,6 +257,20 @@ def main() -> None:
                     stem=snip_stem,
                 )
             print(f"{lead}{rank}\t{doc_id}\t{score:.6f}{tail}")
+    if args.suggest:
+        from search_engine_spark.plans.scoring import analyze_query
+        from search_engine_spark.plans.suggest import Suggester
+
+        sug = Suggester(args.index_dir)
+        qmap = queries if args.batch else {"": split_not_terms(args.qtext)[0]}
+        for qid, q in qmap.items():
+            for term in dict.fromkeys(analyze_query(q, stem=stem)):
+                alts = sug.suggest(term, k=3)
+                if alts and alts[0][0] == term:
+                    continue  # exact dictionary term — nothing to correct
+                lead = f"{qid}\t" if qid else ""
+                alt = " ".join(t for t, _ in alts) or "(no suggestion)"
+                print(f"{lead}# did you mean: {term} -> {alt}")
     if args.out:
         import pyarrow as pa
         import pyarrow.parquet as pq

@@ -1240,6 +1240,196 @@ FROM vocab WHERE levenshtein(term, 'spak') <= 1
 """
 
 
+def q_unigram_lm_quality(spark, sf_dir):
+    """CCNet-style language-model quality signal, with a corpus
+    unigram LM standing in for KenLM (not installable here; the
+    Spark-side plumbing — broadcast LM join, per-token log-prob
+    aggregation — is what a real LM table would reuse unchanged):
+    score(d) = sum_t tf_dt * ln(cf_t / T), emitted in exact integer
+    NANO-units (per-term log-prob rounded to 1e-9, then pure BIGINT
+    arithmetic): float summation order and double halfway-rounding
+    never touch the hashed values (divide by doclen offline for the
+    per-token average)."""
+    post = _postings(spark, sf_dir)  # term, doc_id, tf, doclen
+    cfs = post.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+    tot = post.agg(F.sum("tf").cast("double").alias("total_tokens"))
+    lp_nano = F.round(
+        F.log(F.col("cf") / F.col("total_tokens")) * F.lit(1e9), 0
+    ).cast("long")
+    return (
+        post.join(cfs, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "doclen")
+        .agg(F.sum(lp_nano * F.col("tf")).cast("long").alias("lm_logprob_nano"))
+    )
+
+
+SQL_UNIGRAM_LM_QUALITY = f"""
+WITH {_TOK_CTE},
+cfs AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
+tot AS (SELECT sum(tf)::DOUBLE AS total_tokens FROM tf),
+contrib AS (
+  SELECT tf.doc_id, dl.doclen,
+         round(ln(cfs.cf / t.total_tokens) * 1e9)::BIGINT * tf.tf AS c
+  FROM tf JOIN cfs USING (term) JOIN dl USING (doc_id) CROSS JOIN tot t
+)
+SELECT doc_id, doclen, sum(c)::BIGINT AS lm_logprob_nano
+FROM contrib GROUP BY doc_id, doclen
+"""
+
+
+def q_more_like_this(spark, sf_dir):
+    """More-like-this (Lucene MLT shape): the source document's top-5
+    terms by tf-idf become a disjunctive BM25 query; the source doc is
+    excluded from results. tf-idf is rounded to 6 BEFORE ranking
+    (cross-engine ln() ulp safety), tie-break term asc; final top-10
+    by (rounded score desc, doc_id asc). Fully declarative — term
+    selection is a broadcast-joined subplan, no driver collect; at
+    scale the source doc's term vector comes from one pruned postings
+    read and everything else is the ordinary BM25 OR plan."""
+    src_id = 7
+    post = _postings(spark, sf_dir)  # term, doc_id, tf, doclen
+    dl = post.select("doc_id", "doclen").distinct()
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("doclen").alias("avgdl"),
+    )
+    dfs = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    src = (
+        post.filter(F.col("doc_id") == src_id)
+        .join(dfs, "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    tfidf = F.round(
+        F.col("tf") * idf_expr(F.col("df"), F.col("n_docs")), 6
+    )
+    qterms = (
+        src.select("term", tfidf.alias("tfidf"))
+        .orderBy(F.col("tfidf").desc(), "term")
+        .limit(5)
+        .select("term")
+    )
+    cand = (
+        post.filter(F.col("doc_id") != src_id)
+        .join(F.broadcast(qterms), "term")
+        .join(dfs, "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    partial = idf_expr(F.col("df"), F.col("n_docs")) * tfnorm_expr(
+        F.col("tf"), F.col("doclen"), F.col("avgdl")
+    )
+    return (
+        cand.groupBy("doc_id")
+        .agg(F.round(F.sum(partial), 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+SQL_MORE_LIKE_THIS = f"""
+WITH {_TOK_CTE},
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(doclen) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+src AS (
+  SELECT tf.term,
+         round(tf.tf * ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)),
+               6) AS tfidf
+  FROM tf JOIN dfs USING (term) CROSS JOIN stats s
+  WHERE tf.doc_id = 7
+),
+q AS (SELECT term FROM src ORDER BY tfidf DESC, term LIMIT 5),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (tf.tf * {K1 + 1.0} / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / s.avgdl)))
+           AS partial
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfs USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  WHERE tf.doc_id <> 7
+)
+SELECT doc_id, round(sum(partial), 6) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+# "the term plus its 1-character-deletion variants" as a SQL
+# higher-order function — whole-stage codegen, no Python (the same
+# expression plans/suggest.py uses at index-build time)
+_DELETES_EXPR = (
+    "explode(array_distinct(concat(array({c}), "
+    "transform(sequence(1, length({c})), "
+    "i -> concat(substring({c}, 1, i - 1), "
+    "substring({c}, i + 1, length({c}) - i)))))) AS variant"
+)
+
+
+def q_symspell_suggest(spark, sf_dir):
+    """Spelling suggestions via a SymSpell symmetric-deletion join —
+    the scale path behind fuzzy_term_match (which scans the whole
+    vocabulary with levenshtein) and the oracle twin of
+    plans/suggest.py: vocabulary terms and probe terms each emit their
+    0/1-deletion variants; an equi-join on variant yields the
+    candidate set without a vocabulary scan, exact levenshtein <= 1
+    confirms, (dist, df desc, term) ranks top-3 per probe. Probes are
+    broadcast; the variant table is ~(len+1) x vocab rows."""
+    tf = term_frequencies(split_terms(_t(spark, sf_dir, "documents")))
+    vocab = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    vd = vocab.selectExpr("term", "df", _DELETES_EXPR.format(c="term"))
+    probes = spark.createDataFrame(
+        [("serch",), ("spak",), ("qery",)], "probe string"
+    )
+    pdel = probes.selectExpr("probe", _DELETES_EXPR.format(c="probe"))
+    cand = (
+        vd.join(F.broadcast(pdel), "variant")
+        .select("probe", "term", "df")
+        .distinct()
+    )
+    w = W.partitionBy("probe").orderBy("dist", F.col("df").desc(), "term")
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein(F.col("probe"), F.col("term")).cast("long")
+        )
+        .filter(F.col("dist") <= 1)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+_SQL_DELETES = (
+    "list_distinct(list_prepend({c}, "
+    "[substr({c}, 1, i - 1) || substr({c}, i + 1, length({c}) - i) "
+    "for i in range(1, length({c}) + 1)]))"
+)
+
+SQL_SYMSPELL_SUGGEST = f"""
+WITH {_TOK_CTE},
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+vd AS (
+  SELECT term, df, unnest({_SQL_DELETES.format(c="term")}) AS variant
+  FROM vocab
+),
+probes(probe) AS (VALUES ('serch'), ('spak'), ('qery')),
+pdel AS (
+  SELECT probe, unnest({_SQL_DELETES.format(c="probe")}) AS variant
+  FROM probes
+),
+cand AS (SELECT DISTINCT probe, term, df FROM pdel JOIN vd USING (variant)),
+scored AS (
+  SELECT probe, term, df, levenshtein(probe, term)::BIGINT AS dist
+  FROM cand WHERE levenshtein(probe, term) <= 1
+)
+SELECT probe, term, df, dist, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe
+                               ORDER BY dist, df DESC, term)::BIGINT AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling: ~20% of docs per (lang,
     source) stratum, selected by an id-derived md5 bucket — stable
@@ -2031,6 +2221,9 @@ QUERIES = {
     "media_frame_sample": q_media_frame_sample,
     "prefix_term_stats": q_prefix_term_stats,
     "fuzzy_term_match": q_fuzzy_term_match,
+    "symspell_suggest": q_symspell_suggest,
+    "more_like_this": q_more_like_this,
+    "unigram_lm_quality": q_unigram_lm_quality,
     "stratified_sample": q_stratified_sample,
     "bigram_pmi": q_bigram_pmi,
 }
@@ -2094,6 +2287,9 @@ ORACLES = {
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
     "prefix_term_stats": SQL_PREFIX_TERM_STATS,
     "fuzzy_term_match": SQL_FUZZY_TERM_MATCH,
+    "symspell_suggest": SQL_SYMSPELL_SUGGEST,
+    "more_like_this": SQL_MORE_LIKE_THIS,
+    "unigram_lm_quality": SQL_UNIGRAM_LM_QUALITY,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "bigram_pmi": SQL_BIGRAM_PMI,
     # intentionally rows-only (non-SQL-expressible), with their pytest

@@ -117,6 +117,7 @@ class LocalSearcher:
         st = pq.read_table(os.path.join(index_dir, "stats")).to_pandas()
         self.n_docs = int(st.n_docs.iloc[0])
         self.avgdl = float(st.avgdl.iloc[0])
+        self._docstore = None  # lazy; only more_like_this needs it
         # collection constants from the meta JSON (written by stage A).
         # The lazy dictionary NEEDS the exact build-time n_buckets —
         # inferring it from the populated bucket dirs undercounts when
@@ -259,6 +260,40 @@ class LocalSearcher:
                 )
         out.sort()
         return out[:limit]
+
+    def more_like_this(
+        self, doc_id: int, *, k: int = 10, n_terms: int = 5,
+        stem: bool = True,
+    ) -> list[tuple[int, float]]:
+        """Lucene-style more-like-this: analyze the source document's
+        stored text, rank its terms by tf-idf (rounded to 6 before
+        ranking, tie-break term asc — the same selection rule the
+        more_like_this oracle entry pins cross-engine), and run a
+        disjunctive BM25 search over the top n_terms with the source
+        doc itself excluded. Requires the docstore table
+        (build_index.py --store-text); raises FileNotFoundError
+        otherwise. Unknown doc ids return []."""
+        from collections import Counter
+
+        from search_engine_spark.functions.text import analyze
+        from search_engine_spark.plans.docstore import DocStore
+
+        if self._docstore is None:
+            self._docstore = DocStore(self.root)
+        text = self._docstore.get_texts([int(doc_id)]).get(int(doc_id))
+        if text is None:
+            return []
+        # full (non-deduplicated) term vector — analyze_query would
+        # collapse repeats and flatten every tf to 1
+        tf = Counter(analyze(text, stem=stem))
+        scored = sorted(
+            (-round(n * self._idf(t), 6), t)
+            for t, n in tf.items()
+            if t in self._df
+        )
+        qterms = [t for _, t in scored[:n_terms]]
+        hits = self.search(qterms, k=k + 1, mode="or", stem=stem)
+        return [(d, s) for d, s in hits if d != int(doc_id)][:k]
 
     def _dict_lookup(self, term: str) -> tuple[int, int] | None:
         """(df, bucket) for term, or None if absent — row-group-pruned
