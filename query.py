@@ -72,6 +72,11 @@ def main() -> None:
                          "in --phrase mode)")
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("-k", type=int, default=10)
+    ap.add_argument("--offset", type=int, default=0,
+                    help="deep pagination: skip the first N ranked "
+                         "results (page 3 of 10 = -k 10 --offset 20). "
+                         "The LocalSearcher API also offers cursor "
+                         "(search_after) pagination via search(after=)")
     ap.add_argument("--no-stem", action="store_true")
     ap.add_argument("--distributed", action="store_true")
     ap.add_argument("--mode", choices=["and", "or"], default="and",
@@ -132,8 +137,14 @@ def main() -> None:
                  "build_index.py --positions")
     if args.phrase and args.batch:
         ap.error("--phrase answers a single phrase query")
+    if args.offset < 0:
+        ap.error("--offset must be >= 0")
 
     stem = not args.no_stem
+    # pagination: fetch offset+k then drop the first offset rows
+    # (exact — same full ranking, deterministic tie-break). The
+    # distributed single-query path pushes the offset into the plan.
+    kk = args.k + args.offset
     t0 = time.time()
     # per-query ranked results: {qid: [(doc_id, score), ...]}
     results: dict[str, list[tuple[int, float]]] = {}
@@ -148,9 +159,9 @@ def main() -> None:
             results[""] = [
                 (r.doc_id, float(r.phrase_tf))
                 for r in phrase_search_distributed(
-                    spark, args.index_dir, args.qtext, k=args.k
+                    spark, args.index_dir, args.qtext, k=kk
                 ).collect()
-            ]
+            ][args.offset:]
             spark.stop()
         else:
             from search_engine_spark.plans.positions import PhraseSearcher
@@ -158,9 +169,9 @@ def main() -> None:
             results[""] = [
                 (d, float(tf))
                 for d, tf in PhraseSearcher(args.index_dir).search_phrase(
-                    args.qtext, k=args.k
+                    args.qtext, k=kk
                 )
-            ]
+            ][args.offset:]
     elif args.batch:
         raw = _read_batch(args.batch)
         split = {qid: split_not_terms(text) for qid, text in raw.items()}
@@ -173,7 +184,7 @@ def main() -> None:
             spark = get_spark("query-batch")
             rows = (
                 IndexReader(spark, args.index_dir)
-                .search_batch(queries, k=args.k, stem=stem, mode=args.mode,
+                .search_batch(queries, k=kk, stem=stem, mode=args.mode,
                               excludes=not_terms or None)
                 .collect()
             )
@@ -182,14 +193,17 @@ def main() -> None:
                 results[qid] = []
             for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
                 results[r.query_id].append((r.doc_id, r.score))
+            for qid in results:
+                results[qid] = results[qid][args.offset:]
         else:
             from search_engine_spark.plans.wand import LocalSearcher
 
             s = LocalSearcher(args.index_dir)
             for qid, text in queries.items():
-                results[qid] = s.search(text, k=args.k, stem=stem,
+                results[qid] = s.search(text, k=kk, stem=stem,
                                         mode=args.mode,
-                                        exclude=not_terms.get(qid) or None)
+                                        exclude=not_terms.get(qid) or None
+                                        )[args.offset:]
     elif args.distributed:
         from search_engine_spark.plans.index_query import IndexReader
         from search_engine_spark.session import get_spark
@@ -200,7 +214,7 @@ def main() -> None:
             (r.doc_id, r.score)
             for r in IndexReader(spark, args.index_dir)
             .search(qpos, k=args.k, stem=stem, mode=args.mode,
-                    exclude=qneg or None).collect()
+                    exclude=qneg or None, offset=args.offset).collect()
         ]
         spark.stop()
     else:
@@ -208,9 +222,9 @@ def main() -> None:
 
         qpos, qneg = split_not_terms(args.qtext)
         results[""] = LocalSearcher(args.index_dir).search(
-            qpos, k=args.k, stem=stem, mode=args.mode,
+            qpos, k=kk, stem=stem, mode=args.mode,
             exclude=qneg or None,
-        )
+        )[args.offset:]
     wall = time.time() - t0
 
     urls: dict[int, str] = {}
@@ -245,7 +259,8 @@ def main() -> None:
         }
     n = 0
     for qid in results:
-        for rank, (doc_id, score) in enumerate(results[qid], 1):
+        for rank, (doc_id, score) in enumerate(results[qid],
+                                               1 + args.offset):
             n += 1
             lead = f"{qid}\t" if qid else ""
             tail = f"\t{urls.get(doc_id, '?')}" if args.urls else ""
@@ -278,7 +293,8 @@ def main() -> None:
         rows = [
             (qid or "", rank, int(doc_id), float(score))
             for qid in results
-            for rank, (doc_id, score) in enumerate(results[qid], 1)
+            for rank, (doc_id, score) in enumerate(results[qid],
+                                                   1 + args.offset)
         ]
         cols = {
             "query_id": pa.array([r[0] for r in rows], type=pa.string()),

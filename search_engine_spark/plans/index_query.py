@@ -23,7 +23,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from search_engine_spark import B, K1
 from search_engine_spark.functions.codec import decode_postings, decode_varints
@@ -184,9 +184,18 @@ class IndexReader:
         return self.decoded_postings(terms, buckets).select("doc_id").distinct()
 
     def search(self, qtext_or_terms, *, k: int = 10, stem: bool = True,
-               mode: str = "and", exclude=None) -> DataFrame:
+               mode: str = "and", exclude=None, offset: int = 0) -> DataFrame:
+        """offset: deep-pagination twin of LocalSearcher's `after`
+        cursor — skip the first `offset` ranked results. Offset-based
+        (not score-cursor-based) on purpose: distributed float sums
+        are not bit-stable across runs (shuffle merge order), so a
+        score-equality cursor could silently drop or repeat a row; a
+        row_number over the deterministic (score desc, doc_id asc)
+        order never does."""
         if mode not in ("and", "or"):
             raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+        if offset < 0:
+            raise ValueError(f"offset must be >= 0, got {offset}")
         spark = self.spark
         if isinstance(qtext_or_terms, str):
             qterms = analyze_query(qtext_or_terms, stem=stem)
@@ -237,9 +246,20 @@ class IndexReader:
             edocs = self._excluded_docs_df(list(dict.fromkeys(exclude)))
             if edocs is not None:
                 agg = agg.join(edocs, "doc_id", "left_anti")
+        ranked = agg.select("doc_id", "score")
+        if offset:
+            # TakeOrderedAndProject still applies (limit offset+k is a
+            # constant); the leading rows are dropped driver-side cheap
+            w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            return (
+                ranked.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(offset + k)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") > offset)
+                .drop("_rn")
+            )
         return (
-            agg.select("doc_id", "score")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
+            ranked.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
 

@@ -435,10 +435,25 @@ class LocalSearcher:
             return None
         return np.unique(np.concatenate(arrs))
 
-    def _vector_topk(self, docs: np.ndarray, scores: np.ndarray, k: int):
+    @staticmethod
+    def _after_mask(docs: np.ndarray, scores: np.ndarray, after):
+        """Eligibility mask for cursor pagination: keep docs strictly
+        AFTER the (doc_id, score) cursor — the previous page's last
+        hit, same tuple shape search() returns — in (score desc,
+        doc_id asc) ranking order. Safe on exact float equality
+        because serving scores are bit-identical across repeated
+        queries (warm == cold bit-identity, property-tested)."""
+        a_d, a_s = after
+        return (scores < a_s) | ((scores == a_s) & (docs > a_d))
+
+    def _vector_topk(self, docs: np.ndarray, scores: np.ndarray, k: int,
+                     after=None):
         """Exact top-k by (score desc, doc_id asc) from parallel arrays:
         argpartition narrows to the boundary score (ties kept), then a
         lexsort of only that subset fixes the order."""
+        if after is not None and docs.size:
+            keep_a = self._after_mask(docs, scores, after)
+            docs, scores = docs[keep_a], scores[keep_a]
         if docs.size == 0:
             return []
         if docs.size > k:
@@ -475,7 +490,7 @@ class LocalSearcher:
             ):
                 self._load_full(t, idf[t])
 
-    def _search_and_warm(self, qterms, idf, k, excl=None):
+    def _search_and_warm(self, qterms, idf, k, excl=None, after=None):
         """Serving fast path (AND): every term's merged list is already
         decoded+cached, so the whole intersection runs as a handful of
         numpy ops — no per-segment Python loop. Only routed when warm;
@@ -502,9 +517,9 @@ class LocalSearcher:
             alive &= hit
             scores = scores + np.where(hit, oc[pos_c], 0.0)
         self.last_segments_skipped = 0
-        return self._vector_topk(docs[alive], scores[alive], k)
+        return self._vector_topk(docs[alive], scores[alive], k, after)
 
-    def _search_or_warm(self, qterms, idf, k, excl=None):
+    def _search_or_warm(self, qterms, idf, k, excl=None, after=None):
         """Serving fast path (OR): scatter-add each term's cached
         contribution list into the union doc array, in the same sorted
         term order the block-max path uses — per-doc addition sequences
@@ -527,10 +542,10 @@ class LocalSearcher:
                 # unique; fancy += is a safe (and faster) scatter-add
                 scores[pos_c[hit]] += oc[hit]
         self.last_segments_skipped = 0
-        return self._vector_topk(union, scores, k)
+        return self._vector_topk(union, scores, k, after)
 
     def _search_or(
-        self, qterms: list[str], k: int, prune: bool, excl=None,
+        self, qterms: list[str], k: int, prune: bool, excl=None, after=None,
     ) -> list[tuple[int, float]]:
         """Disjunctive (OR) top-k: block-max pruned union scoring.
 
@@ -550,7 +565,7 @@ class LocalSearcher:
         if prune and self._fast:
             self._promote_repeats(qterms, idf)
             if self._warm(qterms):
-                return self._search_or_warm(qterms, idf, k, excl)
+                return self._search_or_warm(qterms, idf, k, excl, after)
         per_term = []  # (term, segs_df) in fixed dedup order
         for t in qterms:
             per_term.append((t, self._segments(t)))
@@ -575,9 +590,16 @@ class LocalSearcher:
         entries.sort(key=lambda e: -e[0])
 
         heap: list[tuple[float, int]] = []
+        # cursor pagination: only docs strictly after `after` may enter
+        # the heap. Pruning stays exact — theta is the k-th best among
+        # ELIGIBLE docs, and a segment bound below theta cannot hold an
+        # eligible doc that would displace it.
+        a_item = (after[1], -int(after[0])) if after is not None else None
 
         def offer(doc: int, score: float) -> None:
             item = (score, -doc)
+            if a_item is not None and item >= a_item:
+                return
             if len(heap) < k:
                 heapq.heappush(heap, item)
             elif item > heap[0]:
@@ -606,6 +628,11 @@ class LocalSearcher:
                     keep &= ~hit  # doc is driven by its first term only
                 scores = scores + np.where(hit, oc[pos_c], 0.0)
             ca, sa = cand[keep], scores[keep]
+            if after is not None and ca.size:
+                # BEFORE the per-segment k-cut: the segment's k best
+                # may all be pre-cursor docs
+                keep_a = self._after_mask(ca, sa, after)
+                ca, sa = ca[keep_a], sa[keep_a]
             if ca.size > k:
                 order_k = np.lexsort((ca, -sa))[:k]
                 ca, sa = ca[order_k], sa[order_k]
@@ -618,7 +645,7 @@ class LocalSearcher:
     def search(
         self, qtext_or_terms, *, k: int = 10, stem: bool = True,
         prune: bool = True, mode: str = "and", fast: bool = True,
-        exclude=None,
+        exclude=None, after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), score desc then doc_id asc.
 
@@ -633,7 +660,15 @@ class LocalSearcher:
         prune=False disables the block-max skip (used by the
         equivalence property tests). fast=False forces the block-max
         path even when every term is warm in the serving cache (the
-        warm vectorized path is result-identical; property-tested)."""
+        warm vectorized path is result-identical; property-tested).
+        after: cursor pagination (search_after semantics) — pass the
+        previous page's last hit (doc_id, score), exactly as returned,
+        to get the next k results strictly after it in (score desc,
+        doc_id asc) order;
+        concatenated pages reproduce the full ranking exactly
+        (property-tested on every path). Exact float equality against
+        the cursor is safe: serving scores are bit-identical across
+        repeats (warm == cold bit-identity)."""
         if mode not in ("and", "or"):
             raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
         if isinstance(qtext_or_terms, str):
@@ -644,18 +679,20 @@ class LocalSearcher:
             exclude = analyze_query(exclude, stem=stem)
         self._fast = fast
         excl = self._excluded_docs(exclude) if exclude else None
+        if after is not None:
+            after = (int(after[0]), float(after[1]))
         if mode == "or":
             qterms = [t for t in qterms if t in self._df]
             if not qterms:
                 return []
-            return self._search_or(qterms, k, prune, excl)
+            return self._search_or(qterms, k, prune, excl, after)
         if not qterms or any(t not in self._df for t in qterms):
             return []
         idf = {t: self._idf(t) for t in qterms}
         if prune and fast:
             self._promote_repeats(qterms, idf)
             if self._warm(qterms):
-                return self._search_and_warm(qterms, idf, k, excl)
+                return self._search_and_warm(qterms, idf, k, excl, after)
 
         # rarest term drives the intersection
         rarest = min(qterms, key=lambda t: self._df[t])
@@ -730,12 +767,15 @@ class LocalSearcher:
             )
 
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+        a_item = (after[1], -int(after[0])) if after is not None else None
 
         def theta() -> float:
             return heap[0][0] if len(heap) == k else -math.inf
 
         def offer(doc: int, score: float) -> None:
             item = (score, -doc)
+            if a_item is not None and item >= a_item:
+                return  # pre-cursor doc (earlier page) — ineligible
             if len(heap) < k:
                 heapq.heappush(heap, item)
             elif item > heap[0]:
@@ -772,6 +812,11 @@ class LocalSearcher:
                     break
                 scores = scores + np.where(hit, oc[pos_c], 0.0)
             ca, sa = cand[alive], scores[alive]
+            if after is not None and ca.size:
+                # BEFORE the per-segment k-cut: the segment's k best
+                # may all be pre-cursor docs
+                keep_a = self._after_mask(ca, sa, after)
+                ca, sa = ca[keep_a], sa[keep_a]
             if ca.size > k:
                 # vectorized per-segment top-k: the heap only ever
                 # needs a segment's k best by (score desc, doc_id asc);
