@@ -1430,6 +1430,58 @@ SELECT probe, term, df, dist, rnk FROM (
 """
 
 
+def q_url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization as a dedup key (Common-Crawl recrawls of
+    one page differ by authority case, default :80 port, utm_*
+    tracking params, and fragments — naive url equality
+    under-deduplicates). Spark canonicalizes deterministically messy
+    synthetic urls with operators.dedup.canonical_url_expr (pure JVM
+    regexp chain); the oracle CONSTRUCTS the expected canonical form
+    directly, so any canonicalization defect breaks the hash."""
+    from search_engine_spark.operators.dedup import canonical_url_expr
+
+    i = F.col("id")
+    messy = F.concat(
+        F.when(i % 2 == 0, F.lit("HTTP://ExAmple")).otherwise(
+            F.lit("http://example")
+        ),
+        (i % 5).cast("string"),
+        F.lit(".com"),
+        F.when(i % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        (i % 8).cast("string"),
+        F.when(
+            i % 2 == 0,
+            F.concat(F.lit("?utm_source=t&id="), (i % 4).cast("string")),
+        ).otherwise(F.concat(F.lit("?id="), (i % 4).cast("string"))),
+        F.when(i % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    base = spark.range(240).select(
+        i.cast("long").alias("i"), messy.alias("url")
+    )
+    return (
+        base.select("i", canonical_url_expr().alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_snapshots"),
+            F.max("i").cast("long").alias("latest_i"),
+        )
+    )
+
+
+SQL_URL_CANONICAL_DEDUP = """
+WITH base AS (
+  SELECT i,
+         'http://example' || (i % 5) || '.com/p/' || (i % 8)
+           || '?id=' || (i % 4) AS canonical_url
+  FROM generate_series(0, 239) t(i)
+)
+SELECT canonical_url, count(*)::BIGINT AS n_snapshots,
+       max(i)::BIGINT AS latest_i
+FROM base GROUP BY canonical_url
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling: ~20% of docs per (lang,
     source) stratum, selected by an id-derived md5 bucket — stable
@@ -2224,6 +2276,7 @@ QUERIES = {
     "symspell_suggest": q_symspell_suggest,
     "more_like_this": q_more_like_this,
     "unigram_lm_quality": q_unigram_lm_quality,
+    "url_canonical_dedup": q_url_canonical_dedup,
     "stratified_sample": q_stratified_sample,
     "bigram_pmi": q_bigram_pmi,
 }
@@ -2290,6 +2343,7 @@ ORACLES = {
     "symspell_suggest": SQL_SYMSPELL_SUGGEST,
     "more_like_this": SQL_MORE_LIKE_THIS,
     "unigram_lm_quality": SQL_UNIGRAM_LM_QUALITY,
+    "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "bigram_pmi": SQL_BIGRAM_PMI,
     # intentionally rows-only (non-SQL-expressible), with their pytest

@@ -23,6 +23,40 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+#: query params that never identify content (tracking); dropped by
+#: canonical_url_expr
+TRACKING_PARAMS = r"utm_[^=&#]*|fbclid|gclid"
+
+
+def canonical_url_expr(url_col: str = "url"):
+    """Canonical form of a URL as a pure-JVM Column expression (the
+    Common-Crawl dedup-key problem: recrawls of the SAME page differ
+    by authority case, default port, tracking params, fragments, and
+    an empty vs '/' path — naive url equality under-deduplicates).
+    All regexp built-ins, whole-stage codegen — usable as the P3
+    latest_snapshot key at full corpus scale with zero Python.
+
+    Steps (checked against a urllib-based reference in
+    tests/test_training_ops.py):
+      1. fragment dropped
+      2. scheme + authority lowercased (path/query case preserved)
+      3. default ports stripped (http :80, https :443)
+      4. tracking params dropped (TRACKING_PARAMS), separators healed
+      5. empty path -> '/'
+    """
+    u = F.col(url_col)
+    f = F.regexp_replace(u, r"#.*$", "")
+    auth = F.regexp_extract(f, r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)", 1)
+    c = F.concat(F.lower(auth), F.substr(f, F.length(auth) + F.lit(1)))
+    c = F.regexp_replace(c, r"^(http://[^/?#:]+):80((/|\?|#).*)?$", "$1$2")
+    c = F.regexp_replace(c, r"^(https://[^/?#:]+):443((/|\?|#).*)?$", "$1$2")
+    c = F.regexp_replace(c, rf"({TRACKING_PARAMS})=[^&#]*&", "")
+    c = F.regexp_replace(c, rf"[?&]({TRACKING_PARAMS})=[^&#]*$", "")
+    c = F.regexp_replace(c, r"^([a-z][a-z0-9+.\-]*://[^/?#]+)$", "$1/")
+    c = F.regexp_replace(c, r"^([a-z][a-z0-9+.\-]*://[^/?#]+)\?", "$1/?")
+    return c
+
+
 def latest_snapshot(df: DataFrame, key: str = "url", ts: str = "warc_ts") -> DataFrame:
     """One row per key, newest ts wins (deterministic tie-break on ts)."""
     w = W.partitionBy(key).orderBy(F.desc(ts))
