@@ -104,6 +104,16 @@ def main() -> None:
     s = sub.add_parser("stats", help="index introspection (no Spark job)")
     s.add_argument("--index-dir", required=True)
 
+    k = sub.add_parser("fsck",
+                       help="decode-level integrity checks (df "
+                            "consistency, duplicate postings, segment "
+                            "order, bucket routing, tombstone "
+                            "referents, positions/tf agreement) — "
+                            "no Spark job; exit 1 on corruption")
+    k.add_argument("--index-dir", required=True)
+    k.add_argument("--sample", type=int, default=200,
+                   help="terms to check (highest-df always included)")
+
     g = sub.add_parser("build-suggest",
                        help="derive the SymSpell-style spelling-"
                             "suggestion table from the dictionary "
@@ -117,6 +127,12 @@ def main() -> None:
         # it is safe to run against a live index from an ops shell
         print(json.dumps(index_stats(args.index_dir)))
         return
+    if args.cmd == "fsck":
+        from search_engine_spark.plans.fsck import fsck
+
+        out = fsck(args.index_dir, sample_terms=args.sample)
+        print(json.dumps(out))
+        raise SystemExit(0 if out["ok"] else 1)
 
     from search_engine_spark.session import get_spark
 

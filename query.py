@@ -99,6 +99,12 @@ def main() -> None:
                     help="print a query-biased snippet per hit "
                          "(requires an index built with build_index.py "
                          "--store-text)")
+    ap.add_argument("--complete", action="store_true",
+                    help="autocomplete: treat the query as a term "
+                         "PREFIX and print the top-k completions by "
+                         "document frequency (df desc, term asc) — "
+                         "row-group-pruned dictionary range scan, "
+                         "no Spark job")
     ap.add_argument("--suggest", action="store_true",
                     help="print 'did you mean' spelling suggestions "
                          "for query terms missing from the dictionary "
@@ -139,6 +145,24 @@ def main() -> None:
         ap.error("--phrase answers a single phrase query")
     if args.offset < 0:
         ap.error("--offset must be >= 0")
+
+    if args.complete:
+        if args.batch or args.phrase or args.distributed:
+            ap.error("--complete is a local single-prefix mode")
+        from search_engine_spark.plans.wand import LocalSearcher
+
+        t0 = time.time()
+        # prefix matches the STORED vocabulary (analyzer output:
+        # casefolded, stemmed if the index was built stemmed)
+        terms = LocalSearcher(args.index_dir).prefix_terms(
+            args.qtext.strip().lower()
+        )
+        terms.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (term, df) in enumerate(terms[: args.k], 1):
+            print(f"{rank}\t{term}\t{df}")
+        print(json.dumps({"n": min(len(terms), args.k), "n_queries": 1,
+                          "wall_s": round(time.time() - t0, 4)}))
+        return
 
     stem = not args.no_stem
     # pagination: fetch offset+k then drop the first offset rows

@@ -111,7 +111,7 @@ def _stage_a(
         "overwrite"
     ).parquet(paths.flat)
     _stage_a_stats(spark, paths, n_buckets=n_buckets,
-                   salt_threshold=salt_threshold)
+                   salt_threshold=salt_threshold, stem=stem)
 
 
 def _stage_a_stats(
@@ -120,6 +120,7 @@ def _stage_a_stats(
     *,
     n_buckets: int,
     salt_threshold: int,
+    stem: bool | None = None,
 ) -> None:
     """Derive dictionary / docs / stats / hot_terms / meta from the
     (possibly appended-to) flat postings — shared by the fresh build
@@ -168,16 +169,22 @@ def _stage_a_stats(
     import pyarrow.parquet as _pq
 
     st = _pq.read_table(paths.stats).to_pylist()[0]
+    # stem flag: recorded so admin tools (fsck I7) can tell whether
+    # the positional table shares the index analyzer. Callers that
+    # don't know it (compact_index) pass None -> keep the prior value.
+    if stem is None and os.path.exists(paths.meta):
+        with open(paths.meta) as f:
+            stem = json.load(f).get("stem")
+    meta = {
+        "n_buckets": n_buckets,
+        "n_docs": int(st["n_docs"]),
+        "avgdl": float(st["avgdl"]),
+        "salt_threshold": salt_threshold,
+    }
+    if stem is not None:
+        meta["stem"] = bool(stem)
     with open(paths.meta, "w") as f:
-        json.dump(
-            {
-                "n_buckets": n_buckets,
-                "n_docs": int(st["n_docs"]),
-                "avgdl": float(st["avgdl"]),
-                "salt_threshold": salt_threshold,
-            },
-            f,
-        )
+        json.dump(meta, f)
 
 
 def _read_meta(spark: SparkSession, paths: IndexPaths) -> dict:
@@ -744,7 +751,7 @@ def extend_index(
             "append"
         ).parquet(paths.flat)
     _stage_a_stats(spark, paths, n_buckets=n_buckets,
-                   salt_threshold=salt_threshold)
+                   salt_threshold=salt_threshold, stem=stem)
 
     new_avgdl = float(_read_meta(spark, paths)["avgdl"])
     if abs(new_avgdl - old_avgdl) / max(old_avgdl, 1e-9) > 1e-12:

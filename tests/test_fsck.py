@@ -1,0 +1,113 @@
+"""Index integrity checker (plans/fsck + index_admin.py fsck CLI).
+
+A clean index passes every invariant; targeted corruptions are
+detected: dictionary df drift (I1), duplicated postings — the
+round-1 extend-offset bug class (I2), dangling tombstones (I5).
+"""
+
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_spark.plans.build_index import build_index
+from search_engine_spark.plans.fsck import fsck
+from search_engine_spark.plans.positions import build_positions
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def index_dir(spark, documents, tmp_path_factory):
+    # function-scoped: corruption tests mutate their copy
+    d = str(tmp_path_factory.mktemp("index_fsck"))
+    build_index(spark, documents, d, n_buckets=4, segment_size=64,
+                stem=False, salt_threshold=100, max_salts=4)
+    build_positions(spark, documents, d, n_buckets=4, stem=False)
+    return d
+
+
+def test_clean_index_passes(index_dir):
+    out = fsck(index_dir, sample_terms=50)
+    assert out["ok"], out["errors"]
+    assert out["terms_checked"] > 0  # full vocab if smaller than sample
+    assert out["positions_terms_checked"] > 0
+
+
+def test_detects_df_drift(index_dir):
+    # bump one term's dictionary df by 1 in its bucket fragment
+    frag = sorted(glob.glob(
+        os.path.join(index_dir, "dictionary", "bucket=*", "*.parquet")
+    ))[0]
+    tbl = pq.read_table(frag)
+    df = tbl["df"].to_pylist()
+    df[0] += 1
+    victim = tbl["term"][0].as_py()
+    pq.write_table(
+        tbl.set_column(tbl.schema.get_field_index("df"), "df",
+                       pa.array(df, type=tbl["df"].type)),
+        frag,
+    )
+    out = fsck(index_dir, sample_terms=10**6)  # sample everything
+    assert not out["ok"]
+    assert any("I1" in e and repr(victim) in e for e in out["errors"]), \
+        out["errors"][:5]
+
+
+def test_detects_duplicate_postings(index_dir):
+    # simulate the extend-offset bug: a postings file duplicated into
+    # its bucket dir duplicates every (term, doc_id) it holds
+    frag = sorted(glob.glob(
+        os.path.join(index_dir, "postings", "bucket=*", "*.parquet")
+    ))[0]
+    shutil.copy(frag, frag.replace(".parquet", "-dup.parquet"))
+    out = fsck(index_dir, sample_terms=10**6)
+    assert not out["ok"]
+    assert any("I2" in e for e in out["errors"]), out["errors"][:5]
+
+
+def test_detects_dangling_tombstone(index_dir):
+    # fake urlmap + a tombstone pointing at a doc id that never existed
+    os.makedirs(os.path.join(index_dir, "urlmap"), exist_ok=True)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                  "url": pa.array(["a", "b", "c"])}),
+        os.path.join(index_dir, "urlmap", "part-0.parquet"),
+    )
+    os.makedirs(os.path.join(index_dir, "deletes"), exist_ok=True)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 10**9], type=pa.int64())}),
+        os.path.join(index_dir, "deletes", "part-0.parquet"),
+    )
+    out = fsck(index_dir, sample_terms=5)
+    assert out["tombstones_checked"]
+    assert any("I5" in e and str(10**9) in e for e in out["errors"])
+    assert not any(" 1 not in urlmap" in e for e in out["errors"])
+
+
+def test_cli_exit_codes(index_dir):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "index_admin.py"), "fsck",
+         "--index-dir", index_dir, "--sample", "20"],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert json.loads(r.stdout.strip().splitlines()[-1])["ok"] is True
+    # corrupt, expect exit 1
+    frag = sorted(glob.glob(
+        os.path.join(index_dir, "postings", "bucket=*", "*.parquet")
+    ))[0]
+    shutil.copy(frag, frag.replace(".parquet", "-dup.parquet"))
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "index_admin.py"), "fsck",
+         "--index-dir", index_dir, "--sample", "1000000"],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 1

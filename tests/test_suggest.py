@@ -102,6 +102,27 @@ def test_dp_distance_basics():
     assert damerau_levenshtein("abcd", "cdab", cap=2) > 2   # capped out
 
 
+def test_cli_complete(index_dir):
+    """query.py --complete: top-k prefix completions by (df desc,
+    term asc) — must equal a pandas recount over the dictionary."""
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "query.py"),
+         "--index-dir", index_dir, "--complete", "s", "-k", "5"],
+        capture_output=True, text=True, env=env, check=True,
+    )
+    got = [(p[1], int(p[2])) for p in
+           (l.split("\t") for l in out.stdout.splitlines()
+            if l and not l.startswith("{"))]
+    dic = pd.read_parquet(os.path.join(index_dir, "dictionary"))
+    want = (
+        dic[dic.term.str.startswith("s")]
+        .sort_values(["df", "term"], ascending=[False, True])
+        .head(5)
+    )
+    assert got == list(zip(want.term, want.df.astype(int)))
+
+
 def test_cli_end_to_end(spark, documents, tmp_path):
     """index_admin.py build-suggest + query.py --suggest drive the
     same build/serve paths; a misspelled query prints a correction."""
