@@ -68,7 +68,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("qtext", nargs="?",
                     help="query text; '-term' tokens are NOT-terms "
-                         "(docs containing them are excluded; ignored "
+                         "(docs containing them are excluded); 'a|b' "
+                         "clauses are OR-groups — 'spark|flink join' "
+                         "matches docs with (spark OR flink) AND join, "
+                         "scored over all matched terms (--mode is "
+                         "ignored for grouped queries; both ignored "
                          "in --phrase mode)")
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("-k", type=int, default=10)
@@ -234,21 +238,31 @@ def main() -> None:
 
         qpos, qneg = split_not_terms(args.qtext)
         spark = get_spark("query")
-        results[""] = [
-            (r.doc_id, r.score)
-            for r in IndexReader(spark, args.index_dir)
-            .search(qpos, k=args.k, stem=stem, mode=args.mode,
-                    exclude=qneg or None, offset=args.offset).collect()
-        ]
+        reader = IndexReader(spark, args.index_dir)
+        if "|" in qpos:
+            res_df = reader.search_grouped(qpos, k=args.k, stem=stem,
+                                           exclude=qneg or None,
+                                           offset=args.offset)
+        else:
+            res_df = reader.search(qpos, k=args.k, stem=stem,
+                                   mode=args.mode, exclude=qneg or None,
+                                   offset=args.offset)
+        results[""] = [(r.doc_id, r.score) for r in res_df.collect()]
         spark.stop()
     else:
         from search_engine_spark.plans.wand import LocalSearcher
 
         qpos, qneg = split_not_terms(args.qtext)
-        results[""] = LocalSearcher(args.index_dir).search(
-            qpos, k=kk, stem=stem, mode=args.mode,
-            exclude=qneg or None,
-        )[args.offset:]
+        s = LocalSearcher(args.index_dir)
+        if "|" in qpos:
+            results[""] = s.search_grouped(
+                qpos, k=kk, stem=stem, exclude=qneg or None,
+            )[args.offset:]
+        else:
+            results[""] = s.search(
+                qpos, k=kk, stem=stem, mode=args.mode,
+                exclude=qneg or None,
+            )[args.offset:]
     wall = time.time() - t0
 
     urls: dict[int, str] = {}

@@ -1240,6 +1240,50 @@ FROM vocab WHERE levenshtein(term, 'spak') <= 1
 """
 
 
+def q_bm25_grouped_query(spark, sf_dir):
+    """Grouped boolean query '(spark OR flink) AND join NOT filter'
+    (plans/scoring.parse_grouped_query semantics): a doc matches >= 1
+    term of every OR-group, scores as the BM25 sum over all distinct
+    matched terms, NOT-docs suppressed. 'flink' is absent from the
+    corpus — the group stays satisfiable through 'spark' with NO
+    special-casing (the (term, grp) join simply yields no flink
+    rows), which this entry pins cross-engine. Serving twins:
+    LocalSearcher.search_grouped / IndexReader.search_grouped."""
+    from search_engine_spark.plans.scoring import bm25_exhaustive_grouped
+
+    res = bm25_exhaustive_grouped(
+        spark, _postings(spark, sf_dir),
+        [["spark", "flink"], ["join"]], k=10, exclude=["filter"],
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+SQL_BM25_GROUPED_QUERY = f"""
+WITH {_TOK_CTE},
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(doclen) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+q(term, grp) AS (VALUES ('spark', 0), ('flink', 0), ('join', 1)),
+qt AS (SELECT DISTINCT term FROM q),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (tf.tf * {K1 + 1.0} / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / s.avgdl)))
+           AS partial
+  FROM tf JOIN qt USING (term) JOIN dfs USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+matched AS (
+  SELECT doc_id FROM tf JOIN q USING (term)
+  GROUP BY doc_id HAVING count(DISTINCT grp) = 2
+)
+SELECT doc_id, round(sum(partial), 6) AS score
+FROM scored
+WHERE doc_id IN (SELECT doc_id FROM matched)
+  AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'filter')
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def q_unigram_lm_quality(spark, sf_dir):
     """CCNet-style language-model quality signal, with a corpus
     unigram LM standing in for KenLM (not installable here; the
@@ -2274,6 +2318,7 @@ QUERIES = {
     "prefix_term_stats": q_prefix_term_stats,
     "fuzzy_term_match": q_fuzzy_term_match,
     "symspell_suggest": q_symspell_suggest,
+    "bm25_grouped_query": q_bm25_grouped_query,
     "more_like_this": q_more_like_this,
     "unigram_lm_quality": q_unigram_lm_quality,
     "url_canonical_dedup": q_url_canonical_dedup,
@@ -2341,6 +2386,7 @@ ORACLES = {
     "prefix_term_stats": SQL_PREFIX_TERM_STATS,
     "fuzzy_term_match": SQL_FUZZY_TERM_MATCH,
     "symspell_suggest": SQL_SYMSPELL_SUGGEST,
+    "bm25_grouped_query": SQL_BM25_GROUPED_QUERY,
     "more_like_this": SQL_MORE_LIKE_THIS,
     "unigram_lm_quality": SQL_UNIGRAM_LM_QUALITY,
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,

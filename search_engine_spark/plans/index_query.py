@@ -246,10 +246,14 @@ class IndexReader:
             edocs = self._excluded_docs_df(list(dict.fromkeys(exclude)))
             if edocs is not None:
                 agg = agg.join(edocs, "doc_id", "left_anti")
-        ranked = agg.select("doc_id", "score")
+        return self._topk(agg.select("doc_id", "score"), k, offset)
+
+    @staticmethod
+    def _topk(ranked: DataFrame, k: int, offset: int) -> DataFrame:
+        """(score desc, doc_id asc) top-k with optional offset paging.
+        TakeOrderedAndProject still applies (limit offset+k is a
+        constant); the leading rows are dropped driver-side cheap."""
         if offset:
-            # TakeOrderedAndProject still applies (limit offset+k is a
-            # constant); the leading rows are dropped driver-side cheap
             w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
             return (
                 ranked.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -262,6 +266,87 @@ class IndexReader:
             ranked.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
+
+    def search_grouped(self, qtext_or_groups, *, k: int = 10,
+                       stem: bool = True, exclude=None,
+                       offset: int = 0) -> DataFrame:
+        """Distributed grouped boolean query (parse_grouped_query
+        semantics; result-identical to LocalSearcher.search_grouped):
+        scoring runs over the DISTINCT query terms; the
+        conjunction-of-groups is a separate (term, grp) broadcast
+        join filtered on count(DISTINCT grp) == n_groups and
+        semi-joined back. A group whose terms are all absent is
+        naturally unsatisfiable."""
+        from search_engine_spark.plans.scoring import parse_grouped_query
+
+        spark = self.spark
+        if isinstance(qtext_or_groups, str):
+            groups, parsed_excl = parse_grouped_query(
+                qtext_or_groups, stem=stem
+            )
+            if exclude is None and parsed_excl:
+                exclude = parsed_excl
+        else:
+            groups = [list(dict.fromkeys(g)) for g in qtext_or_groups]
+        if isinstance(exclude, str):
+            exclude = analyze_query(exclude, stem=stem)
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        if not groups:
+            return empty
+        all_terms = list(dict.fromkeys(t for g in groups for t in g))
+        dict_rows = self.lookup_terms(all_terms)
+        found = {r.term: r for r in dict_rows}
+        groups = [[t for t in g if t in found] for g in groups]
+        if any(not g for g in groups):
+            return empty
+        terms = list(dict.fromkeys(t for g in groups for t in g))
+        idf_df = spark.createDataFrame(
+            [
+                (t, math.log(1.0 + (self.n_docs - found[t].df + 0.5)
+                             / (found[t].df + 0.5)))
+                for t in terms
+            ],
+            "term string, idf double",
+        )
+        buckets = sorted({found[t].bucket for t in terms})
+        decoded = self.decoded_postings(terms, buckets)
+        scored = decoded.join(F.broadcast(idf_df), "term").withColumn(
+            "partial",
+            F.col("idf")
+            * (
+                F.col("tf").cast("double") * F.lit(K1 + 1.0)
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(K1)
+                    * (
+                        F.lit(1.0 - B)
+                        + F.lit(B) * F.col("doclen").cast("double")
+                        / F.lit(self.avgdl)
+                    )
+                )
+            ),
+        )
+        grp_df = spark.createDataFrame(
+            [(t, gi) for gi, g in enumerate(groups) for t in g],
+            "term string, grp int",
+        )
+        match = (
+            decoded.join(F.broadcast(grp_df), "term")
+            .groupBy("doc_id")
+            .agg(F.count_distinct(F.col("grp")).alias("ng"))
+            .filter(F.col("ng") == len(groups))
+            .select("doc_id")
+        )
+        agg = (
+            scored.groupBy("doc_id")
+            .agg(F.sum("partial").alias("score"))
+            .join(match, "doc_id", "left_semi")
+        )
+        if exclude:
+            edocs = self._excluded_docs_df(list(dict.fromkeys(exclude)))
+            if edocs is not None:
+                agg = agg.join(edocs, "doc_id", "left_anti")
+        return self._topk(agg.select("doc_id", "score"), k, offset)
 
     def search_batch(
         self, queries: dict, *, k: int = 10, stem: bool = True,

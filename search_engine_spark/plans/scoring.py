@@ -52,6 +52,101 @@ def analyze_query(qtext: str, *, stem: bool = True) -> list[str]:
     return list(seen)
 
 
+def parse_grouped_query(qtext: str, *, stem: bool = True,
+                        ) -> tuple[list[list[str]], list[str]]:
+    """Boolean query syntax -> (groups, exclude).
+
+    Whitespace-separated clauses; 'a|b' inside a clause is an
+    OR-group of alternatives, '-term' a NOT-term. Semantics (shared
+    by every engine path and the bm25_grouped_query oracle):
+    a candidate doc contains >= 1 term of EVERY group; its score is
+    the plain BM25 sum over ALL DISTINCT matched query terms (a term
+    repeated across groups scores once but still satisfies each of
+    its groups); docs containing any NOT-term are suppressed. Plain
+    AND is the special case of singleton groups, OR of a single
+    group. Identical repeated groups are collapsed (they impose the
+    same constraint)."""
+    groups: list[list[str]] = []
+    exclude: list[str] = []
+    for tok in qtext.split():
+        if tok.startswith("-") and len(tok) > 1:
+            exclude.extend(analyze_query(tok[1:], stem=stem))
+            continue
+        g = list(dict.fromkeys(
+            t for alt in tok.split("|") for t in analyze_query(alt, stem=stem)
+        ))
+        # all-punctuation clause vanishes; duplicate groups collapse
+        if g and g not in groups:
+            groups.append(g)
+    return groups, list(dict.fromkeys(exclude))
+
+
+def bm25_exhaustive_grouped(
+    spark: SparkSession,
+    postings_flat: DataFrame,
+    groups: list[list[str]],
+    *,
+    k: int = 10,
+    exclude=None,
+) -> DataFrame:
+    """Grouped boolean BM25 off flat postings (parse_grouped_query
+    semantics). Plan shape: bm25_exhaustive's scoring side runs over
+    the DISTINCT query terms (each matched term contributes exactly
+    once even when it appears in several groups); the conjunction is
+    a separate (term, grp) broadcast join filtered on
+    count(DISTINCT grp) == n_groups, semi-joined back — a group whose
+    terms are all absent from the corpus is then naturally
+    unsatisfiable (no special-casing)."""
+    n_groups = len(groups)
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if n_groups == 0:
+        return empty
+    qrows = [(t, gi) for gi, g in enumerate(groups) for t in g]
+    if not qrows:
+        return empty
+    terms = list(dict.fromkeys(t for t, _ in qrows))
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    cand = postings_flat.join(F.broadcast(tdf), "term")
+    dfs = cand.groupBy("term").agg(F.count("*").alias("df"))
+    stats = (
+        postings_flat.select("doc_id", "doclen")
+        .dropDuplicates(["doc_id"])
+        .agg(F.count("*").alias("n_docs"), F.avg("doclen").alias("avgdl"))
+    )
+    scored = (
+        cand.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "partial",
+            idf_expr(F.col("df"), F.col("n_docs"))
+            * tfnorm_expr(F.col("tf"), F.col("doclen"), F.col("avgdl")),
+        )
+    )
+    qdf = spark.createDataFrame(qrows, "term string, grp int")
+    match = (
+        postings_flat.join(F.broadcast(qdf), "term")
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("grp")).alias("n_groups_matched"))
+        .filter(F.col("n_groups_matched") == n_groups)
+        .select("doc_id")
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("partial").alias("score"),
+    ).join(match, "doc_id", "left_semi")
+    if exclude:
+        edf = spark.createDataFrame([(t,) for t in exclude], "term string")
+        excluded_docs = (
+            postings_flat.join(F.broadcast(edf), "term")
+            .select("doc_id").distinct()
+        )
+        agg = agg.join(excluded_docs, "doc_id", "left_anti")
+    return (
+        agg.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def bm25_exhaustive(
     spark: SparkSession,
     postings_flat: DataFrame,

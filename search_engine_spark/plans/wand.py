@@ -261,6 +261,65 @@ class LocalSearcher:
         out.sort()
         return out[:limit]
 
+    def search_grouped(
+        self, qtext_or_groups, *, k: int = 10, stem: bool = True,
+        exclude=None, after: tuple[int, float] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Grouped boolean query (parse_grouped_query semantics):
+        conjunction of OR-groups — 'spark|flink join -slow' — docs
+        containing >= 1 term of every group, scored by the BM25 sum
+        over ALL distinct matched query terms, NOT-terms suppressed.
+
+        Evaluation is the exact vectorized path: every distinct term's
+        merged (doc_ids, contribution) list is decoded once (rides the
+        same query-independent serving cache as warm AND/OR), group
+        membership is a searchsorted mask per term OR-ed per group and
+        AND-ed across groups, scores scatter-add over the union.
+        Block-max group bounds are a possible future optimization; the
+        decode cost is bounded by the query's posting mass exactly
+        like a cold OR query. Supports the same `after` pagination
+        cursor as search()."""
+        from search_engine_spark.plans.scoring import parse_grouped_query
+
+        if isinstance(qtext_or_groups, str):
+            groups, parsed_excl = parse_grouped_query(
+                qtext_or_groups, stem=stem
+            )
+            if exclude is None and parsed_excl:
+                exclude = parsed_excl
+        else:
+            groups = [list(dict.fromkeys(g)) for g in qtext_or_groups]
+        if isinstance(exclude, str):
+            exclude = analyze_query(exclude, stem=stem)
+        if after is not None:
+            after = (int(after[0]), float(after[1]))
+        groups = [[t for t in g if t in self._df] for g in groups]
+        if not groups or any(not g for g in groups):
+            return []  # empty query, or an unsatisfiable group
+        terms = list(dict.fromkeys(t for g in groups for t in g))
+        lists = {t: self._load_full(t, self._idf(t)) for t in terms}
+        union = np.unique(np.concatenate([lists[t][0] for t in terms]))
+        if union.size == 0:
+            return []
+        excl = self._excluded_docs(exclude) if exclude else None
+        alive = np.ones(union.size, dtype=bool)
+        if excl is not None:
+            alive &= ~self._in_sorted(excl, union)
+        hits = {t: self._in_sorted(lists[t][0], union) for t in terms}
+        for g in groups:
+            g_mask = np.zeros(union.size, dtype=bool)
+            for t in g:
+                g_mask |= hits[t]
+            alive &= g_mask
+        scores = np.zeros(union.size, dtype=np.float64)
+        for t in terms:
+            od, oc = lists[t]
+            pos = np.searchsorted(union, od)
+            pos_c = np.minimum(pos, union.size - 1)
+            hit = union[pos_c] == od
+            scores[pos_c[hit]] += oc[hit]
+        return self._vector_topk(union[alive], scores[alive], k, after)
+
     def more_like_this(
         self, doc_id: int, *, k: int = 10, n_terms: int = 5,
         stem: bool = True,

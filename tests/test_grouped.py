@@ -1,0 +1,159 @@
+"""Grouped boolean queries (parse_grouped_query semantics):
+'(a|b) c -d' = docs with (a OR b) AND c, minus docs with d, scored as
+the BM25 sum over all distinct matched query terms.
+
+Ground truth is an independent pandas ranker sharing no code with the
+engine. All three engine paths must agree: exhaustive plan
+(bm25_exhaustive_grouped), local serving
+(LocalSearcher.search_grouped), distributed
+(IndexReader.search_grouped).
+"""
+
+import math
+from collections import Counter
+
+import pytest
+
+from search_engine_spark.plans.build_index import build_index
+from search_engine_spark.plans.index_query import IndexReader
+from search_engine_spark.plans.scoring import (
+    bm25_exhaustive_grouped,
+    parse_grouped_query,
+)
+from search_engine_spark.plans.wand import LocalSearcher
+
+from search_engine_spark import B, K1
+
+QUERIES = [
+    "spark|window join",
+    "the fast|slow",
+    "spark|flink join",          # flink unknown: group satisfiable via spark
+    "the -join fast|scan",       # NOT + group
+    "spark|join spark",          # term repeated across clauses
+    "window",                    # degenerate: plain single term
+    "qqq|zzz join",              # fully-unknown group -> empty
+]
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, documents, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index_grp"))
+    build_index(spark, documents, d, n_buckets=4, segment_size=64,
+                stem=False, salt_threshold=100, max_salts=4)
+    return d
+
+
+def _brute(documents_pdf, qtext, k=400):
+    groups, exclude = parse_grouped_query(qtext, stem=False)
+    toks = {int(r.doc_id): r.text.split()
+            for r in documents_pdf.itertuples()}
+    tf = {d: Counter(ts) for d, ts in toks.items()}
+    df = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    groups = [[t for t in g if df[t]] for g in groups]
+    if not groups or any(not g for g in groups):
+        return []
+    n = len(toks)
+    avgdl = sum(len(ts) for ts in toks.values()) / n
+    terms = list(dict.fromkeys(t for g in groups for t in g))
+
+    def idf(t):
+        return math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+
+    out = []
+    for d, c in tf.items():
+        if any(all(not c[t] for t in g) for g in groups):
+            continue
+        if any(c[t] for t in exclude):
+            continue
+        dl = len(toks[d])
+        s = sum(
+            idf(t) * (c[t] * (K1 + 1.0))
+            / (c[t] + K1 * (1.0 - B + B * dl / avgdl))
+            for t in terms if c[t]
+        )
+        out.append((-s, d))
+    out.sort()
+    return [(d, -ns) for ns, d in out[:k]]
+
+
+def _close(a, b):
+    assert [d for d, _ in a] == [d for d, _ in b]
+    for (_, x), (_, y) in zip(a, b):
+        assert x == pytest.approx(y, abs=1e-9)
+
+
+@pytest.mark.parametrize("qtext", QUERIES)
+def test_all_paths_match_bruteforce(spark, documents, documents_pdf,
+                                    index_dir, qtext):
+    want = _brute(documents_pdf, qtext, k=50)
+    qpos = " ".join(t for t in qtext.split() if not t.startswith("-"))
+    qneg = " ".join(t[1:] for t in qtext.split() if t.startswith("-"))
+    groups, _ = parse_grouped_query(qpos, stem=False)
+    exclude = qneg.split() or None
+
+    from search_engine_spark.operators.aggregates import (
+        doc_lengths,
+        split_terms,
+        term_frequencies,
+    )
+    tf = term_frequencies(split_terms(documents))
+    post = tf.join(doc_lengths(tf), "doc_id").select(
+        "term", "doc_id", "tf", "doclen"
+    )
+    exh = [
+        (r.doc_id, r.score)
+        for r in bm25_exhaustive_grouped(
+            spark, post, groups, k=50, exclude=exclude
+        ).collect()
+    ]
+    _close(exh, want)
+
+    local = LocalSearcher(index_dir).search_grouped(
+        qpos, k=50, stem=False, exclude=exclude
+    )
+    _close(local, want)
+
+    dist = [
+        (r.doc_id, r.score)
+        for r in IndexReader(spark, index_dir)
+        .search_grouped(qpos, k=50, stem=False, exclude=exclude)
+        .collect()
+    ]
+    _close(dist, want)
+
+
+def test_parser():
+    g, e = parse_grouped_query("spark|flink join -slow -bad", stem=False)
+    assert g == [["spark", "flink"], ["join"]]
+    assert e == ["slow", "bad"]
+    g, e = parse_grouped_query("a|b a", stem=False)  # cross-group repeat
+    assert g == [["a", "b"], ["a"]]
+    g, e = parse_grouped_query("a|b a|b", stem=False)  # identical groups
+    assert g == [["a", "b"]]
+    g, e = parse_grouped_query("... -", stem=False)
+    assert g == [] and e == []
+
+
+def test_grouped_inline_not_syntax(index_dir):
+    """search_grouped(str) parses '-term' itself when no explicit
+    exclude is given."""
+    s = LocalSearcher(index_dir)
+    a = s.search_grouped("the fast|scan -join", k=20, stem=False)
+    b = s.search_grouped("the fast|scan", k=20, stem=False,
+                         exclude=["join"])
+    assert a == b
+
+
+def test_grouped_pagination(index_dir):
+    s = LocalSearcher(index_dir)
+    full = s.search_grouped("the fast|slow", k=600, stem=False)
+    pages, after = [], None
+    while True:
+        h = s.search_grouped("the fast|slow", k=7, stem=False, after=after)
+        if not h:
+            break
+        pages.extend(h)
+        after = h[-1]
+    assert pages == full
