@@ -239,7 +239,7 @@ def main() -> None:
         qpos, qneg = split_not_terms(args.qtext)
         spark = get_spark("query")
         reader = IndexReader(spark, args.index_dir)
-        if "|" in qpos:
+        if "|" in qpos or "^" in qpos:
             res_df = reader.search_grouped(qpos, k=args.k, stem=stem,
                                            exclude=qneg or None,
                                            offset=args.offset)
@@ -254,7 +254,7 @@ def main() -> None:
 
         qpos, qneg = split_not_terms(args.qtext)
         s = LocalSearcher(args.index_dir)
-        if "|" in qpos:
+        if "|" in qpos or "^" in qpos:
             results[""] = s.search_grouped(
                 qpos, k=kk, stem=stem, exclude=qneg or None,
             )[args.offset:]

@@ -1284,6 +1284,42 @@ GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_bm25_boosted_query(spark, sf_dir):
+    """Query-time term boosts (Lucene 'term^w' syntax): 'spark^2
+    join^0.5' — per-term contribution = boost * idf * tfnorm,
+    conjunctive candidates. Pins the boost algebra cross-engine;
+    serving twins parse the same syntax
+    (scoring.parse_grouped_query)."""
+    from search_engine_spark.plans.scoring import bm25_exhaustive_grouped
+
+    res = bm25_exhaustive_grouped(
+        spark, _postings(spark, sf_dir),
+        [["spark"], ["join"]], k=10,
+        boosts={"spark": 2.0, "join": 0.5},
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+SQL_BM25_BOOSTED_QUERY = f"""
+WITH {_TOK_CTE},
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(doclen) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+q(term, grp, boost) AS (VALUES ('spark', 0, 2.0), ('join', 1, 0.5)),
+scored AS (
+  SELECT tf.doc_id, q.grp,
+         q.boost * ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (tf.tf * {K1 + 1.0} / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / s.avgdl)))
+           AS partial
+  FROM tf JOIN q USING (term) JOIN dfs USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(partial), 6) AS score
+FROM scored GROUP BY doc_id
+HAVING count(DISTINCT grp) = 2
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def q_unigram_lm_quality(spark, sf_dir):
     """CCNet-style language-model quality signal, with a corpus
     unigram LM standing in for KenLM (not installable here; the
@@ -2319,6 +2355,7 @@ QUERIES = {
     "fuzzy_term_match": q_fuzzy_term_match,
     "symspell_suggest": q_symspell_suggest,
     "bm25_grouped_query": q_bm25_grouped_query,
+    "bm25_boosted_query": q_bm25_boosted_query,
     "more_like_this": q_more_like_this,
     "unigram_lm_quality": q_unigram_lm_quality,
     "url_canonical_dedup": q_url_canonical_dedup,
@@ -2387,6 +2424,7 @@ ORACLES = {
     "fuzzy_term_match": SQL_FUZZY_TERM_MATCH,
     "symspell_suggest": SQL_SYMSPELL_SUGGEST,
     "bm25_grouped_query": SQL_BM25_GROUPED_QUERY,
+    "bm25_boosted_query": SQL_BM25_BOOSTED_QUERY,
     "more_like_this": SQL_MORE_LIKE_THIS,
     "unigram_lm_quality": SQL_UNIGRAM_LM_QUALITY,
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,

@@ -269,7 +269,8 @@ class IndexReader:
 
     def search_grouped(self, qtext_or_groups, *, k: int = 10,
                        stem: bool = True, exclude=None,
-                       offset: int = 0) -> DataFrame:
+                       offset: int = 0,
+                       boosts: dict[str, float] | None = None) -> DataFrame:
         """Distributed grouped boolean query (parse_grouped_query
         semantics; result-identical to LocalSearcher.search_grouped):
         scoring runs over the DISTINCT query terms; the
@@ -281,13 +282,16 @@ class IndexReader:
 
         spark = self.spark
         if isinstance(qtext_or_groups, str):
-            groups, parsed_excl = parse_grouped_query(
+            groups, parsed_excl, parsed_boosts = parse_grouped_query(
                 qtext_or_groups, stem=stem
             )
             if exclude is None and parsed_excl:
                 exclude = parsed_excl
+            if boosts is None:
+                boosts = parsed_boosts
         else:
             groups = [list(dict.fromkeys(g)) for g in qtext_or_groups]
+        boosts = boosts or {}
         if isinstance(exclude, str):
             exclude = analyze_query(exclude, stem=stem)
         empty = spark.createDataFrame([], "doc_id long, score double")
@@ -300,10 +304,13 @@ class IndexReader:
         if any(not g for g in groups):
             return empty
         terms = list(dict.fromkeys(t for g in groups for t in g))
+        # query-time boost folded into the broadcast idf value
+        # (score = boost * idf * tfnorm); * 1.0 is bit-exact
         idf_df = spark.createDataFrame(
             [
-                (t, math.log(1.0 + (self.n_docs - found[t].df + 0.5)
-                             / (found[t].df + 0.5)))
+                (t, boosts.get(t, 1.0)
+                 * math.log(1.0 + (self.n_docs - found[t].df + 0.5)
+                            / (found[t].df + 0.5)))
                 for t in terms
             ],
             "term string, idf double",

@@ -52,33 +52,61 @@ def analyze_query(qtext: str, *, stem: bool = True) -> list[str]:
     return list(seen)
 
 
-def parse_grouped_query(qtext: str, *, stem: bool = True,
-                        ) -> tuple[list[list[str]], list[str]]:
-    """Boolean query syntax -> (groups, exclude).
+def _split_boost(alt: str) -> tuple[str, float]:
+    """'term^2.5' -> ('term', 2.5); no suffix -> boost 1.0. A negative
+    or malformed boost raises (silently scoring backwards would be
+    worse than failing)."""
+    if "^" not in alt:
+        return alt, 1.0
+    body, _, raw = alt.rpartition("^")
+    try:
+        boost = float(raw)
+    except ValueError:
+        raise ValueError(f"malformed boost in clause {alt!r}") from None
+    if boost < 0:
+        raise ValueError(f"negative boost in clause {alt!r}")
+    return body, boost
+
+
+def parse_grouped_query(
+    qtext: str, *, stem: bool = True,
+) -> tuple[list[list[str]], list[str], dict[str, float]]:
+    """Boolean query syntax -> (groups, exclude, boosts).
 
     Whitespace-separated clauses; 'a|b' inside a clause is an
-    OR-group of alternatives, '-term' a NOT-term. Semantics (shared
-    by every engine path and the bm25_grouped_query oracle):
-    a candidate doc contains >= 1 term of EVERY group; its score is
-    the plain BM25 sum over ALL DISTINCT matched query terms (a term
-    repeated across groups scores once but still satisfies each of
-    its groups); docs containing any NOT-term are suppressed. Plain
-    AND is the special case of singleton groups, OR of a single
-    group. Identical repeated groups are collapsed (they impose the
-    same constraint)."""
+    OR-group of alternatives, '-term' a NOT-term, 'term^2.5' a
+    query-time boost (Lucene syntax; boost multiplies that term's
+    BM25 contribution; default 1.0). Semantics (shared by every
+    engine path and the bm25_grouped_query / bm25_boosted_query
+    oracles): a candidate doc contains >= 1 term of EVERY group; its
+    score is sum over ALL DISTINCT matched query terms of
+    boost_t * idf_t * tfnorm (a term repeated across groups scores
+    once — its FIRST boost wins — but still satisfies each of its
+    groups); docs containing any NOT-term are suppressed. Plain AND
+    is the special case of singleton groups, OR of a single group.
+    Identical repeated groups are collapsed (they impose the same
+    constraint); boosts on NOT-terms are ignored."""
     groups: list[list[str]] = []
     exclude: list[str] = []
+    boosts: dict[str, float] = {}
     for tok in qtext.split():
         if tok.startswith("-") and len(tok) > 1:
-            exclude.extend(analyze_query(tok[1:], stem=stem))
+            exclude.extend(analyze_query(_split_boost(tok[1:])[0],
+                                         stem=stem))
             continue
-        g = list(dict.fromkeys(
-            t for alt in tok.split("|") for t in analyze_query(alt, stem=stem)
-        ))
+        g: list[str] = []
+        for alt in tok.split("|"):
+            body, boost = _split_boost(alt)
+            for t in analyze_query(body, stem=stem):
+                if t not in g:
+                    g.append(t)
+                boosts.setdefault(t, boost)
         # all-punctuation clause vanishes; duplicate groups collapse
         if g and g not in groups:
             groups.append(g)
-    return groups, list(dict.fromkeys(exclude))
+    boosts = {t: b for t, b in boosts.items()
+              if any(t in g for g in groups)}
+    return groups, list(dict.fromkeys(exclude)), boosts
 
 
 def bm25_exhaustive_grouped(
@@ -88,15 +116,16 @@ def bm25_exhaustive_grouped(
     *,
     k: int = 10,
     exclude=None,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """Grouped boolean BM25 off flat postings (parse_grouped_query
-    semantics). Plan shape: bm25_exhaustive's scoring side runs over
-    the DISTINCT query terms (each matched term contributes exactly
-    once even when it appears in several groups); the conjunction is
-    a separate (term, grp) broadcast join filtered on
-    count(DISTINCT grp) == n_groups, semi-joined back — a group whose
-    terms are all absent from the corpus is then naturally
-    unsatisfiable (no special-casing)."""
+    semantics; boosts multiply per-term contributions). Plan shape:
+    bm25_exhaustive's scoring side runs over the DISTINCT query terms
+    (each matched term contributes exactly once even when it appears
+    in several groups); the conjunction is a separate (term, grp)
+    broadcast join filtered on count(DISTINCT grp) == n_groups,
+    semi-joined back — a group whose terms are all absent from the
+    corpus is then naturally unsatisfiable (no special-casing)."""
     n_groups = len(groups)
     empty = spark.createDataFrame([], "doc_id long, score double")
     if n_groups == 0:
@@ -104,8 +133,12 @@ def bm25_exhaustive_grouped(
     qrows = [(t, gi) for gi, g in enumerate(groups) for t in g]
     if not qrows:
         return empty
+    boosts = boosts or {}
     terms = list(dict.fromkeys(t for t, _ in qrows))
-    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    tdf = spark.createDataFrame(
+        [(t, float(boosts.get(t, 1.0))) for t in terms],
+        "term string, boost double",
+    )
     cand = postings_flat.join(F.broadcast(tdf), "term")
     dfs = cand.groupBy("term").agg(F.count("*").alias("df"))
     stats = (
@@ -118,7 +151,8 @@ def bm25_exhaustive_grouped(
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "partial",
-            idf_expr(F.col("df"), F.col("n_docs"))
+            F.col("boost")
+            * idf_expr(F.col("df"), F.col("n_docs"))
             * tfnorm_expr(F.col("tf"), F.col("doclen"), F.col("avgdl")),
         )
     )

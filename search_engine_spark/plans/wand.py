@@ -264,11 +264,13 @@ class LocalSearcher:
     def search_grouped(
         self, qtext_or_groups, *, k: int = 10, stem: bool = True,
         exclude=None, after: tuple[int, float] | None = None,
+        boosts: dict[str, float] | None = None,
     ) -> list[tuple[int, float]]:
         """Grouped boolean query (parse_grouped_query semantics):
-        conjunction of OR-groups — 'spark|flink join -slow' — docs
-        containing >= 1 term of every group, scored by the BM25 sum
-        over ALL distinct matched query terms, NOT-terms suppressed.
+        conjunction of OR-groups — 'spark|flink^0.5 join^2 -slow' —
+        docs containing >= 1 term of every group, scored by the sum
+        over ALL distinct matched query terms of
+        boost * idf * tfnorm, NOT-terms suppressed.
 
         Evaluation is the exact vectorized path: every distinct term's
         merged (doc_ids, contribution) list is decoded once (rides the
@@ -282,13 +284,16 @@ class LocalSearcher:
         from search_engine_spark.plans.scoring import parse_grouped_query
 
         if isinstance(qtext_or_groups, str):
-            groups, parsed_excl = parse_grouped_query(
+            groups, parsed_excl, parsed_boosts = parse_grouped_query(
                 qtext_or_groups, stem=stem
             )
             if exclude is None and parsed_excl:
                 exclude = parsed_excl
+            if boosts is None:
+                boosts = parsed_boosts
         else:
             groups = [list(dict.fromkeys(g)) for g in qtext_or_groups]
+        boosts = boosts or {}
         if isinstance(exclude, str):
             exclude = analyze_query(exclude, stem=stem)
         if after is not None:
@@ -317,7 +322,8 @@ class LocalSearcher:
             pos = np.searchsorted(union, od)
             pos_c = np.minimum(pos, union.size - 1)
             hit = union[pos_c] == od
-            scores[pos_c[hit]] += oc[hit]
+            # x * 1.0 is bit-exact, so unboosted queries are unchanged
+            scores[pos_c[hit]] += oc[hit] * boosts.get(t, 1.0)
         return self._vector_topk(union[alive], scores[alive], k, after)
 
     def more_like_this(

@@ -32,6 +32,8 @@ QUERIES = [
     "spark|join spark",          # term repeated across clauses
     "window",                    # degenerate: plain single term
     "qqq|zzz join",              # fully-unknown group -> empty
+    "spark^2 join^0.5",          # boosted AND
+    "the^0 fast|scan^3 -join",   # zero boost + boosted alternative
 ]
 
 
@@ -44,7 +46,7 @@ def index_dir(spark, documents, tmp_path_factory):
 
 
 def _brute(documents_pdf, qtext, k=400):
-    groups, exclude = parse_grouped_query(qtext, stem=False)
+    groups, exclude, boosts = parse_grouped_query(qtext, stem=False)
     toks = {int(r.doc_id): r.text.split()
             for r in documents_pdf.itertuples()}
     tf = {d: Counter(ts) for d, ts in toks.items()}
@@ -69,7 +71,7 @@ def _brute(documents_pdf, qtext, k=400):
             continue
         dl = len(toks[d])
         s = sum(
-            idf(t) * (c[t] * (K1 + 1.0))
+            boosts.get(t, 1.0) * idf(t) * (c[t] * (K1 + 1.0))
             / (c[t] + K1 * (1.0 - B + B * dl / avgdl))
             for t in terms if c[t]
         )
@@ -90,7 +92,7 @@ def test_all_paths_match_bruteforce(spark, documents, documents_pdf,
     want = _brute(documents_pdf, qtext, k=50)
     qpos = " ".join(t for t in qtext.split() if not t.startswith("-"))
     qneg = " ".join(t[1:] for t in qtext.split() if t.startswith("-"))
-    groups, _ = parse_grouped_query(qpos, stem=False)
+    groups, _, boosts = parse_grouped_query(qpos, stem=False)
     exclude = qneg.split() or None
 
     from search_engine_spark.operators.aggregates import (
@@ -105,7 +107,7 @@ def test_all_paths_match_bruteforce(spark, documents, documents_pdf,
     exh = [
         (r.doc_id, r.score)
         for r in bm25_exhaustive_grouped(
-            spark, post, groups, k=50, exclude=exclude
+            spark, post, groups, k=50, exclude=exclude, boosts=boosts
         ).collect()
     ]
     _close(exh, want)
@@ -125,15 +127,30 @@ def test_all_paths_match_bruteforce(spark, documents, documents_pdf,
 
 
 def test_parser():
-    g, e = parse_grouped_query("spark|flink join -slow -bad", stem=False)
+    g, e, b = parse_grouped_query("spark|flink join -slow -bad", stem=False)
     assert g == [["spark", "flink"], ["join"]]
     assert e == ["slow", "bad"]
-    g, e = parse_grouped_query("a|b a", stem=False)  # cross-group repeat
+    assert b == {"spark": 1.0, "flink": 1.0, "join": 1.0}
+    g, e, b = parse_grouped_query("a|b a", stem=False)  # cross-group repeat
     assert g == [["a", "b"], ["a"]]
-    g, e = parse_grouped_query("a|b a|b", stem=False)  # identical groups
+    g, e, b = parse_grouped_query("a|b a|b", stem=False)  # identical groups
     assert g == [["a", "b"]]
-    g, e = parse_grouped_query("... -", stem=False)
+    g, e, b = parse_grouped_query("... -", stem=False)
     assert g == [] and e == []
+
+
+def test_parser_boosts():
+    g, e, b = parse_grouped_query("spark^2 a|b^0.5 -slow^9", stem=False)
+    assert g == [["spark"], ["a", "b"]]
+    assert e == ["slow"]  # boost on a NOT-term is ignored
+    assert b == {"spark": 2.0, "a": 1.0, "b": 0.5}
+    g, e, b = parse_grouped_query("a^1 a^7", stem=False)  # first boost wins
+    assert b == {"a": 1.0}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        parse_grouped_query("a^-1", stem=False)
+    with _pytest.raises(ValueError):
+        parse_grouped_query("a^x", stem=False)
 
 
 def test_grouped_inline_not_syntax(index_dir):
