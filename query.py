@@ -228,10 +228,16 @@ def main() -> None:
 
             s = LocalSearcher(args.index_dir)
             for qid, text in queries.items():
-                results[qid] = s.search(text, k=kk, stem=stem,
-                                        mode=args.mode,
-                                        exclude=not_terms.get(qid) or None
-                                        )[args.offset:]
+                if "|" in text or "^" in text:
+                    results[qid] = s.search_grouped(
+                        text, k=kk, stem=stem,
+                        exclude=not_terms.get(qid) or None,
+                    )[args.offset:]
+                else:
+                    results[qid] = s.search(
+                        text, k=kk, stem=stem, mode=args.mode,
+                        exclude=not_terms.get(qid) or None,
+                    )[args.offset:]
     elif args.distributed:
         from search_engine_spark.plans.index_query import IndexReader
         from search_engine_spark.session import get_spark

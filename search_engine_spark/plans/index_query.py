@@ -372,18 +372,45 @@ class IndexReader:
         of excluded terms, fanned out by a broadcast (query_id, term)
         map and anti-joined on (query_id, doc_id). Ranks are assigned
         AFTER exclusion, so each query's top-k refills.
+
+        Query strings may use the full grouped syntax ('a|b c^2 -d',
+        parse_grouped_query semantics; '-d' merges into this query's
+        excludes). Internally EVERY query is grouped: a plain query
+        is singleton groups under mode='and' and one group under
+        mode='or', so one broadcast (query_id, term, grp, widf) map —
+        widf = boost*idf on the term's FIRST group row, 0.0 on
+        repeats so a cross-group-repeated term scores once — and one
+        aggregation (sum(widf*tfnorm), count(DISTINCT grp) ==
+        n_groups) serve all shapes.
         """
         if mode not in ("and", "or"):
             raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
         spark = self.spark
         from pyspark.sql import Window as W
 
-        analyzed = {
-            qid: (analyze_query(q, stem=stem) if isinstance(q, str)
-                  else list(dict.fromkeys(q)))
-            for qid, q in queries.items()
-        }
-        all_terms = sorted({t for ts in analyzed.values() for t in ts})
+        from search_engine_spark.plans.scoring import parse_grouped_query
+
+        excludes = dict(excludes or {})
+        parsed: dict[str, tuple[list[list[str]], dict[str, float]]] = {}
+        for qid, q in queries.items():
+            if isinstance(q, str):
+                groups, pexcl, boosts = parse_grouped_query(q, stem=stem)
+                if pexcl:
+                    prev = excludes.get(qid)
+                    prev = (analyze_query(prev, stem=stem)
+                            if isinstance(prev, str) else list(prev or []))
+                    excludes[qid] = prev + pexcl
+                if mode == "or" and "|" not in q and "^" not in q:
+                    flat = [t for g in groups for t in g]
+                    groups = [flat] if flat else []
+            else:
+                terms = list(dict.fromkeys(q))
+                groups = ([[t] for t in terms] if mode == "and"
+                          else ([terms] if terms else []))
+                boosts = {}
+            parsed[qid] = (groups, boosts)
+        all_terms = sorted({t for g, _ in parsed.values()
+                            for gg in g for t in gg})
         empty = spark.createDataFrame(
             [], "query_id string, rank long, doc_id long, score double"
         )
@@ -391,30 +418,46 @@ class IndexReader:
             return empty
         dict_rows = self.lookup_terms(all_terms)
         found = {r.term: r for r in dict_rows}
-        # conjunctive semantics: a query with any unknown term is empty
-        live = {
-            qid: ts for qid, ts in analyzed.items()
-            if ts and (mode != "and" or all(t in found for t in ts))
-        }
-        live = {qid: [t for t in ts if t in found] for qid, ts in live.items()}
-        live = {qid: ts for qid, ts in live.items() if ts}
+        # drop unknown terms; a query with an emptied group is dead
+        # (conjunctive semantics — matches single-query behavior)
+        live: dict[str, tuple[list[list[str]], dict[str, float]]] = {}
+        for qid, (groups, boosts) in parsed.items():
+            if not groups:
+                continue
+            kept = [[t for t in g if t in found] for g in groups]
+            if all(kept):
+                live[qid] = (kept, boosts)
         if not live:
             return empty
-        qterm_rows = [
-            (str(qid), t,
-             math.log(1.0 + (self.n_docs - found[t].df + 0.5) / (found[t].df + 0.5)),
-             len(ts))
-            for qid, ts in live.items() for t in ts
-        ]
+
+        def _idf(t):
+            return math.log(
+                1.0 + (self.n_docs - found[t].df + 0.5) / (found[t].df + 0.5)
+            )
+
+        qterm_rows = []
+        for qid, (groups, boosts) in live.items():
+            seen: set[str] = set()
+            for gi, g in enumerate(groups):
+                for t in g:
+                    widf = 0.0
+                    if t not in seen:
+                        seen.add(t)
+                        widf = boosts.get(t, 1.0) * _idf(t)
+                    qterm_rows.append(
+                        (str(qid), t, gi, widf, len(groups))
+                    )
         qmap = spark.createDataFrame(
-            qterm_rows, "query_id string, term string, idf double, n_terms int"
+            qterm_rows,
+            "query_id string, term string, grp int, widf double,"
+            " n_groups int",
         )
-        need = sorted({t for ts in live.values() for t in ts})
+        need = sorted({t for g, _ in live.values() for gg in g for t in gg})
         buckets = sorted({found[t].bucket for t in need})
         decoded = self.decoded_postings(need, buckets)
         scored = decoded.join(F.broadcast(qmap), "term").withColumn(
             "partial",
-            F.col("idf")
+            F.col("widf")
             * (
                 F.col("tf").cast("double") * F.lit(K1 + 1.0)
                 / (
@@ -429,11 +472,9 @@ class IndexReader:
         )
         agg = scored.groupBy("query_id", "doc_id").agg(
             F.sum("partial").alias("score"),
-            F.count("*").alias("n_matched"),
-            F.first("n_terms").alias("n_terms"),
-        )
-        if mode == "and":
-            agg = agg.filter(F.col("n_matched") == F.col("n_terms"))
+            F.count_distinct(F.col("grp")).alias("n_matched"),
+            F.first("n_groups").alias("n_groups"),
+        ).filter(F.col("n_matched") == F.col("n_groups"))
         if excludes:
             emap = {
                 str(qid): [

@@ -163,6 +163,28 @@ def test_grouped_inline_not_syntax(index_dir):
     assert a == b
 
 
+def test_batch_mixed_grouped(spark, index_dir, documents_pdf):
+    """ONE search_batch job answering plain, grouped, boosted, and
+    NOT-carrying queries — each must equal the brute-force ranking."""
+    queries = {
+        "plain": "spark join",
+        "grp": "spark|window join",
+        "boost": "spark^2 join^0.5",
+        "notq": "the fast|scan -join",
+        "dead": "qqq|zzz join",
+    }
+    rows = (
+        IndexReader(spark, index_dir)
+        .search_batch(queries, k=20, stem=False)
+        .collect()
+    )
+    got: dict[str, list] = {qid: [] for qid in queries}
+    for row in sorted(rows, key=lambda x: (x.query_id, x.rank)):
+        got[row.query_id].append((row.doc_id, row.score))
+    for qid, q in queries.items():
+        _close(got[qid], _brute(documents_pdf, q, k=20))
+
+
 def test_grouped_pagination(index_dir):
     s = LocalSearcher(index_dir)
     full = s.search_grouped("the fast|slow", k=600, stem=False)
