@@ -113,6 +113,10 @@ def main() -> None:
     k.add_argument("--index-dir", required=True)
     k.add_argument("--sample", type=int, default=200,
                    help="terms to check (highest-df always included)")
+    k.add_argument("--distributed", action="store_true",
+                   help="full-coverage Spark job: EVERY term and "
+                        "posting verified (the post-migration audit; "
+                        "the default sampled probe is the cheap one)")
 
     g = sub.add_parser("build-suggest",
                        help="derive the SymSpell-style spelling-"
@@ -127,7 +131,7 @@ def main() -> None:
         # it is safe to run against a live index from an ops shell
         print(json.dumps(index_stats(args.index_dir)))
         return
-    if args.cmd == "fsck":
+    if args.cmd == "fsck" and not args.distributed:
         from search_engine_spark.plans.fsck import fsck
 
         out = fsck(args.index_dir, sample_terms=args.sample)
@@ -165,6 +169,10 @@ def main() -> None:
         from search_engine_spark.plans.suggest import build_suggest
 
         summary = build_suggest(spark, args.index_dir)
+    elif args.cmd == "fsck":
+        from search_engine_spark.plans.fsck import fsck_distributed
+
+        summary = fsck_distributed(spark, args.index_dir)
     else:
         from search_engine_spark.plans.deletes import compact_index
 
@@ -175,6 +183,8 @@ def main() -> None:
     summary["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(summary))
     spark.stop()
+    if not summary.get("ok", True):
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

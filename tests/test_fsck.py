@@ -91,6 +91,28 @@ def test_detects_dangling_tombstone(index_dir):
     assert not any(" 1 not in urlmap" in e for e in out["errors"])
 
 
+def test_distributed_clean(spark, index_dir):
+    from search_engine_spark.plans.fsck import fsck_distributed
+
+    out = fsck_distributed(spark, index_dir)
+    assert out["ok"], out["errors"]
+    assert out["terms_checked"] > 0
+    assert out["postings_checked"] > 0
+
+
+def test_distributed_detects_duplicates(spark, index_dir):
+    from search_engine_spark.plans.fsck import fsck_distributed
+
+    frag = sorted(glob.glob(
+        os.path.join(index_dir, "postings", "bucket=*", "*.parquet")
+    ))[0]
+    shutil.copy(frag, frag.replace(".parquet", "-dup.parquet"))
+    out = fsck_distributed(spark, index_dir)
+    assert not out["ok"]
+    assert out["bad_terms"] > 0
+    assert any("I1/I2" in e for e in out["errors"])
+
+
 def test_cli_exit_codes(index_dir):
     env = dict(os.environ, PYTHONPATH=REPO)
     r = subprocess.run(
