@@ -58,6 +58,22 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # decontamination shingle join is a keyed equi-join, never all-pairs
     "split_contamination": (["HashAggregate"],
                             ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # SymSpell deletion join: probes broadcast against the variant
+    # table; candidate generation is an equi-join, never a vocab scan
+    # paired with the probe set
+    "symspell_suggest": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    # MLT: term selection and the OR query both broadcast the tiny
+    # side (the 1-row stats crossjoin is a BroadcastNestedLoopJoin)
+    "more_like_this": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    # grouped boolean: conjunction is a semi-join on doc_id, query
+    # side broadcast
+    "bm25_grouped_query": (["LeftSemi", "BroadcastHashJoin"],
+                           ["CartesianProduct"]),
+    # URL canonicalization is pure JVM regexp — no Python anywhere
+    "url_canonical_dedup": (["HashAggregate", "codegen id"],
+                            ["Python", "CartesianProduct"]),
+    # unigram LM: per-token logprob aggregation, keyed joins only
+    "unigram_lm_quality": (["HashAggregate"], ["CartesianProduct"]),
 }
 
 
