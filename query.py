@@ -109,6 +109,12 @@ def main() -> None:
                          "document frequency (df desc, term asc) — "
                          "row-group-pruned dictionary range scan, "
                          "no Spark job")
+    ap.add_argument("--explain-doc", type=int, metavar="DOC_ID",
+                    help="print a Lucene-style per-term score "
+                         "explanation of DOC_ID for the query "
+                         "(tf/df/idf/tfnorm/contribution per term, "
+                         "collection constants, total) — local, "
+                         "single query, no Spark job")
     ap.add_argument("--suggest", action="store_true",
                     help="print 'did you mean' spelling suggestions "
                          "for query terms missing from the dictionary "
@@ -166,6 +172,18 @@ def main() -> None:
             print(f"{rank}\t{term}\t{df}")
         print(json.dumps({"n": min(len(terms), args.k), "n_queries": 1,
                           "wall_s": round(time.time() - t0, 4)}))
+        return
+
+    if args.explain_doc is not None:
+        if args.batch or args.phrase or args.distributed:
+            ap.error("--explain-doc is a local single-query mode")
+        from search_engine_spark.plans.wand import LocalSearcher
+
+        qpos, _ = split_not_terms(args.qtext)
+        out = LocalSearcher(args.index_dir).explain_score(
+            qpos, args.explain_doc, stem=not args.no_stem
+        )
+        print(json.dumps(out, indent=2))
         return
 
     stem = not args.no_stem

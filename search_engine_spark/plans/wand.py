@@ -326,6 +326,68 @@ class LocalSearcher:
             scores[pos_c[hit]] += oc[hit] * boosts.get(t, 1.0)
         return self._vector_topk(union[alive], scores[alive], k, after)
 
+    def explain_score(self, qtext_or_terms, doc_id: int, *,
+                      stem: bool = True) -> dict:
+        """Lucene-explain-style score breakdown: why does `doc_id`
+        score what it scores for this query? Returns per matched term
+        (tf, df, doclen, idf, tfnorm, contribution) plus collection
+        constants and the total; `matched_all` says whether the doc
+        would survive conjunctive (AND) candidate generation. A
+        deleted or absent doc reports its terms as unmatched. Reads
+        only the segments whose [first_doc, last_doc] span admits the
+        doc — O(query terms), not O(posting lists)."""
+        if isinstance(qtext_or_terms, str):
+            qterms = analyze_query(qtext_or_terms, stem=stem)
+        else:
+            qterms = list(dict.fromkeys(qtext_or_terms))
+        doc_id = int(doc_id)
+        deleted = bool(
+            self._deleted.size
+            and self._in_sorted(
+                self._deleted, np.asarray([doc_id], dtype=np.int64)
+            )[0]
+        )
+        out_terms = []
+        total = 0.0
+        for t in qterms:
+            row = {"term": t, "matched": False, "df": None, "tf": None,
+                   "doclen": None, "idf": None, "tfnorm": None,
+                   "contribution": 0.0}
+            if t in self._df and not deleted:
+                row["df"] = int(self._df[t])
+                row["idf"] = self._idf(t)
+                segs = self._segments(t)
+                hit = segs[(segs.first_doc <= doc_id)
+                           & (segs.last_doc >= doc_id)]
+                for seg in hit.itertuples(index=False):
+                    docs, tfs = decode_postings(seg.doc_ids, seg.tfs)
+                    i = int(np.searchsorted(docs, doc_id))
+                    if i < len(docs) and docs[i] == doc_id:
+                        dls = decode_varints(seg.doclens)
+                        row["matched"] = True
+                        row["tf"] = int(tfs[i])
+                        row["doclen"] = int(dls[i])
+                        row["tfnorm"] = float(self._tfnorm(
+                            np.asarray([tfs[i]]),
+                            np.asarray([dls[i]], dtype=np.int64),
+                        )[0])
+                        row["contribution"] = row["idf"] * row["tfnorm"]
+                        break
+            total += row["contribution"]
+            out_terms.append(row)
+        return {
+            "doc_id": doc_id,
+            "deleted": deleted,
+            "n_docs": self.n_docs,
+            "avgdl": self.avgdl,
+            "k1": K1,
+            "b": B,
+            "terms": out_terms,
+            "matched_all": bool(out_terms)
+            and all(r["matched"] for r in out_terms),
+            "score": total,
+        }
+
     def more_like_this(
         self, doc_id: int, *, k: int = 10, n_terms: int = 5,
         stem: bool = True,
