@@ -185,6 +185,40 @@ def test_batch_mixed_grouped(spark, index_dir, documents_pdf):
         _close(got[qid], _brute(documents_pdf, q, k=20))
 
 
+def test_randomized_queries_vs_bruteforce(index_dir, documents_pdf):
+    """Fuzz the whole query language: 40 random queries (1-3 groups of
+    1-3 terms, random boosts incl. 0 and fractions, unknown terms
+    mixed in, 0-2 NOT-terms) — local serving must equal the
+    brute-force ranker on every one."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = sorted({t for text in documents_pdf["text"][:200]
+                    for t in text.split()})
+    s = LocalSearcher(index_dir)
+    n_nonempty = 0
+    for _ in range(40):
+        clauses = []
+        for _ in range(rng.randint(1, 3)):
+            alts = []
+            for _ in range(rng.randint(1, 3)):
+                t = (rng.choice(vocab) if rng.random() < 0.9
+                     else f"zzz{rng.randint(0, 9)}")
+                boost = rng.choice(["", "", "", "^2", "^0.5", "^0"])
+                alts.append(t + boost)
+            clauses.append("|".join(dict.fromkeys(alts)))
+        for _ in range(rng.randint(0, 2)):
+            clauses.append("-" + rng.choice(vocab))
+        qtext = " ".join(clauses)
+        want = _brute(documents_pdf, qtext, k=30)
+        qpos = " ".join(c for c in clauses if not c.startswith("-"))
+        excl = [c[1:] for c in clauses if c.startswith("-")] or None
+        got = s.search_grouped(qpos, k=30, stem=False, exclude=excl)
+        _close(got, want)
+        n_nonempty += bool(want)
+    assert n_nonempty >= 10  # the fuzz must actually exercise matches
+
+
 def test_grouped_pagination(index_dir):
     s = LocalSearcher(index_dir)
     full = s.search_grouped("the fast|slow", k=600, stem=False)
