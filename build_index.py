@@ -47,6 +47,11 @@ def main() -> None:
                          "(enables exact-phrase queries: query.py "
                          "--phrase). Roughly doubles index size — the "
                          "canonical positional-index cost")
+    ap.add_argument("--title-index", action="store_true",
+                    help="also index the <title> field as a second "
+                         "index under fields/title (pages input; "
+                         "enables query.py --title-weight multi-field "
+                         "ranking)")
     ap.add_argument("--store-text", action="store_true",
                     help="also persist a doc_id-sorted stored-field "
                          "table (docstore) so query.py --snippets can "
@@ -176,6 +181,20 @@ def main() -> None:
                 stem=not args.no_stem, html_col=html_col,
             )
         summary["positions_built"] = True
+    if args.title_index:
+        if args.input_format != "pages":
+            ap.error("--title-index needs pages input (html column)")
+        if args.extend:
+            ap.error("--title-index does not support --extend yet — "
+                     "rebuild the title field after extending (it is "
+                     "a small fraction of the main build)")
+        from search_engine_spark.plans.multifield import build_title_index
+
+        build_title_index(
+            spark, src, args.index_dir,
+            n_buckets=args.n_buckets, stem=not args.no_stem,
+        )
+        summary["title_index_built"] = True
     if args.store_text:
         from search_engine_spark.plans.docstore import build_docstore
 

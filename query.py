@@ -109,6 +109,12 @@ def main() -> None:
                          "document frequency (df desc, term asc) — "
                          "row-group-pruned dictionary range scan, "
                          "no Spark job")
+    ap.add_argument("--title-weight", type=float, default=None,
+                    metavar="W",
+                    help="multi-field ranking: score = body BM25 + "
+                         "W * title BM25 (requires an index built "
+                         "with build_index.py --title-index; local "
+                         "single query)")
     ap.add_argument("--explain-doc", type=int, metavar="DOC_ID",
                     help="print a Lucene-style per-term score "
                          "explanation of DOC_ID for the query "
@@ -171,6 +177,28 @@ def main() -> None:
         for rank, (term, df) in enumerate(terms[: args.k], 1):
             print(f"{rank}\t{term}\t{df}")
         print(json.dumps({"n": min(len(terms), args.k), "n_queries": 1,
+                          "wall_s": round(time.time() - t0, 4)}))
+        return
+
+    if args.title_weight is not None:
+        if args.batch or args.phrase or args.distributed:
+            ap.error("--title-weight is a local single-query mode")
+        if not os.path.isdir(
+            os.path.join(args.index_dir, "fields", "title")
+        ):
+            ap.error("--title-weight needs the title field index — "
+                     "rebuild with build_index.py --title-index")
+        from search_engine_spark.plans.multifield import MultiFieldSearcher
+
+        t0 = time.time()
+        qpos, qneg = split_not_terms(args.qtext)
+        hits = MultiFieldSearcher(
+            args.index_dir, title_weight=args.title_weight
+        ).search(qpos, k=args.k + args.offset, stem=not args.no_stem,
+                 mode=args.mode, exclude=qneg or None)[args.offset:]
+        for rank, (doc_id, score) in enumerate(hits, 1 + args.offset):
+            print(f"{rank}\t{doc_id}\t{score:.6f}")
+        print(json.dumps({"n": len(hits), "n_queries": 1,
                           "wall_s": round(time.time() - t0, 4)}))
         return
 

@@ -1240,6 +1240,116 @@ FROM vocab WHERE levenshtein(term, 'spak') <= 1
 """
 
 
+def q_multifield_bm25(spark, sf_dir):
+    """Multi-field ranking (plans/multifield model): score = body
+    BM25 + 2.0 * title BM25, each field against its OWN statistics
+    (df / n_docs / avgdl of that field), candidates = conjunctive
+    body matches, title only re-ranks. The title field here is a
+    deterministic surrogate — the first 6 whitespace tokens of text —
+    since the documents table has no markup; the pages path indexes
+    the real <title> (extract_title) with the same two-index layout
+    (tests/test_multifield.py)."""
+    qterms = ["spark", "join"]
+    qdf = spark.createDataFrame([(t,) for t in qterms], "term string")
+
+    def field_scores(post, alias):
+        cand = post.join(F.broadcast(qdf), "term")
+        dfs = cand.groupBy("term").agg(F.count("*").alias("df"))
+        stats = (
+            post.select("doc_id", "doclen").dropDuplicates(["doc_id"])
+            .agg(F.count("*").alias("n_docs"), F.avg("doclen").alias("avgdl"))
+        )
+        scored = (
+            cand.join(F.broadcast(dfs), "term")
+            .crossJoin(F.broadcast(stats))
+            .withColumn(
+                "partial",
+                idf_expr(F.col("df"), F.col("n_docs"))
+                * tfnorm_expr(F.col("tf"), F.col("doclen"), F.col("avgdl")),
+            )
+        )
+        return scored.groupBy("doc_id").agg(
+            F.sum("partial").alias(alias),
+            F.count("*").alias("n_matched"),
+        )
+
+    body = field_scores(_postings(spark, sf_dir), "body_score").filter(
+        F.col("n_matched") == len(qterms)
+    ).drop("n_matched")
+    docs = _t(spark, sf_dir, "documents")
+    ttok = docs.select(
+        "doc_id",
+        F.explode(F.slice(F.split(F.col("text"), " "), 1, 6)).alias("term"),
+    ).filter(F.col("term") != "")
+    ttf = ttok.groupBy("term", "doc_id").agg(
+        F.count("*").cast("int").alias("tf")
+    )
+    tdl = ttf.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("doclen"))
+    title = field_scores(ttf.join(tdl, "doc_id"), "title_score").drop(
+        "n_matched"
+    )
+    return (
+        body.join(title, "doc_id", "left")
+        .fillna(0.0, ["title_score"])
+        .select(
+            "doc_id",
+            F.round(
+                F.col("body_score") + F.lit(2.0) * F.col("title_score"), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_MULTIFIELD_BM25 = f"""
+WITH {_TOK_CTE},
+q(term) AS (VALUES ('spark'), ('join')),
+bstats AS (SELECT count(*)::BIGINT AS n_docs, avg(doclen) AS avgdl FROM dl),
+bdfs AS (SELECT term, count(*)::BIGINT AS df FROM tf JOIN q USING (term)
+         GROUP BY term),
+bscored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - bdfs.df + 0.5) / (bdfs.df + 0.5))
+           * (tf.tf * {K1 + 1.0} / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / s.avgdl)))
+           AS partial
+  FROM tf JOIN q USING (term) JOIN bdfs USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN bstats s
+),
+body AS (
+  SELECT doc_id, sum(partial) AS body_score FROM bscored
+  GROUP BY doc_id HAVING count(*) = 2
+),
+ttok AS (
+  SELECT doc_id,
+         unnest(list_slice(string_split(text, ' '), 1, 6)) AS term
+  FROM documents
+),
+ttf AS (SELECT term, doc_id, count(*)::INT AS tf FROM ttok
+        WHERE term <> '' GROUP BY term, doc_id),
+tdlen AS (SELECT doc_id, sum(tf)::INT AS doclen FROM ttf GROUP BY doc_id),
+tstats AS (SELECT count(*)::BIGINT AS n_docs, avg(doclen) AS avgdl
+           FROM tdlen),
+tdfs AS (SELECT term, count(*)::BIGINT AS df FROM ttf JOIN q USING (term)
+         GROUP BY term),
+tscored AS (
+  SELECT ttf.doc_id,
+         ln(1.0 + (s.n_docs - tdfs.df + 0.5) / (tdfs.df + 0.5))
+           * (ttf.tf * {K1 + 1.0} / (ttf.tf + {K1} * ({1.0 - B} + {B} * tdlen.doclen / s.avgdl)))
+           AS partial
+  FROM ttf JOIN q USING (term) JOIN tdfs USING (term)
+  JOIN tdlen USING (doc_id) CROSS JOIN tstats s
+),
+title AS (SELECT doc_id, sum(partial) AS title_score FROM tscored
+          GROUP BY doc_id)
+SELECT body.doc_id,
+       round(body.body_score + 2.0 * coalesce(title.title_score, 0.0), 6)
+         AS score
+FROM body LEFT JOIN title ON body.doc_id = title.doc_id
+ORDER BY score DESC, body.doc_id LIMIT 10
+"""
+
+
 def q_bm25_grouped_query(spark, sf_dir):
     """Grouped boolean query '(spark OR flink) AND join NOT filter'
     (plans/scoring.parse_grouped_query semantics): a doc matches >= 1
@@ -2356,6 +2466,7 @@ QUERIES = {
     "symspell_suggest": q_symspell_suggest,
     "bm25_grouped_query": q_bm25_grouped_query,
     "bm25_boosted_query": q_bm25_boosted_query,
+    "multifield_bm25": q_multifield_bm25,
     "more_like_this": q_more_like_this,
     "unigram_lm_quality": q_unigram_lm_quality,
     "url_canonical_dedup": q_url_canonical_dedup,
@@ -2425,6 +2536,7 @@ ORACLES = {
     "symspell_suggest": SQL_SYMSPELL_SUGGEST,
     "bm25_grouped_query": SQL_BM25_GROUPED_QUERY,
     "bm25_boosted_query": SQL_BM25_BOOSTED_QUERY,
+    "multifield_bm25": SQL_MULTIFIELD_BM25,
     "more_like_this": SQL_MORE_LIKE_THIS,
     "unigram_lm_quality": SQL_UNIGRAM_LM_QUALITY,
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,

@@ -98,6 +98,59 @@ def extract_text(html: bytes | str | None) -> str:
     return p.text()
 
 
+class _TitleExtractor(HTMLParser):
+    """Collects text inside the FIRST <title> element only."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._in_title = False
+        self._done = False
+        self._chunks: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag == "title" and not self._done:
+            self._in_title = True
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "title" and self._in_title:
+            self._in_title = False
+            self._done = True
+
+    def handle_data(self, data: str) -> None:
+        if self._in_title and data:
+            self._chunks.append(data)
+
+    def text(self) -> str:
+        return " ".join("".join(self._chunks).split())
+
+
+def extract_title(html: bytes | str | None) -> str:
+    """The page's <title> text (first title element, entity-decoded,
+    whitespace-collapsed; '' when absent) — the second indexed field
+    for multi-field ranking (plans/multifield.py). Same byte-decode
+    tolerance as extract_text."""
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        b = bytes(html)
+        try:
+            s = b.decode("utf-8")
+        except UnicodeDecodeError:
+            s = b.decode("latin-1")
+    else:
+        s = html
+    p = _TitleExtractor()
+    try:
+        p.feed(s)
+        p.close()
+    except Exception:
+        m = re.search(r"(?is)<title[^>]*>(.*?)</title", s)
+        if not m:
+            return ""
+        return " ".join(re.sub(r"<[^>]*>", " ", m.group(1)).split())
+    return p.text()
+
+
 # ---------------------------------------------------------------------------
 # T2/T3 — Unicode tokenization
 # ---------------------------------------------------------------------------

@@ -25,7 +25,11 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from search_engine_spark.functions.text import extract_text, term_counts
+from search_engine_spark.functions.text import (
+    extract_text,
+    extract_title,
+    term_counts,
+)
 
 POSTINGS_SCHEMA = "doc_id long, term string, tf int, doclen int"
 
@@ -37,6 +41,7 @@ def postings_from_text(
     text_col: str = "text",
     html_col: str | None = None,
     stem: bool = True,
+    field: str = "body",
 ) -> DataFrame:
     """pages/documents -> flat postings (doc_id, term, tf, doclen).
 
@@ -46,8 +51,18 @@ def postings_from_text(
     doclen is carried inline on every posting: this denormalization
     kills the doclen join (SURVEY.md J4) on the query hot path and
     rides into the compressed segments for join-free BM25 + WAND.
+
+    field="title" tokenizes extract_title(html) instead of the body
+    (requires html_col) — the per-field build for multi-field ranking
+    (plans/multifield.py); doclen/df/stats then all describe the
+    TITLE field, which is what per-field BM25 needs.
     """
-    cols = [id_col, text_col] + ([html_col] if html_col else [])
+    if field not in ("body", "title"):
+        raise ValueError(f"field must be 'body' or 'title', got {field!r}")
+    if field == "title" and not html_col:
+        raise ValueError("field='title' needs html_col")
+    cols = ([id_col, html_col] if field == "title"
+            else [id_col, text_col] + ([html_col] if html_col else []))
     narrow = df.select(*cols)  # column pruning BEFORE the opaque UDF
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -55,7 +70,7 @@ def postings_from_text(
 
         memo: dict[str, str] = {}  # partition-level: Porter amortizes
         for pdf in batches:
-            texts = pdf[text_col]
+            texts = pdf[text_col] if field == "body" else None
             htmls = pdf[html_col] if html_col else None
             ids_in = pdf[id_col].to_numpy()
             doc_ids: list[int] = []
@@ -64,9 +79,12 @@ def postings_from_text(
             terms: list[str] = []
             tfs: list[int] = []
             for i in range(len(pdf)):
-                txt = texts.iat[i]
-                if (txt is None or txt != txt) and htmls is not None:
-                    txt = extract_text(htmls.iat[i])
+                if field == "title":
+                    txt = extract_title(htmls.iat[i])
+                else:
+                    txt = texts.iat[i]
+                    if (txt is None or txt != txt) and htmls is not None:
+                        txt = extract_text(htmls.iat[i])
                 dl, counts = term_counts(txt, stem=stem, memo=memo)
                 if dl == 0:
                     continue

@@ -94,9 +94,11 @@ def _stage_a(
     text_col: str,
     html_col: str | None,
     salt_threshold: int,
+    field: str = "body",
 ) -> None:
     flat = postings_from_text(
-        source, id_col=id_col, text_col=text_col, html_col=html_col, stem=stem
+        source, id_col=id_col, text_col=text_col, html_col=html_col,
+        stem=stem, field=field,
     ).withColumn("bucket", _bucket_expr(F.col("term"), n_buckets))
     # One wide pass, ZERO shuffle: each tokenize task writes exactly one
     # file, locally sorted by (bucket, term) so resume/extend reads
@@ -634,6 +636,7 @@ def build_index(
     resume: bool = False,
     limit_buckets: int | None = None,
     run_id: str | None = None,
+    field: str = "body",
 ) -> dict:
     """Build (or resume) the compressed inverted index at index_dir.
 
@@ -658,7 +661,7 @@ def build_index(
             spark, source, paths,
             n_buckets=n_buckets, stem=stem,
             id_col=id_col, text_col=text_col, html_col=html_col,
-            salt_threshold=salt_threshold,
+            salt_threshold=salt_threshold, field=field,
         )
 
     manifest = Manifest(spark, index_dir)

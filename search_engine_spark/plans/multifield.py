@@ -1,0 +1,111 @@
+"""Multi-field ranking: body + title as separately-indexed fields,
+combined at query time as a weighted sum of per-field BM25 scores.
+
+Model: score(q, d) = BM25_body(q, d) + w_title * BM25_title(q, d),
+each field scored against its OWN collection statistics (df, n_docs,
+avgdl of that field) — the practical multi-field model (what
+Elasticsearch multi_match 'most_fields' computes). True BM25F (field
+weights folded into a shared tf saturation) is a one-function variant
+on the same two-index layout; the weighted sum is kept canonical here
+because it composes two INDEPENDENT, individually-verified indexes
+with zero new index format.
+
+Candidate semantics: the BODY field drives candidate generation
+(AND / OR per mode, NOT-terms, deletes — all of LocalSearcher's
+machinery); the title field only re-ranks docs the body already
+matched. A title-only match is never returned (at web scale a
+title-only candidate generator is a recall knob you add per-field —
+the layout already supports it: each field is a full index).
+
+Exactness: the body candidate set is the COMPLETE eligible set
+(k = n_docs internally), so the title boost can reorder freely and
+the top-k is exact — property-tested against an independent pandas
+ranker (tests/test_multifield.py). At serving scale you would fetch
+c*k body candidates and bound the title boost by
+w * sum_t max_title_contribution(t) to prune exactly; the per-segment
+max_tfnorm the title index already stores is precisely that bound.
+
+Build: ``build_title_index`` (or ``build_index.py --title-index``)
+writes a SECOND ordinary index over extract_title(html) under
+``<index_dir>/fields/title`` — same builder, same format, same
+integrity story (fsck works on it unchanged).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from search_engine_spark.plans.build_index import build_index
+from search_engine_spark.plans.scoring import analyze_query
+from search_engine_spark.plans.wand import LocalSearcher
+
+TITLE_DIR = os.path.join("fields", "title")
+
+
+def build_title_index(
+    spark,
+    source,
+    index_dir: str,
+    *,
+    n_buckets: int = 8,
+    segment_size: int = 4096,
+    stem: bool = True,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+) -> dict:
+    """Index the title field under <index_dir>/fields/title (titles
+    are tiny — a handful of tokens per doc — so segment/salt tuning
+    is irrelevant; the format is the ordinary index format)."""
+    return build_index(
+        spark, source, os.path.join(index_dir, TITLE_DIR),
+        n_buckets=n_buckets, segment_size=segment_size, stem=stem,
+        id_col=id_col, html_col=html_col, field="title",
+    )
+
+
+class MultiFieldSearcher:
+    """Serving-side weighted multi-field ranking over two
+    LocalSearchers (body = the main index, title = fields/title)."""
+
+    def __init__(self, index_dir: str, *, title_weight: float = 2.0):
+        tdir = os.path.join(index_dir, TITLE_DIR)
+        if not os.path.isdir(tdir):
+            raise FileNotFoundError(
+                f"{tdir} missing — build it with build_index.py "
+                "--title-index (pages input)"
+            )
+        self.body = LocalSearcher(index_dir)
+        self.title = LocalSearcher(tdir)
+        self.w = float(title_weight)
+
+    def search(self, qtext_or_terms, *, k: int = 10, stem: bool = True,
+               mode: str = "and", exclude=None) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score) by the weighted two-field score,
+        tie-break doc_id asc. Body drives candidates; title re-ranks."""
+        if isinstance(qtext_or_terms, str):
+            qterms = analyze_query(qtext_or_terms, stem=stem)
+        else:
+            qterms = list(dict.fromkeys(qtext_or_terms))
+        cands = self.body.search(qterms, k=self.body.n_docs, stem=stem,
+                                 mode=mode, exclude=exclude)
+        if not cands:
+            return []
+        docs = np.fromiter((d for d, _ in cands), dtype=np.int64,
+                           count=len(cands))
+        scores = np.fromiter((s for _, s in cands), dtype=np.float64,
+                             count=len(cands))
+        order = np.argsort(docs)
+        docs, scores = docs[order], scores[order]
+        for t in qterms:
+            if t in self.title._df:
+                od, oc = self.title._load_full(t, self.title._idf(t))
+                if od.size == 0:
+                    continue
+                pos = np.searchsorted(docs, od)
+                pos_c = np.minimum(pos, docs.size - 1)
+                hit = docs[pos_c] == od
+                scores[pos_c[hit]] += self.w * oc[hit]
+        order_k = np.lexsort((docs, -scores))[:k]
+        return [(int(docs[i]), float(scores[i])) for i in order_k]

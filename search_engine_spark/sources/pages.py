@@ -78,10 +78,24 @@ def _row(i: int, vocab: list[str], cdf: np.ndarray) -> tuple:
     url = f"https://src{key % 20}.example.com/p/{key}"
     day_off = int(key % 365) - (180 if dup else 0)
     ts = _EPOCH + dt.timedelta(days=day_off, seconds=int(key % 86400))
-    title = ""  # kept empty so body text == extracted text
+    # title: 4 Zipf-drawn words from an independent stream (f(i) only);
+    # empty-body docs keep an empty title (empty-doc fixture intact).
+    # The title IS part of the extracted text (html.parser emits
+    # <title> data in document order, before the body), so `expected`
+    # prepends it — the extract_text(html) == text invariant holds
+    # with a real second field for multi-field ranking.
+    if text:
+        rng_t = np.random.default_rng(SEED * 1_000_003 + i + 777)
+        t_idx = np.searchsorted(cdf, rng_t.random(4))
+        title = " ".join(vocab[j] for j in t_idx)
+    else:
+        title = ""
+    # the literal newline between </head> and <p> matters: the frozen
+    # extractor joins data chunks verbatim (no implicit block
+    # separators), so the title needs real whitespace before the body
     html = (
         f"<html><head><title>{title}</title><script>var x=1;</script>"
-        f"<style>p{{color:red}}</style></head><body><p>"
+        f"<style>p{{color:red}}</style></head><body>\n<p>"
         + text.replace("and", "and &amp; x", 1)
           .replace(" the ", " the <b>bold</b> ", 1)
         + "</p><!-- comment --></body></html>"
@@ -89,7 +103,9 @@ def _row(i: int, vocab: list[str], cdf: np.ndarray) -> tuple:
     # undo the marker words in expected text too: extraction of the html
     # above yields text with the injected tokens, so recompute expected
     expected = " ".join(
-        (text.replace("and", "and & x", 1).replace(" the ", " the bold ", 1)).split()
+        (title + " "
+         + text.replace("and", "and & x", 1)
+               .replace(" the ", " the bold ", 1)).split()
     )
     return url, ts, html.encode("utf-8"), expected, LANGS[key % len(LANGS)]
 

@@ -1,0 +1,141 @@
+"""Multi-field (body + title) ranking: plans/multifield.
+
+- the synthetic pages now carry real <title> content and the
+  extract_text(html) == text invariant still holds (title text
+  prepends the body — tests/test_pages.py re-checks it);
+- extract_title pulls exactly the title;
+- MultiFieldSearcher (body AND candidates, + w * title BM25 with the
+  title field's own stats) equals an independent pandas ranker;
+- title weight 0 reduces to plain body search scores.
+"""
+
+import math
+import re
+from collections import Counter
+
+# local replica of the engine's token rule (\w minus underscore) —
+# pages text carries an '&' marker that whitespace split would keep
+_TOK = re.compile(r"[^\W_]+", re.UNICODE)
+
+import pytest
+
+from search_engine_spark.functions.text import extract_text, extract_title
+from search_engine_spark.operators.dedup import latest_snapshot
+from search_engine_spark.operators.ids import assign_dense_ids
+from search_engine_spark.plans.build_index import build_index
+from search_engine_spark.plans.multifield import (
+    MultiFieldSearcher,
+    build_title_index,
+)
+
+from search_engine_spark import B, K1
+
+W = 2.0
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    from search_engine_spark.sources.pages import generate_pages
+
+    pages = latest_snapshot(generate_pages(spark, 800, partitions=8))
+    return assign_dense_ids(pages, "url")
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index_mf"))
+    build_index(spark, corpus, d, n_buckets=4, segment_size=64,
+                stem=False, html_col="html")
+    build_title_index(spark, corpus, d, n_buckets=4, stem=False)
+    return d
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf(corpus):
+    return corpus.select("doc_id", "html", "text").toPandas()
+
+
+def test_extract_title():
+    assert extract_title(b"<html><head><title>A &amp; B</title></head>"
+                         b"<body>x</body></html>") == "A & B"
+    assert extract_title("<title>  spaced\tout </title>") == "spaced out"
+    assert extract_title("<html><body>no title</body></html>") == ""
+    assert extract_title(None) == ""
+    # first title wins
+    assert extract_title("<title>one</title><title>two</title>") == "one"
+
+
+def test_generator_titles_present(corpus_pdf):
+    titles = [extract_title(h) for h in corpus_pdf["html"]]
+    nonempty = [t for t in titles if t]
+    assert len(nonempty) > 0.9 * len(titles)  # only empty-body docs lack one
+    # invariant: extracted text starts with the title
+    for h, t, x in zip(corpus_pdf["html"], titles,
+                       corpus_pdf["text"]):
+        assert extract_text(h) == x
+        assert x.startswith(t)
+
+
+def _brute(corpus_pdf, qterms, k=30):
+    body = {int(r.doc_id): _TOK.findall(r.text)
+            for r in corpus_pdf.itertuples()}
+    title = {int(r.doc_id): _TOK.findall(extract_title(r.html))
+             for r in corpus_pdf.itertuples()}
+
+    def field(tfmap):
+        tf = {d: Counter(ts) for d, ts in tfmap.items() if ts}
+        df = Counter()
+        for c in tf.values():
+            df.update(c.keys())
+        n = len(tf)
+        avgdl = sum(sum(c.values()) for c in tf.values()) / n
+        return tf, df, n, avgdl
+
+    btf, bdf, bn, bavg = field(body)
+    ttf, tdf, tn, tavg = field(title)
+
+    def bm25(c, df, n, avgdl, dl, t):
+        if not c.get(t):
+            return None
+        idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+        return idf * (c[t] * (K1 + 1.0)) / (
+            c[t] + K1 * (1.0 - B + B * dl / avgdl))
+
+    out = []
+    for d, c in btf.items():
+        parts = [bm25(c, bdf, bn, bavg, sum(c.values()), t)
+                 for t in qterms]
+        if any(p is None for p in parts):
+            continue  # body AND drives candidates
+        s = sum(parts)
+        tc = Counter(title[d])
+        for t in qterms:
+            p = bm25(tc, tdf, tn, tavg, sum(tc.values()), t)
+            if p is not None:
+                s += W * p
+        out.append((-s, d))
+    out.sort()
+    return [(d, -ns) for ns, d in out[:k]]
+
+
+@pytest.mark.parametrize("qtext", ["the fast", "spark join", "window"])
+def test_multifield_matches_bruteforce(index_dir, corpus_pdf, qtext):
+    got = MultiFieldSearcher(index_dir, title_weight=W).search(
+        qtext, k=30, stem=False
+    )
+    want = _brute(corpus_pdf, qtext.split(), k=30)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_zero_weight_is_plain_body_search(index_dir):
+    from search_engine_spark.plans.wand import LocalSearcher
+
+    mf = MultiFieldSearcher(index_dir, title_weight=0.0)
+    body = LocalSearcher(index_dir)
+    got = mf.search("the fast", k=15, stem=False)
+    want = body.search("the fast", k=15, stem=False)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=1e-12)
