@@ -186,7 +186,7 @@ def fsck_distributed(spark, index_dir: str) -> dict:
     decoded = segs.mapInPandas(
         kernel,
         "term string, doc_id long, bad_len int, bad_order int, bad_dl int",
-    )
+    ).persist()  # several actions below — decode the postings ONCE
     seg_errs = decoded.filter(F.col("doc_id").isNull()).agg(
         F.sum("bad_len").alias("bad_len"),
         F.sum("bad_order").alias("bad_order"),
@@ -199,6 +199,7 @@ def fsck_distributed(spark, index_dir: str) -> dict:
             F.count("*").cast("long").alias("n_postings"),
             F.count_distinct(F.col("doc_id")).cast("long").alias("n_docs"),
         )
+        .persist()  # reused by the mismatch scan AND the totals
     )
     dic = spark.read.parquet(os.path.join(index_dir, "dictionary")).select(
         "term", "df", "bucket"
@@ -231,6 +232,8 @@ def fsck_distributed(spark, index_dir: str) -> dict:
     totals = per_term.agg(
         F.count("*").alias("terms"), F.sum("n_postings").alias("postings")
     ).collect()[0]
+    decoded.unpersist()
+    per_term.unpersist()
     return {
         "index_dir": index_dir,
         "mode": "distributed-full",

@@ -772,7 +772,7 @@ class LocalSearcher:
     def search(
         self, qtext_or_terms, *, k: int = 10, stem: bool = True,
         prune: bool = True, mode: str = "and", fast: bool = True,
-        exclude=None, after: tuple[float, int] | None = None,
+        exclude=None, after: tuple[int, float] | None = None,
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), score desc then doc_id asc.
 
