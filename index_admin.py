@@ -68,7 +68,9 @@ def index_stats(index_dir: str) -> dict:
     for name, pb in (("postings", True), ("postings_flat", False),
                      ("dictionary", True), ("docs", False),
                      ("urlmap", False), ("positions", True),
-                     ("deletes", False), ("manifest", False)):
+                     ("deletes", False), ("manifest", False),
+                     ("suggest", False), ("docstore", False),
+                     (os.path.join("fields", "title", "postings"), True)):
         st = table_stats(name, per_bucket=pb)
         if st is not None:
             out[name] = st
