@@ -376,6 +376,33 @@ def main() -> None:
                 lead = f"{qid}\t" if qid else ""
                 alt = " ".join(t for t, _ in alts) or "(no suggestion)"
                 print(f"{lead}# did you mean: {term} -> {alt}")
+        # zero hits + corrections available -> retry once with each
+        # out-of-dictionary term replaced by its top suggestion. The
+        # corrected terms ARE dictionary terms, so they go straight
+        # into search() as a term list (no re-analysis — re-stemming a
+        # stemmed term is not guaranteed idempotent).
+        if (not args.batch and not args.phrase and not args.distributed
+                and "|" not in qmap[""] and "^" not in qmap[""]
+                and not results.get("")):
+            corrected, changed = [], False
+            for t in dict.fromkeys(analyze_query(qmap[""], stem=stem)):
+                alts = sug.suggest(t, k=1)
+                if alts and alts[0][0] != t:
+                    corrected.append(alts[0][0])
+                    changed = True
+                else:
+                    corrected.append(t)
+            if changed and corrected:
+                from search_engine_spark.plans.wand import LocalSearcher
+
+                qneg = split_not_terms(args.qtext)[1]
+                hits = LocalSearcher(args.index_dir).search(
+                    corrected, k=args.k, stem=stem, mode=args.mode,
+                    exclude=qneg or None,
+                )
+                print(f"# retried with corrections: {' '.join(corrected)}")
+                for rank, (doc_id, score) in enumerate(hits, 1):
+                    print(f"{rank}\t{doc_id}\t{score:.6f}")
     if args.out:
         import pyarrow as pa
         import pyarrow.parquet as pq

@@ -149,3 +149,28 @@ def test_cli_end_to_end(spark, documents, tmp_path):
         line = next(l for l in out.stdout.splitlines()
                     if f"did you mean: {probe} ->" in l)
         assert term in line.split("->", 1)[1].split()
+
+
+def test_cli_autoretry_matches_clean_query(spark, documents, tmp_path):
+    """A fully-misspelled --suggest query with zero hits retries with
+    the corrections and must print the clean query's exact ranking."""
+    d = str(tmp_path / "idx")
+    build_index(spark, documents, d, n_buckets=4, segment_size=64,
+                stem=False)
+    build_suggest(spark, d)
+    env = dict(os.environ, PYTHONPATH=REPO)
+
+    def run(q):
+        return subprocess.run(
+            [sys.executable, os.path.join(REPO, "query.py"),
+             "--index-dir", d, "--no-stem", "--suggest", q, "-k", "3"],
+            capture_output=True, text=True, env=env, check=True,
+        ).stdout.splitlines()
+
+    clean = [l for l in run("spark join")
+             if l and not l.startswith(("#", "{"))]
+    dirty = run("sprak joni")
+    assert any(l.startswith("# retried with corrections: spark join")
+               for l in dirty)
+    retried = [l for l in dirty if l and not l.startswith(("#", "{"))]
+    assert retried == clean
