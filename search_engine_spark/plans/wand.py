@@ -303,7 +303,14 @@ class LocalSearcher:
             return []  # empty query, or an unsatisfiable group
         terms = list(dict.fromkeys(t for g in groups for t in g))
         lists = {t: self._load_full(t, self._idf(t)) for t in terms}
-        union = np.unique(np.concatenate([lists[t][0] for t in terms]))
+        # candidate base = the union of the SMALLEST group's lists:
+        # every result matches every group, so the lightest group's
+        # docs are an exact superset of the result set — the other
+        # groups' (possibly stopword-heavy) lists only contribute
+        # membership masks and contributions over this base, never
+        # widen it
+        base = min(groups, key=lambda g: sum(self._df[t] for t in g))
+        union = np.unique(np.concatenate([lists[t][0] for t in base]))
         if union.size == 0:
             return []
         excl = self._excluded_docs(exclude) if exclude else None
