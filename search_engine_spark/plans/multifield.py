@@ -17,13 +17,18 @@ matched. A title-only match is never returned (at web scale a
 title-only candidate generator is a recall knob you add per-field —
 the layout already supports it: each field is a full index).
 
-Exactness: the body candidate set is the COMPLETE eligible set
-(k = n_docs internally), so the title boost can reorder freely and
-the top-k is exact — property-tested against an independent pandas
-ranker (tests/test_multifield.py). At serving scale you would fetch
-c*k body candidates and bound the title boost by
-w * sum_t max_title_contribution(t) to prune exactly; the per-segment
-max_tfnorm the title index already stores is precisely that bound.
+Exactness at scale (iterative deepening): fetch the top-m body
+candidates, rescore them with the title boost, and STOP when the
+m-th body score plus the title-boost upper bound
+(w * sum_t idf_title(t) * max_tfnorm_title(t), straight from the
+per-segment max_tfnorm the title index already stores) cannot beat
+the current k-th total — any unfetched doc has body score <= the
+m-th, so it cannot enter the top-k; otherwise quadruple m. Worst
+case degrades to the full candidate set (which is where the old
+implementation always started); typical queries stop at the first
+m = max(4k, 32). Property-tested against an independent pandas
+ranker (tests/test_multifield.py), including a tiny-k run that
+exercises the early-stop branch.
 
 Build: ``build_title_index`` (or ``build_index.py --title-index``)
 writes a SECOND ordinary index over extract_title(html) under
@@ -80,18 +85,23 @@ class MultiFieldSearcher:
         self.title = LocalSearcher(tdir)
         self.w = float(title_weight)
 
-    def search(self, qtext_or_terms, *, k: int = 10, stem: bool = True,
-               mode: str = "and", exclude=None) -> list[tuple[int, float]]:
-        """Top-k (doc_id, score) by the weighted two-field score,
-        tie-break doc_id asc. Body drives candidates; title re-ranks."""
-        if isinstance(qtext_or_terms, str):
-            qterms = analyze_query(qtext_or_terms, stem=stem)
-        else:
-            qterms = list(dict.fromkeys(qtext_or_terms))
-        cands = self.body.search(qterms, k=self.body.n_docs, stem=stem,
-                                 mode=mode, exclude=exclude)
-        if not cands:
-            return []
+    def _title_bound(self, qterms) -> float:
+        """Upper bound on the total title boost any single doc can
+        collect: w * sum over title-field terms of idf * max segment
+        max_tfnorm (0 contribution floor handles w < 0)."""
+        bound = 0.0
+        for t in qterms:
+            if t in self.title._df:
+                segs = self.title._segments(t)
+                if len(segs):
+                    bound += max(
+                        0.0,
+                        self.w * self.title._idf(t)
+                        * float(segs.max_tfnorm.max()),
+                    )
+        return bound
+
+    def _rescore(self, cands, qterms, k):
         docs = np.fromiter((d for d, _ in cands), dtype=np.int64,
                            count=len(cands))
         scores = np.fromiter((s for _, s in cands), dtype=np.float64,
@@ -109,3 +119,30 @@ class MultiFieldSearcher:
                 scores[pos_c[hit]] += self.w * oc[hit]
         order_k = np.lexsort((docs, -scores))[:k]
         return [(int(docs[i]), float(scores[i])) for i in order_k]
+
+    def search(self, qtext_or_terms, *, k: int = 10, stem: bool = True,
+               mode: str = "and", exclude=None) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score) by the weighted two-field score,
+        tie-break doc_id asc. Body drives candidates; title re-ranks;
+        iterative deepening keeps it exact without always scoring the
+        full body match set (module docstring)."""
+        if isinstance(qtext_or_terms, str):
+            qterms = analyze_query(qtext_or_terms, stem=stem)
+        else:
+            qterms = list(dict.fromkeys(qtext_or_terms))
+        bound = self._title_bound(qterms)
+        m = max(4 * k, 32)
+        while True:
+            cands = self.body.search(qterms, k=m, stem=stem,
+                                     mode=mode, exclude=exclude)
+            if not cands:
+                return []
+            ranked = self._rescore(cands, qterms, k)
+            if len(cands) < m:
+                return ranked  # body match set exhausted: exact
+            kth = ranked[k - 1][1] if len(ranked) >= k else -np.inf
+            # strict '<': an unfetched doc reaching exactly kth could
+            # still win its tie on doc_id
+            if cands[-1][1] + bound < kth:
+                return ranked
+            m *= 4

@@ -129,6 +129,19 @@ def test_multifield_matches_bruteforce(index_dir, corpus_pdf, qtext):
         assert a == pytest.approx(b, abs=1e-9)
 
 
+@pytest.mark.parametrize("k", [1, 3])
+def test_small_k_early_stop_is_exact(index_dir, corpus_pdf, k):
+    """Tiny k exercises the iterative-deepening early-stop branch —
+    results must still equal the exhaustive brute-force ranking."""
+    got = MultiFieldSearcher(index_dir, title_weight=W).search(
+        "the fast", k=k, stem=False
+    )
+    want = _brute(corpus_pdf, ["the", "fast"], k=k)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=1e-9)
+
+
 def test_zero_weight_is_plain_body_search(index_dir):
     from search_engine_spark.plans.wand import LocalSearcher
 
