@@ -197,6 +197,24 @@ def main() -> None:
             lat_or.append(time.perf_counter() - t0)
     extra["wand_or_p50_ms"] = round(statistics.median(lat_or) * 1000, 3)
 
+    # grouped boolean serving p50 (round 2+): OR-groups built from
+    # adjacent WAND query terms — includes the stopword head, so the
+    # smallest-group candidate-base optimization is what's measured
+    grouped_queries = [
+        " ".join(f"{a}|{b}" for a, b in zip(q.split(), q.split()[1:]))
+        or q
+        for q in WAND_QUERIES
+    ]
+    for q in grouped_queries:
+        s.search_grouped(q, k=10)  # warm
+    lat_g = []
+    for _ in range(100):
+        for q in grouped_queries:
+            t0 = time.perf_counter()
+            s.search_grouped(q, k=10)
+            lat_g.append(time.perf_counter() - t0)
+    extra["grouped_p50_ms"] = round(statistics.median(lat_g) * 1000, 3)
+
     # exact-phrase serving p50 (positional index; includes the
     # hottest stopword bigram — worst-case candidate volume)
     from search_engine_spark.plans.positions import PhraseSearcher
