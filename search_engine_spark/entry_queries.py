@@ -2054,28 +2054,119 @@ FROM documents
 
 
 def q_ivf_cosine_topk(spark, sf_dir):
-    """ANN scale path #2: IVF coarse quantizer (distributed k-means
-    cells, driver-side probe selection, exact re-rank inside probed
-    cells). Approximate by design -> rows-only; nprobe=all ==
-    brute-force is pytest-checked."""
-    from search_engine_spark.operators.similarity import ivf_build, ivf_topk
+    """ANN scale path #2: IVF coarse quantizer with seeded (sampled
+    data point) centroids and a single nearest-cell assignment, probe
+    the 3 nearest cells, exact re-rank inside them. The seeded build
+    is pure relational algebra (rounded-cosine argmax, id tie-break),
+    so DuckDB replays it exactly — value-hash oracle-checked. The
+    distributed k-means quantizer (ivf_build) is the production path;
+    its nprobe=all == brute-force property is pytest-checked."""
+    from search_engine_spark.operators.similarity import (
+        ivf_build_seeded, ivf_topk_seeded,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    assigned, cents = ivf_build(emb, n_centroids=8)
+    assigned, cents = ivf_build_seeded(emb, n_centroids=8)
     qv = list(emb.filter(F.col("vec_id") == 0).first().embedding)
-    return ivf_topk(assigned, cents, qv, k=10, nprobe=3)
+    return ivf_topk_seeded(assigned, cents, qv, k=10, nprobe=3)
+
+
+SQL_IVF_COSINE_TOPK = """
+WITH cents AS (
+  SELECT vec_id::INT AS c, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8
+),
+asg0 AS (
+  SELECT e.vec_id, e.embedding, c,
+         round(list_dot_product(e.embedding::DOUBLE[], cv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(cv, cv))), 6) AS cs
+  FROM embeddings e CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, embedding, c AS centroid
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, c ASC) AS rn
+        FROM asg0)
+  WHERE rn = 1
+),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT c FROM cents CROSS JOIN qv
+  ORDER BY round(list_dot_product(cv, v)
+                 / (sqrt(list_dot_product(cv, cv))
+                    * sqrt(list_dot_product(v, v))), 6) DESC, c ASC
+  LIMIT 3
+)
+SELECT a.vec_id,
+       round(list_dot_product(a.embedding::DOUBLE[], v)
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(v, v))), 6) AS cos
+FROM assigned a JOIN probes ON a.centroid = probes.c CROSS JOIN qv
+ORDER BY cos DESC, a.vec_id ASC
+LIMIT 10
+"""
 
 
 def q_lsh_cosine_topk(spark, sf_dir):
-    """ANN scale path: LSH-bucketed cosine top-k (approximate by
-    design -> rows-only; recall property is pytest-checked)."""
-    from search_engine_spark.operators.similarity import lsh_bucket_topk
+    """ANN scale path: LSH-bucketed cosine top-k. Uses the
+    md5-derived deterministic hyperplanes (det_hyperplanes) so DuckDB
+    can rebuild the exact bucket keys -> value-hash oracle-checked;
+    recall properties for the Gaussian-plane production variant stay
+    pytest-checked."""
+    from search_engine_spark.operators.similarity import (
+        det_hyperplanes, lsh_bucket_topk,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    return lsh_bucket_topk(emb, qs, k=5, n_planes=6)
+    return lsh_bucket_topk(emb, qs, k=5, planes=det_hyperplanes(64, 6))
+
+
+SQL_LSH_COSINE_TOPK = """
+WITH planes AS (
+  SELECT p, d,
+         ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
+           / 1152921504606846976.0 * 2 - 1 AS w
+  FROM range(6) tp(p) CROSS JOIN range(64) td(d)
+),
+comps AS (
+  SELECT vec_id, d, embedding[d + 1]::DOUBLE AS x
+  FROM embeddings CROSS JOIN range(64) td(d)
+),
+dots AS (
+  SELECT c.vec_id, pl.p, sum(pl.w * c.x) AS dot
+  FROM comps c JOIN planes pl ON c.d = pl.d
+  GROUP BY c.vec_id, pl.p
+),
+bkt AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+  FROM dots GROUP BY vec_id
+),
+base AS (
+  SELECT e.vec_id, e.embedding, b.bucket
+  FROM embeddings e JOIN bkt b USING (vec_id)
+),
+qs AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qv, b.bucket
+  FROM embeddings e JOIN bkt b USING (vec_id) WHERE e.vec_id < 4
+),
+scored AS (
+  SELECT q.query_id, base.vec_id,
+         list_dot_product(base.embedding::DOUBLE[], q.qv::DOUBLE[])
+           / (sqrt(list_dot_product(base.embedding::DOUBLE[], base.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS cos
+  FROM base JOIN qs q ON base.bucket = q.bucket
+)
+SELECT query_id, vec_id, round(cos, 6) AS cos, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id ASC)::BIGINT AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -2400,16 +2491,58 @@ LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# QUERIES ordering is part of the deliverable: the driver's correctness
+# harness checks only the FIRST 50 entries (insertion order), so every
+# entry that has never earned a green CORRECTNESS row MUST sit inside
+# that window.  tests/test_entry_order.py enforces the invariant.
+# Layout:
+#   1. four driver-green anchors (regression canaries for the harness),
+#   2. the round-2 entries that were at positions 51-71 and therefore
+#      never driver-checked (incl. multimodal_features),
+#   3. rows-only / new round-3 entries,
+#   4. veterans already green in CORRECTNESS_r01/r02, rotated to the
+#      tail (they spill past the window as new entries are added).
+# ---------------------------------------------------------------------------
 QUERIES = {
+    # -- anchors (driver-green r1+r2) --
     "term_frequency": q_term_frequency,
+    "bm25_topk": q_bm25_topk,
+    "collection_stats": q_collection_stats,
+    "intersect_and": q_intersect_and,
+    # -- round-2 entries never seen by the driver (were 51-71) --
+    "multimodal_features": q_multimodal_features,
+    "embedding_near_dup": q_embedding_near_dup,
+    "near_dup_lsh": q_near_dup_lsh,
+    "phrase_match_counts": q_phrase_match_counts,
+    "phrase_topk": q_phrase_topk,
+    "dup_ngram_quality": q_dup_ngram_quality,
+    "hybrid_rrf_topk": q_hybrid_rrf_topk,
+    "phrase_snippets": q_phrase_snippets,
+    "near_query": q_near_query,
+    "media_frame_sample": q_media_frame_sample,
+    "prefix_term_stats": q_prefix_term_stats,
+    "fuzzy_term_match": q_fuzzy_term_match,
+    "symspell_suggest": q_symspell_suggest,
+    "bm25_grouped_query": q_bm25_grouped_query,
+    "bm25_boosted_query": q_bm25_boosted_query,
+    "multifield_bm25": q_multifield_bm25,
+    "more_like_this": q_more_like_this,
+    "unigram_lm_quality": q_unigram_lm_quality,
+    "url_canonical_dedup": q_url_canonical_dedup,
+    "stratified_sample": q_stratified_sample,
+    "bigram_pmi": q_bigram_pmi,
+    # -- rows-only in r2; lsh/ivf gain value oracles this round --
+    "bm25_stemmed_topk": q_bm25_stemmed_topk,
+    "lsh_cosine_topk": q_lsh_cosine_topk,
+    "ivf_cosine_topk": q_ivf_cosine_topk,
+    # -- round-3 additions go HERE (before the veterans) --
+    # -- veterans: green in CORRECTNESS_r01/r02, rotate toward the tail --
     "document_frequency": q_document_frequency,
     "doc_lengths": q_doc_lengths,
-    "collection_stats": q_collection_stats,
-    "bm25_topk": q_bm25_topk,
     "bm25_single_term": q_bm25_single_term,
     "bm25_not_query": q_bm25_not_query,
     "bm25_facet_counts": q_bm25_facet_counts,
-    "intersect_and": q_intersect_and,
     "lang_counts": q_lang_counts,
     "dedup_exact_text": q_dedup_exact_text,
     "quality_score": q_quality_score,
@@ -2444,34 +2577,10 @@ QUERIES = {
     "media_resize_plan": q_media_resize_plan,
     "embedding_quantization": q_embedding_quantization,
     "local_supplier_volume": q_local_supplier_volume,
-    "bm25_stemmed_topk": q_bm25_stemmed_topk,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
     "lang_id": q_lang_id,
     "content_fingerprints": q_content_fingerprints,
-    "lsh_cosine_topk": q_lsh_cosine_topk,
-    "ivf_cosine_topk": q_ivf_cosine_topk,
-    "multimodal_features": q_multimodal_features,
-    "embedding_near_dup": q_embedding_near_dup,
-    "near_dup_lsh": q_near_dup_lsh,
-    "phrase_match_counts": q_phrase_match_counts,
-    "phrase_topk": q_phrase_topk,
-    "dup_ngram_quality": q_dup_ngram_quality,
-    "hybrid_rrf_topk": q_hybrid_rrf_topk,
-    "phrase_snippets": q_phrase_snippets,
-    "near_query": q_near_query,
-    "media_frame_sample": q_media_frame_sample,
-    "prefix_term_stats": q_prefix_term_stats,
-    "fuzzy_term_match": q_fuzzy_term_match,
-    "symspell_suggest": q_symspell_suggest,
-    "bm25_grouped_query": q_bm25_grouped_query,
-    "bm25_boosted_query": q_bm25_boosted_query,
-    "multifield_bm25": q_multifield_bm25,
-    "more_like_this": q_more_like_this,
-    "unigram_lm_quality": q_unigram_lm_quality,
-    "url_canonical_dedup": q_url_canonical_dedup,
-    "stratified_sample": q_stratified_sample,
-    "bigram_pmi": q_bigram_pmi,
 }
 
 ORACLES = {
@@ -2542,13 +2651,13 @@ ORACLES = {
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "bigram_pmi": SQL_BIGRAM_PMI,
+    "lsh_cosine_topk": SQL_LSH_COSINE_TOPK,
+    "ivf_cosine_topk": SQL_IVF_COSINE_TOPK,
     # intentionally rows-only (non-SQL-expressible), with their pytest
     # exactness anchors:
     # bm25_stemmed_topk — Porter 1980 stemmer is not ANSI-SQL; rank
     #   identity pinned by tests/test_text.py goldens + tests/test_bm25.py
-    # lsh_cosine_topk / ivf_cosine_topk — approximate BY DESIGN (bucket /
-    #   cell probing); exactness anchors: lsh self-hit recall and
-    #   nprobe=all == brute force (tests/test_training_ops.py)
-    # near_dup_lsh — approximate by design; soundness (every pair truly
-    #   >= threshold) + planted-dup recall pytest-checked
+    # near_dup_lsh — approximate by design (Gaussian-plane buckets);
+    #   soundness (every pair truly >= threshold) + planted-dup recall
+    #   pytest-checked
 }

@@ -74,6 +74,29 @@ def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 13) -> np.ndarr
     return rng.standard_normal((n_planes, dim))
 
 
+def det_hyperplanes(dim: int, n_planes: int = 16) -> np.ndarray:
+    """md5-derived hyperplanes, bit-reproducible in ANSI SQL:
+
+        coef[p][d] = ('0x' || substr(md5(p || '_' || d), 1, 15))::BIGINT
+                     / 2^60 * 2 - 1        -- uniform in [-1, 1)
+
+    (15 hex chars = 60 bits; int->double rounding then exact
+    power-of-two scaling is identical in Python and SQL). Used by the
+    oracle-checked entries so LSH bucket assignment can be replayed
+    outside Spark; random_hyperplanes stays available for production
+    builds where Gaussian planes are preferred (for cosine-LSH the
+    sign test only needs a symmetric direction distribution, so the
+    uniform-cube variant is a valid SimHash family too)."""
+    import hashlib
+
+    out = np.empty((n_planes, dim))
+    for p in range(n_planes):
+        for d in range(dim):
+            v = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
+            out[p, d] = v / float(1 << 60) * 2.0 - 1.0
+    return out
+
+
 def _lsh_key_expr(vec_col, planes: np.ndarray):
     """Sign pattern across hyperplanes -> integer bucket (JVM-side:
     one dot product per plane via aggregate/zip_with)."""
@@ -91,12 +114,15 @@ def _lsh_key_expr(vec_col, planes: np.ndarray):
 
 def lsh_bucket_topk(df: DataFrame, queries: DataFrame, *, k: int = 10,
                     n_planes: int = 12, dim: int = 64,
+                    planes: np.ndarray | None = None,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     qid_col: str = "query_id", qvec_col: str = "qv") -> DataFrame:
     """Approximate top-k: equi-join on the LSH bucket key (shuffle on
     the key, NOT a cross join), exact cosine re-rank inside buckets.
-    Recall is tunable via n_planes (fewer planes = bigger buckets)."""
-    planes = random_hyperplanes(dim, n_planes)
+    Recall is tunable via n_planes (fewer planes = bigger buckets).
+    Pass planes=det_hyperplanes(...) for an SQL-replayable bucketing."""
+    if planes is None:
+        planes = random_hyperplanes(dim, n_planes)
     base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
                      _lsh_key_expr(F.col(vec_col), planes).alias("bucket"))
     qs = queries.select(F.col(qid_col).alias("query_id"),
@@ -141,6 +167,64 @@ def ivf_build(
     )
     centroids = np.vstack([np.asarray(c) for c in km.clusterCenters()])
     return assigned, centroids
+
+
+def ivf_build_seeded(
+    df: DataFrame, *, n_centroids: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer with sampled-data-point centroids (the
+    first n_centroids ids) and a single nearest-centroid assignment —
+    random-sample initialization without Lloyd iterations, a standard
+    (if coarser) quantizer. Unlike the k-means path (ivf_build), the
+    assignment here is pure relational algebra — broadcast the tiny
+    centroid table, argmax of the 6-decimal-rounded cosine with
+    centroid-id tie-break — so the driver's DuckDB oracle can replay
+    cell assignment exactly. Returns (assigned, centroids_df)."""
+    cents = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).cast("int").alias("c"), F.col(vec_col).alias("cv"),
+    )
+    joined = df.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias(vec_col)).crossJoin(
+        F.broadcast(cents)
+    ).withColumn(
+        "_cs", F.round(cosine_expr(F.col(vec_col), F.col("cv")), 6)
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("c"))
+    assigned = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", vec_col, F.col("c").alias("centroid"))
+    )
+    return assigned, cents
+
+
+def ivf_topk_seeded(
+    assigned: DataFrame, cents: DataFrame, query_vec: list[float],
+    *, k: int = 10, nprobe: int = 3, vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe selection + in-cell re-rank for the seeded quantizer,
+    using the same rounded-cosine + id tie-break contract as the
+    assignment so the whole query is SQL-replayable. The centroid
+    table is tiny — probes are chosen driver-side (one collect of
+    n_centroids rows), and the cell filter partition-prunes when
+    `assigned` is stored partitionBy(centroid)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    rows = cents.select("c", "cv").collect()
+    sims = []
+    for r in rows:
+        cv = np.asarray(r.cv, dtype=np.float64)
+        cs = float(cv @ q / (np.linalg.norm(cv) * np.linalg.norm(q)))
+        sims.append((round(cs, 6), int(r.c)))
+    probes = [c for _, c in sorted(sims, key=lambda t: (-t[0], t[1]))[:nprobe]]
+    qarr = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        assigned.filter(F.col("centroid").isin(probes))
+        .select("vec_id",
+                F.round(cosine_expr(F.col(vec_col), qarr), 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
 
 
 def ivf_topk(
