@@ -87,26 +87,57 @@ def main() -> None:
                 # until compaction — the standard segment-file update
                 # story. Ties (warc_ts not strictly newer) are treated
                 # as already-indexed and dropped.
-                from search_engine_spark.plans.deletes import delete_docs
-
-                old = existing.select(
-                    "url",
-                    F.col("doc_id").alias("_old_id"),
-                    F.col("warc_ts").alias("_old_ts"),
+                from search_engine_spark.plans.deletes import (
+                    delete_docs, tombstones_df,
                 )
+
+                # urlmap keeps superseded rows until compaction, so
+                # restrict the update join to LIVE rows: anti-join the
+                # tombstone set, then reduce to the newest live
+                # snapshot per url (struct-max on (warc_ts, doc_id)).
+                # Without this, a second --update run (or a url
+                # updated twice between compactions) matches the stale
+                # tombstoned row, re-tombstones it, and indexes a
+                # DUPLICATE live copy — the operation must be
+                # idempotent.
+                tomb = tombstones_df(spark, args.index_dir)
+                live = existing if tomb is None else existing.join(
+                    tomb, "doc_id", "left_anti"
+                )
+                old = (
+                    live.groupBy("url")
+                    .agg(F.max(F.struct("warc_ts", "doc_id")).alias("_s"))
+                    .select(
+                        "url",
+                        F.col("_s.doc_id").alias("_old_id"),
+                        F.col("_s.warc_ts").alias("_old_ts"),
+                    )
+                )
+                # eager localCheckpoint: delete_docs appends tombstone
+                # files below, and `updated` must keep the PRE-append
+                # view when the union re-evaluates it (the re-crawl
+                # batch is small relative to the corpus, so the
+                # executor-local persist is cheap). `fresh` is pinned
+                # by Spark's file-listing snapshot: `tomb` listed the
+                # deletes directory when it was created.
                 updated = (
                     src.join(old, "url")
                     .filter(F.col("warc_ts") > F.col("_old_ts"))
-                )
+                ).localCheckpoint()
                 n_upd = delete_docs(
                     spark, args.index_dir, updated.select(
                         F.col("_old_id").alias("doc_id")
                     )
                 )["tombstones_appended"]
-                fresh = src.join(existing.select("url"), "url", "left_anti")
+                # a url whose every row is tombstoned counts as absent
+                # — a re-crawl of a deleted page re-enters as fresh
+                fresh = src.join(live.select("url"), "url", "left_anti")
+                # belt-and-braces: src rows are unique per url, so the
+                # union can only collide if the pinned views above
+                # ever drift — never index one url twice in a batch
                 src = fresh.unionByName(
                     updated.drop("_old_id", "_old_ts")
-                )
+                ).dropDuplicates(["url"])
                 print(json.dumps({"urls_updated": n_upd}))
             else:
                 # append-only extension: genuinely new urls only

@@ -215,6 +215,22 @@ def main() -> None:
         return
 
     stem = not args.no_stem
+
+    def _validate_boosts(*texts: str) -> None:
+        # every '^'-containing query routes into the grouped/boost
+        # parser below; malformed boosts (pasted text like 'a^b') are
+        # a USAGE error, not a traceback mid-plan
+        from search_engine_spark.plans.scoring import parse_grouped_query
+
+        for t in texts:
+            if "^" in t:
+                try:
+                    parse_grouped_query(t, stem=stem)
+                except ValueError as e:
+                    ap.error(str(e))
+
+    if not args.batch and not args.phrase:
+        _validate_boosts(args.qtext)
     # pagination: fetch offset+k then drop the first offset rows
     # (exact — same full ranking, deterministic tie-break). The
     # distributed single-query path pushes the offset into the plan.
@@ -248,6 +264,7 @@ def main() -> None:
             ][args.offset:]
     elif args.batch:
         raw = _read_batch(args.batch)
+        _validate_boosts(*raw.values())
         split = {qid: split_not_terms(text) for qid, text in raw.items()}
         queries = {qid: pos for qid, (pos, _) in split.items()}
         not_terms = {qid: neg for qid, (_, neg) in split.items() if neg}

@@ -50,7 +50,11 @@ def canonical_url_expr(url_col: str = "url"):
     c = F.concat(F.lower(auth), F.substr(f, F.length(auth) + F.lit(1)))
     c = F.regexp_replace(c, r"^(http://[^/?#:]+):80((/|\?|#).*)?$", "$1$2")
     c = F.regexp_replace(c, r"^(https://[^/?#:]+):443((/|\?|#).*)?$", "$1$2")
-    c = F.regexp_replace(c, rf"({TRACKING_PARAMS})=[^&#]*&", "")
+    # the param NAME must start right after '?' or '&' — a lookbehind
+    # (not a consumed group) so runs of consecutive tracking params
+    # all match in one pass. An unanchored pattern here matched inside
+    # longer names ('butm_x=1&' -> 'b'), corrupting adjacent params.
+    c = F.regexp_replace(c, rf"(?<=[?&])({TRACKING_PARAMS})=[^&#]*&", "")
     c = F.regexp_replace(c, rf"[?&]({TRACKING_PARAMS})=[^&#]*$", "")
     c = F.regexp_replace(c, r"^([a-z][a-z0-9+.\-]*://[^/?#]+)$", "$1/")
     c = F.regexp_replace(c, r"^([a-z][a-z0-9+.\-]*://[^/?#]+)\?", "$1/?")

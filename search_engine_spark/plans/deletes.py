@@ -120,6 +120,53 @@ def mask_deleted(deleted: np.ndarray, docs: np.ndarray, *arrs):
     return (docs[live], *(a[live] for a in arrs))
 
 
+def _swap_rewrite(path: str, write_fn) -> None:
+    tmp = path + ".compact"
+    write_fn(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def _compact_core(
+    spark: SparkSession,
+    idx_dir: str,
+    tomb: DataFrame,
+    *,
+    segment_size: int,
+    max_salts: int,
+    run_id: str,
+) -> list[int]:
+    """Compact ONE ordinary index directory (the main index or a
+    field index like fields/title share the same format): rewrite
+    postings_flat minus tombstones, recompute stage-A stats, rebuild
+    every segment bucket. Returns the rebuilt bucket ids."""
+    paths = IndexPaths(idx_dir)
+    meta = _read_meta(spark, paths)
+    n_buckets = int(meta["n_buckets"])
+    salt_threshold = int(meta.get("salt_threshold", 1_000_000))
+
+    flat = spark.read.parquet(paths.flat).join(tomb, "doc_id", "left_anti")
+    _swap_rewrite(
+        paths.flat,
+        lambda tmp: flat.sortWithinPartitions("bucket", "term", "doc_id")
+        .write.mode("overwrite").parquet(tmp),
+    )
+
+    _stage_a_stats(spark, paths, n_buckets=n_buckets,
+                   salt_threshold=salt_threshold)
+
+    touched = list(range(n_buckets))
+    manifest = Manifest(spark, idx_dir)
+    if manifest.exists():
+        manifest.invalidate(touched, run_id)
+    _stage_b(
+        spark, paths, touched,
+        segment_size=segment_size, salt_threshold=salt_threshold,
+        max_salts=max_salts, run_id=run_id,
+    )
+    return touched
+
+
 def compact_index(
     spark: SparkSession,
     index_dir: str,
@@ -143,14 +190,13 @@ def compact_index(
          the surviving corpus);
       3. rebuild ALL segment buckets (avgdl moved, so every baked
          tfnorm and bound moves — same rule extend_index applies);
-      4. filter urlmap and the positional table in place, if present;
+      4. filter urlmap, the positional table, and any FIELD indexes
+         (fields/title is an ordinary index over the same doc_id
+         space, so it compacts by recursion — its df/n_docs/avgdl move
+         too) in place, if present;
       5. drop the tombstone table.
     """
-    paths = IndexPaths(index_dir)
     run_id = run_id or uuid.uuid4().hex[:12]
-    meta = _read_meta(spark, paths)
-    n_buckets = int(meta["n_buckets"])
-    salt_threshold = int(meta.get("salt_threshold", 1_000_000))
 
     tomb = tombstones_df(spark, index_dir)
     n_tomb = tomb.count() if tomb is not None else 0
@@ -159,30 +205,9 @@ def compact_index(
                 "buckets_rebuilt": 0}
     tomb = F.broadcast(tomb) if n_tomb <= IN_CLOSURE_MAX else tomb
 
-    def _swap_rewrite(path: str, write_fn) -> None:
-        tmp = path + ".compact"
-        write_fn(tmp)
-        shutil.rmtree(path)
-        os.rename(tmp, path)
-
-    flat = spark.read.parquet(paths.flat).join(tomb, "doc_id", "left_anti")
-    _swap_rewrite(
-        paths.flat,
-        lambda tmp: flat.sortWithinPartitions("bucket", "term", "doc_id")
-        .write.mode("overwrite").parquet(tmp),
-    )
-
-    _stage_a_stats(spark, paths, n_buckets=n_buckets,
-                   salt_threshold=salt_threshold)
-
-    touched = list(range(n_buckets))
-    manifest = Manifest(spark, index_dir)
-    if manifest.exists():
-        manifest.invalidate(touched, run_id)
-    _stage_b(
-        spark, paths, touched,
-        segment_size=segment_size, salt_threshold=salt_threshold,
-        max_salts=max_salts, run_id=run_id,
+    touched = _compact_core(
+        spark, index_dir, tomb,
+        segment_size=segment_size, max_salts=max_salts, run_id=run_id,
     )
 
     urlmap = os.path.join(index_dir, "urlmap")
@@ -227,6 +252,20 @@ def compact_index(
         # rewritten for mtime-based cache busting by long-lived readers
         with open(os.path.join(index_dir, "positions_meta.json"), "w") as f:
             json.dump(pmeta, f)
+
+    # field indexes (fields/<name>) share the doc_id space and the
+    # ordinary index format — recurse so their postings AND collection
+    # stats converge to a fresh two-index build over the survivors
+    fields_dir = os.path.join(index_dir, "fields")
+    if os.path.isdir(fields_dir):
+        for name in sorted(os.listdir(fields_dir)):
+            fdir = os.path.join(fields_dir, name)
+            if os.path.isdir(os.path.join(fdir, "postings_flat")):
+                _compact_core(
+                    spark, fdir, tomb,
+                    segment_size=segment_size, max_salts=max_salts,
+                    run_id=run_id,
+                )
 
     shutil.rmtree(_deletes_dir(index_dir))
     return {

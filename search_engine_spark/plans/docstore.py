@@ -139,20 +139,25 @@ def snippet(text: str | None, qterms: list[str], *, stem: bool = True,
     if matched.size == 0:
         start = 0
     else:
-        # distinct-term coverage per anchor window [p, p+width)
+        # distinct-term coverage scored over the window that will
+        # actually be DISPLAYED — anchor p shifts left by width//4 for
+        # context first, then [s, s+width) is both scored and shown
+        # (scoring [p, p+width) but showing the shifted window could
+        # drop matches from the last quarter of the scored range)
         per_term = {t: np.flatnonzero(karr == t) for t in qset}
-        best_cov, best_p = -1, 0
+        best_cov, best_s = -1, 0
         for p in matched.tolist():
+            s = max(0, p - width // 4)
             cov = sum(
                 1
                 for pos in per_term.values()
                 if pos.size
-                and np.searchsorted(pos, p + width, side="left")
-                > np.searchsorted(pos, p, side="left")
+                and np.searchsorted(pos, s + width, side="left")
+                > np.searchsorted(pos, s, side="left")
             )
             if cov > best_cov:  # strict '>' keeps the EARLIEST tie
-                best_cov, best_p = cov, p
-        start = max(0, best_p - width // 4)
+                best_cov, best_s = cov, s
+        start = best_s
     window = toks[start:start + width]
     kwin = keys[start:start + width]
     shown = [f"[{t}]" if k in qset else t for t, k in zip(window, kwin)]

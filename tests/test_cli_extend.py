@@ -165,3 +165,75 @@ def test_cli_extend_update_recrawl(spark, tmp_path):
     # urlmap holds exactly one row per live url after compaction
     um = pd.read_parquet(os.path.join(idx, "urlmap"))
     assert um.url.is_unique
+
+
+def test_cli_extend_update_idempotent(spark, tmp_path):
+    """Round-3 ADVICE regression: --extend --update must join re-crawls
+    against LIVE urlmap rows only. Before the fix, urlmap's stale
+    (tombstoned) rows matched too, so (a) re-running the same update
+    command re-tombstoned the stale row and indexed a DUPLICATE live
+    copy, and (b) a second, newer re-crawl of the same url matched
+    both the stale and live rows and doubled the snapshot."""
+    first = _pages_pdf(20, empty_every=10**9)
+    upd1 = _pages_pdf(5, start=5, empty_every=10**9)
+    upd1["warc_ts"] = upd1["warc_ts"] + pd.Timedelta(days=1)
+    upd1["text"] = "first recrawl " + upd1["url"].str.split("/p").str[-1]
+    upd1["html"] = [
+        f"<html><body>{t}</body></html>".encode() for t in upd1["text"]
+    ]
+    upd2 = _pages_pdf(5, start=5, empty_every=10**9)
+    upd2["warc_ts"] = upd2["warc_ts"] + pd.Timedelta(days=2)
+    upd2["text"] = "second recrawl " + upd2["url"].str.split("/p").str[-1]
+    upd2["html"] = [
+        f"<html><body>{t}</body></html>".encode() for t in upd2["text"]
+    ]
+
+    p1 = os.path.join(str(tmp_path), "pages1")
+    pu1 = os.path.join(str(tmp_path), "pages_u1")
+    pu2 = os.path.join(str(tmp_path), "pages_u2")
+    spark.createDataFrame(first).write.parquet(p1)
+    spark.createDataFrame(upd1).write.parquet(pu1)
+    spark.createDataFrame(upd2).write.parquet(pu2)
+    idx = os.path.join(str(tmp_path), "idx")
+
+    def updated_count(r):
+        lines = [json.loads(x) for x in r.stdout.strip().splitlines()]
+        return next(d["urls_updated"] for d in lines if "urls_updated" in d)
+
+    r = _run_cli(["build_index.py", "--input", p1, "--input-format", "pages",
+                  "--index-dir", idx, "--n-buckets", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run_cli(["build_index.py", "--input", pu1, "--input-format", "pages",
+                  "--index-dir", idx, "--n-buckets", "4",
+                  "--extend", "--update"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert updated_count(r) == 5
+
+    # (a) REPLAY the exact same update: live rows carry the same
+    # warc_ts now, so nothing is newer -> no-op
+    r = _run_cli(["build_index.py", "--input", pu1, "--input-format", "pages",
+                  "--index-dir", idx, "--n-buckets", "4",
+                  "--extend", "--update"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert updated_count(r) == 0
+
+    # (b) second-generation re-crawl: exactly the 5 live snapshots
+    # update (NOT 10 = live + stale matches)
+    r = _run_cli(["build_index.py", "--input", pu2, "--input-format", "pages",
+                  "--index-dir", idx, "--n-buckets", "4",
+                  "--extend", "--update"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert updated_count(r) == 5
+
+    from search_engine_spark.plans.deletes import load_tombstones
+    from search_engine_spark.plans.wand import LocalSearcher
+
+    # one LIVE row per url; generation-1 text fully masked
+    um = pd.read_parquet(os.path.join(idx, "urlmap"))
+    tomb = set(load_tombstones(idx).tolist())
+    live = um[~um.doc_id.isin(tomb)]
+    assert live.url.is_unique
+    assert len(live) == 20
+    assert not LocalSearcher(idx).search("first", k=10)
+    hits = LocalSearcher(idx).search("second recrawl", k=50)
+    assert len(hits) == 5

@@ -159,6 +159,62 @@ def test_compact_equals_fresh_build(spark, documents, index_dir,
             ), (q, m)
 
 
+def test_compact_propagates_to_title_index(spark, tmp_path_factory):
+    """Round-3 parity fix: fields/title is an ordinary index over the
+    same doc_id space, so compaction must rewrite it too — postings,
+    df, n_docs, avgdl. Before the fix the title index kept dead docs'
+    postings and build-time stats, diverging from a fresh two-index
+    build over the survivors."""
+    from search_engine_spark.operators.dedup import latest_snapshot
+    from search_engine_spark.operators.ids import assign_dense_ids
+    from search_engine_spark.plans.multifield import (
+        MultiFieldSearcher,
+        build_title_index,
+    )
+    from search_engine_spark.sources.pages import generate_pages
+
+    corpus = assign_dense_ids(
+        latest_snapshot(generate_pages(spark, 400, partitions=4)), "url"
+    )
+    idx = str(tmp_path_factory.mktemp("index_mft"))
+    build_index(spark, corpus, idx, n_buckets=4, segment_size=64,
+                stem=False, html_col="html")
+    build_title_index(spark, corpus, idx, n_buckets=4, stem=False)
+
+    victims = [d for d, _ in MultiFieldSearcher(idx, title_weight=2.0)
+               .search("spark join", k=5, stem=False)][:3]
+    assert victims
+    delete_docs(spark, idx, victims)
+    compact_index(spark, idx, segment_size=64)
+
+    fresh = str(tmp_path_factory.mktemp("index_mft_fresh"))
+    survivors = corpus.filter(~F.col("doc_id").isin(victims))
+    build_index(spark, survivors, fresh, n_buckets=4, segment_size=64,
+                stem=False, html_col="html")
+    build_title_index(spark, survivors, fresh, n_buckets=4, stem=False)
+
+    def title_dict_rows(d):
+        p = os.path.join(d, "fields", "title", "dictionary")
+        return {
+            (r.term, r.df, r.cf)
+            for r in spark.read.parquet(p).select("term", "df", "cf")
+            .collect()
+        }
+
+    assert title_dict_rows(idx) == title_dict_rows(fresh)
+    ta = LocalSearcher(os.path.join(idx, "fields", "title"))
+    tb = LocalSearcher(os.path.join(fresh, "fields", "title"))
+    assert (ta.n_docs, ta.avgdl) == (tb.n_docs, tb.avgdl)
+    for q in ("spark join", "the data", "hot"):
+        got = MultiFieldSearcher(idx, title_weight=2.0).search(
+            q, k=10, stem=False
+        )
+        want = MultiFieldSearcher(fresh, title_weight=2.0).search(
+            q, k=10, stem=False
+        )
+        assert got == want, q
+
+
 def test_compact_without_tombstones_is_noop(spark, index_dir):
     before = LocalSearcher(index_dir).search("the", k=10, stem=False)
     out = compact_index(spark, index_dir)

@@ -47,6 +47,21 @@ def test_snippet_deterministic_window():
                    width=3).startswith("[q1]")
 
 
+def test_snippet_scores_the_displayed_window():
+    """Round-3 ADVICE regression: coverage must be scored over the
+    window actually shown (anchor shifted left by width//4), not over
+    [p, p+width) — otherwise a match in the last quarter of the scored
+    range is claimed but cut from the display."""
+    toks = ["x"] * 45
+    toks[10] = "alpha"
+    toks[28] = "beta"
+    toks[30] = "alpha"
+    toks[35] = "beta"
+    got = snippet(" ".join(toks), ["alpha", "beta"], stem=False, width=20)
+    # the displayed window must genuinely contain both distinct terms
+    assert "[alpha]" in got and "[beta]" in got
+
+
 def test_snippet_stemmed_matching():
     # query analyzed with stemming matches inflected doc tokens
     from search_engine_spark.plans.scoring import analyze_query

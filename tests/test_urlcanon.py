@@ -52,6 +52,15 @@ def _battery():
         "?a=1&utm_a=x&b=2&gclid=g",
         "?fbclid=z&utm_b=y",
         "?Case=Mixed&id=0",
+        # adversarial: params whose names merely CONTAIN a tracking
+        # name must survive intact (round-3 ADVICE regression — the
+        # unanchored strip turned 'butm_x=1&id=2' into 'bid=2')
+        "?butm_x=1&id=2",
+        "?xgclid=1&id=2",
+        "?id=1&afbclid=2",
+        # runs of consecutive tracking params in the middle
+        "?utm_a=1&utm_b=2&id=3",
+        "?id=0&utm_a=1&gclid=2&fbclid=3&z=9",
     ]
     frags = ["", "#sec"]
     for parts in itertools.product(schemes, hosts, ports, paths, queries,
