@@ -575,8 +575,13 @@ def _stage_b(
     # groups. Small row groups (1 MiB) keep per-term reads tight: a
     # query term decompresses ~one row group, not a whole file.
     segments = (
+        # bucket-led sort: partitionBy(bucket) below would otherwise
+        # insert its own non-stable sort by the partition column at
+        # write time, scrambling the term order ACROSS row groups and
+        # defeating the footer-stats pruning this layout exists for
+        # (measured: every term read every row group before the fix)
         segments.repartition(max(len(pending_buckets), 1), "bucket")
-        .sortWithinPartitions("term", "salt", "seg")
+        .sortWithinPartitions("bucket", "term", "salt", "seg")
     )
     (
         segments.write.mode("overwrite")

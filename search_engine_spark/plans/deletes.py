@@ -241,8 +241,11 @@ def compact_index(
         )
         _swap_rewrite(
             positions,
+            # bucket-led sort: see build_positions — partitionBy would
+            # otherwise re-sort by bucket only and destroy the
+            # (term, doc_id) row-group pruning layout
             lambda tmp: kept.repartition("bucket")
-            .sortWithinPartitions("term", "doc_id")
+            .sortWithinPartitions("bucket", "term", "doc_id")
             .write.mode("overwrite")
             .option("parquet.block.size", str(1024 * 1024))
             .partitionBy("bucket")

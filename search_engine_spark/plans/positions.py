@@ -180,8 +180,16 @@ def build_positions(
     )
     out = os.path.join(index_dir, "positions")
     (
+        # the sort MUST lead with the partition column: partitionBy
+        # otherwise inserts its own (non-stable) sort by `bucket` at
+        # write time, which destroys the (term, doc_id) ordering and
+        # with it ALL row-group pruning — measured 17x read
+        # amplification per hot-bucket term before the fix. With the
+        # bucket-led sort the writer's required ordering is already
+        # satisfied, no extra sort runs, and every row group holds a
+        # contiguous term range.
         rows.repartition("bucket")
-        .sortWithinPartitions("term", "doc_id")
+        .sortWithinPartitions("bucket", "term", "doc_id")
         .write.mode(mode)
         .option("parquet.block.size", str(1024 * 1024))
         .partitionBy("bucket")
@@ -325,6 +333,40 @@ class PhraseSearcher:
         self._pos_cache_values = 0
         self._POS_CACHE_MAX = 32_000_000
 
+    @staticmethod
+    def _binary_np(arr) -> tuple[np.ndarray, np.ndarray]:
+        """(data uint8 view, absolute int64 offsets) of an Arrow
+        binary array — NO per-row Python bytes objects (materializing
+        a hot term's 600k blobs via to_pylist was the round-2 cold-
+        phrase bottleneck, not the varint decode)."""
+        import pyarrow as pa
+
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        bufs = arr.buffers()
+        width = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        offs = np.frombuffer(bufs[1], dtype=width)[
+            arr.offset: arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(bufs[2], dtype=np.uint8)
+        return data, offs
+
+    @staticmethod
+    def _gather_bytes(data: np.ndarray, starts: np.ndarray,
+                      lens: np.ndarray) -> np.ndarray:
+        """One contiguous uint8 array holding the byte ranges
+        data[starts[i] : starts[i]+lens[i]] back to back — a single
+        vectorized gather, no Python loop over rows."""
+        total = int(lens.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.uint8)
+        prefix = np.cumsum(lens) - lens
+        idx = (
+            np.repeat(starts - prefix, lens)
+            + np.arange(total, dtype=np.int64)
+        )
+        return data[idx]
+
     def _term_positions_full(self, term: str, rows_data):
         """Decode ALL of a term's position blobs once -> (flat
         positions, per-row start offsets), LRU-cached by value count."""
@@ -332,8 +374,10 @@ class PhraseSearcher:
         if cached is not None:
             self._pos_cache[term] = self._pos_cache.pop(term)
             return cached
-        _, npos, blobs = rows_data
-        gaps = decode_varints(b"".join(blobs)).astype(np.int64)
+        _, npos, data, bstarts, blens = rows_data
+        gaps = decode_varints(
+            self._gather_bytes(data, bstarts, blens)
+        ).astype(np.int64)
         c = np.cumsum(gaps)
         ends = np.cumsum(npos)
         starts = ends - npos
@@ -354,13 +398,13 @@ class PhraseSearcher:
         self, term: str, rows_data, rows: np.ndarray, counts: np.ndarray,
         *, hot: bool = False,
     ) -> np.ndarray:
-        """Concatenated positions of the selected rows. Hot terms
-        (`hot` = the QUERY's candidate set is a large fraction of the
-        term's docs, judged once per query — not per 512-row chunk —
-        or already decoded) go through the full-decode cache + a pure
-        gather; selective reads decode only the selected blobs (never
-        pay a full hot-term decode for a rare-phrase query)."""
-        docs, npos, blobs = rows_data
+        """Concatenated positions of the selected rows. Hot gathers
+        (`hot` = THIS gather touches a large fraction of the term's
+        rows, or the term is already decoded) go through the
+        full-decode cache + a pure gather; selective reads decode only
+        the selected blobs (never pay a full hot-term decode for a
+        rare-phrase query or a single bound-descending chunk)."""
+        docs, npos, data, bstarts, blens = rows_data
         if term in self._pos_cache or hot:
             pos, starts = self._term_positions_full(term, rows_data)
             total = int(counts.sum())
@@ -374,7 +418,7 @@ class PhraseSearcher:
             )
             return pos[out_idx]
         gaps = decode_varints(
-            b"".join(blobs[int(r)] for r in rows)
+            self._gather_bytes(data, bstarts[rows], blens[rows])
         ).astype(np.int64)
         c = np.cumsum(gaps)
         ends = np.cumsum(counts)
@@ -384,8 +428,12 @@ class PhraseSearcher:
 
     def _term_rows(
         self, term: str
-    ) -> tuple[np.ndarray, np.ndarray, list[bytes]]:
-        """(sorted doc_ids, npos counts, position blobs), aligned."""
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """(sorted doc_ids, npos counts, blob data buffer, per-row
+        byte starts, per-row byte lengths), aligned: row r's position
+        blob is data[starts[r] : starts[r]+lens[r]]. Blobs stay in one
+        uint8 buffer per term — reordering/selecting rows moves int64
+        offsets, never bytes."""
         cached = self._term_cache.get(term)
         if cached is not None:
             self._term_cache[term] = self._term_cache.pop(term)
@@ -395,34 +443,73 @@ class PhraseSearcher:
         b = term_bucket(term, self.n_buckets)
         docs_parts: list[np.ndarray] = []
         npos_parts: list[np.ndarray] = []
-        blob_parts: list[list[bytes]] = []
+        data_parts: list[np.ndarray] = []
+        start_parts: list[np.ndarray] = []
+        len_parts: list[np.ndarray] = []
+        data_base = 0
+
+        def _append(sel) -> None:
+            nonlocal data_base
+            docs_parts.append(sel["doc_id"].to_numpy(zero_copy_only=False))
+            npos_parts.append(sel["npos"].to_numpy(zero_copy_only=False))
+            data, offs = self._binary_np(sel["positions"])
+            used = data[offs[0]: offs[-1]]
+            data_parts.append(used)
+            start_parts.append(offs[:-1] - offs[0] + data_base)
+            len_parts.append(offs[1:] - offs[:-1])
+            data_base += used.size
+
+        # a hot term spans many row groups whose stats are [term, term]
+        # — those are PURE: every row is ours, so skip decoding the
+        # term string column and the filter, and read consecutive runs
+        # of them in one batched call. Only boundary (mixed) row
+        # groups pay the term-column read + equality filter. Parts are
+        # assembled in row-group order: the table is (term, doc_id)-
+        # sorted per file, so a single-file bucket arrives already
+        # doc-sorted and the argsort below short-circuits.
+        runs: list[tuple[str, list[int], bool]] = []  # (path, rgs, pure)
         for path, rg, lo, hi in self._rg.get(b, ()):
             if (lo is None or lo <= term) and (hi is None or term <= hi):
+                pure = lo == term and hi == term
+                if (runs and runs[-1][2] and pure
+                        and runs[-1][0] == path):
+                    runs[-1][1].append(rg)
+                else:
+                    runs.append((path, [rg], pure))
+        for path, rgs, pure in runs:
+            if pure:
+                sel = self._files[path].read_row_groups(
+                    rgs, columns=["doc_id", "npos", "positions"]
+                )
+            else:
                 tbl = self._files[path].read_row_groups(
-                    [rg], columns=["term", "doc_id", "npos", "positions"]
+                    rgs, columns=["term", "doc_id", "npos", "positions"]
                 )
                 sel = tbl.filter(pc.equal(tbl["term"], term))
-                if sel.num_rows:
-                    docs_parts.append(
-                        sel["doc_id"].to_numpy(zero_copy_only=False)
-                    )
-                    npos_parts.append(
-                        sel["npos"].to_numpy(zero_copy_only=False)
-                    )
-                    blob_parts.append(sel["positions"].to_pylist())
+            if sel.num_rows:
+                _append(sel)
         if docs_parts:
             docs = np.concatenate(docs_parts)
             npos = np.concatenate(npos_parts).astype(np.int64)
-            blobs = [bl for part in blob_parts for bl in part]
-            order = np.argsort(docs, kind="stable")
-            docs = docs[order]
-            npos = npos[order]
-            blobs = [blobs[int(j)] for j in order]
+            data = (
+                np.concatenate(data_parts)
+                if len(data_parts) > 1 else data_parts[0]
+            )
+            starts = np.concatenate(start_parts)
+            lens = np.concatenate(len_parts)
+            if docs.size > 1 and not np.all(docs[1:] > docs[:-1]):
+                order = np.argsort(docs, kind="stable")
+                docs = docs[order]
+                npos = npos[order]
+                starts = starts[order]
+                lens = lens[order]
         else:
             docs = np.empty(0, dtype=np.int64)
             npos = np.empty(0, dtype=np.int64)
-            blobs = []
-        val = (docs, npos, blobs)
+            data = np.empty(0, dtype=np.uint8)
+            starts = np.empty(0, dtype=np.int64)
+            lens = np.empty(0, dtype=np.int64)
+        val = (docs, npos, data, starts, lens)
         if len(self._term_cache) >= self._CACHE:
             self._term_cache.pop(next(iter(self._term_cache)))
         self._term_cache[term] = val
@@ -469,19 +556,30 @@ class PhraseSearcher:
         each (candidate, start-offset) pair becomes a single int64 key
         (ordinal * 2^33 + offset), and phrase-slot j's keys are
         np.intersect1d-ed across slots. Surviving keys' ordinals,
-        bincounted, are the per-candidate tfs."""
+        bincounted, are the per-candidate tfs.
+
+        Hotness is judged by the rows SELECTED IN THIS GATHER (not the
+        query's whole candidate set): search_phrase streams candidates
+        in bound-descending chunks, and a stopword bigram's first
+        chunk must never trigger a full decode of the hot term's every
+        position blob (the round-2 1-6 s cold-tail) — each chunk
+        decodes only its own <= chunk-size blobs, and block-max
+        termination keeps the number of chunks small. Exhaustive
+        callers (phrase_counts / near_counts) pass sel = all
+        candidates, so genuinely full-fraction scans still promote
+        into the decoded-positions cache."""
         n = int(sel.size)
         local: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         keys: np.ndarray | None = None
         for j, w in enumerate(phrase):
             cached = local.get(w)
             if cached is None:
-                docs_w, npos, _ = per_term[w]
+                docs_w, npos = per_term[w][0], per_term[w][1]
                 rows = idx[w][sel]
                 counts = npos[rows]
                 pos = self._gather_positions(
                     w, per_term[w], rows, counts,
-                    hot=idx[w].size * 4 >= docs_w.size,
+                    hot=rows.size * 4 >= docs_w.size,
                 )
                 ordrep = np.repeat(np.arange(n, dtype=np.int64), counts)
                 cached = (pos, ordrep)
@@ -533,7 +631,7 @@ class PhraseSearcher:
         sel = np.arange(cand.size, dtype=np.int64)
         keys = {}
         for w in (term_a, term_b):
-            docs_w, npos, _ = per_term[w]
+            docs_w, npos = per_term[w][0], per_term[w][1]
             rows = idx[w][sel]
             counts = npos[rows]
             pos = self._gather_positions(

@@ -61,6 +61,73 @@ def test_segments_are_bounded_and_sorted(spark, reader):
     assert r.first_doc < r.last_doc
 
 
+def _rg_term_ranges(root):
+    """[(path, [(min_term, max_term), ...in row-group order])] for
+    every parquet file under a bucket-partitioned table."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for path in sorted(
+        glob.glob(os.path.join(root, "bucket=*", "*.parquet"))
+    ):
+        pf = pq.ParquetFile(path)
+        ti = pf.schema_arrow.get_field_index("term")
+        md = pf.metadata
+        ranges = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ti).statistics
+            ranges.append((st.min, st.max))
+        out.append((path, ranges))
+    return out
+
+
+def test_rowgroups_term_sorted_after_partitionby(spark, documents,
+                                                 tmp_path_factory):
+    """Round-3 layout regression: partitionBy(bucket) inserts its own
+    sort by the partition column at write time unless the upstream
+    sort already LEADS with it — a trailing (term, ...) sort gets
+    scrambled and every row group spans the whole term range, silently
+    disabling footer-stats pruning (measured 17x read amplification).
+    Assert every file's row groups carry non-overlapping ascending
+    term ranges, for the postings segments AND the positional table."""
+    import os
+
+    from search_engine_spark.plans.positions import build_positions
+
+    d = str(tmp_path_factory.mktemp("index_layout"))
+    build_index(spark, documents, d, n_buckets=4, segment_size=16,
+                stem=False, salt_threshold=50, max_salts=4)
+    build_positions(spark, documents, d, n_buckets=4, stem=False)
+
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for sub in ("postings", "positions"):
+        # row-group footer stats must carve the term range...
+        for path, ranges in _rg_term_ranges(os.path.join(d, sub)):
+            for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+                assert lo_a <= hi_a, (sub, path)
+                assert hi_a <= lo_b, (
+                    sub, path, "row-group term ranges overlap — the "
+                    "write-side sort no longer leads with the "
+                    "partition column", (lo_a, hi_a), (lo_b, hi_b),
+                )
+        # ...and (small corpora fit one row group, which would pass
+        # trivially) the rows INSIDE each file must be term-ascending
+        n_checked = 0
+        for path in sorted(
+            glob.glob(os.path.join(d, sub, "bucket=*", "*.parquet"))
+        ):
+            terms = pq.read_table(path, columns=["term"])["term"].to_pylist()
+            assert terms == sorted(terms), (sub, path)
+            n_checked += len(terms)
+        assert n_checked > 0, sub
+
+
 def test_salting_engaged(spark, reader):
     """With threshold 50, hot terms must have split into >1 salt."""
     segs = spark.read.parquet(reader.paths.postings)

@@ -258,7 +258,7 @@ def test_positions_sql_view(spark, tmp_path):
         "WHERE term = 'hash'"
     ).collect()[0]
     s = PhraseSearcher(idx_dir)
-    docs, npos, _ = s._term_rows("hash")
+    docs, npos, *_ = s._term_rows("hash")
     assert int(row.n) == docs.size
     assert int(row.total) == int(npos.sum())
 
