@@ -126,6 +126,17 @@ def main() -> None:
                             "(enables query.py --suggest)")
     g.add_argument("--index-dir", required=True)
 
+    m = sub.add_parser("merge",
+                       help="tiered merge: fold two BUILT indexes "
+                            "into one without re-tokenizing (the "
+                            "parallel-shard ingest path; converges "
+                            "to a fresh build over the union corpus)")
+    m.add_argument("--index-a", required=True)
+    m.add_argument("--index-b", required=True)
+    m.add_argument("--out", required=True)
+    m.add_argument("--segment-size", type=int, default=4096)
+    m.add_argument("--max-salts", type=int, default=32)
+
     args = ap.parse_args()
 
     if args.cmd == "stats":
@@ -175,6 +186,13 @@ def main() -> None:
         from search_engine_spark.plans.fsck import fsck_distributed
 
         summary = fsck_distributed(spark, args.index_dir)
+    elif args.cmd == "merge":
+        from search_engine_spark.plans.merge import merge_indexes
+
+        summary = merge_indexes(
+            spark, args.index_a, args.index_b, args.out,
+            segment_size=args.segment_size, max_salts=args.max_salts,
+        )
     else:
         from search_engine_spark.plans.deletes import compact_index
 

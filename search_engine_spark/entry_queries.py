@@ -2491,6 +2491,164 @@ LIMIT 10
 """
 
 
+def q_source_collapsed_topk(spark, sf_dir):
+    """Serving-side result diversification: BM25 'the data' ranking
+    collapsed to at most 2 hits per `source` (site collapse), global
+    top-10 of the survivors (plans/scoring.collapse_top_hits). The
+    full match set feeds the collapse — a pre-cut top-k would starve
+    sources ranked below the cut."""
+    from search_engine_spark.plans.scoring import (
+        bm25_exhaustive, collapse_top_hits,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = bm25_exhaustive(
+        spark, _postings(spark, sf_dir), "the data", k=1_000_000,
+        stem=False,
+    )
+    out = collapse_top_hits(
+        scored, docs, key="source", per_key=2, k=10,
+    )
+    return out.select(
+        "doc_id", "source", F.round("score", 6).alias("score"), "key_rank"
+    )
+
+
+SQL_SOURCE_COLLAPSED_TOPK = f"""
+WITH {_TOK_CTE},
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(doclen) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+q AS (SELECT * FROM (VALUES ('the'), ('data')) AS t(term)),
+scored0 AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (tf.tf * {K1 + 1.0} / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / s.avgdl)))
+           AS partial
+  FROM tf JOIN q USING (term) JOIN dfs USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+scored AS (
+  SELECT doc_id, sum(partial) AS score
+  FROM scored0 GROUP BY doc_id HAVING count(*) = 2
+),
+keyed AS (
+  SELECT s.doc_id, d.source, s.score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY s.score DESC, s.doc_id ASC)::BIGINT
+           AS key_rank
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, source, round(score, 6) AS score, key_rank
+FROM keyed WHERE key_rank <= 2
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+def q_domain_mixture(spark, sf_dir):
+    """Training-mixture rebalancing: per (lang, source) doc counts and
+    temperature-0.7 sampling weights (w ∝ p^0.7 — flattens the head
+    domain the way CCNet/Pile-style mixtures do). One group-by plus a
+    broadcast-sized weight normalization."""
+    from search_engine_spark.operators.sampling import domain_mixture
+
+    return domain_mixture(_t(spark, sf_dir, "documents"),
+                          ("lang", "source"), temperature=0.7)
+
+
+SQL_DOMAIN_MIXTURE = """
+WITH c AS (
+  SELECT lang, source, count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY lang, source
+),
+p AS (
+  SELECT *, n_docs / (sum(n_docs) OVER ())::DOUBLE AS share,
+         pow(n_docs / (sum(n_docs) OVER ())::DOUBLE, 0.7) AS pw
+  FROM c
+)
+SELECT lang, source, n_docs, round(share, 6) AS share,
+       round(pw / sum(pw) OVER (), 6) AS weight,
+       round(pw / sum(pw) OVER () * 100000, 2) AS per_100k
+FROM p
+"""
+
+
+def q_sequence_packing(spark, sf_dir):
+    """Pretraining sequence packing: docs concatenated in id order and
+    chunked every 512 whitespace tokens; each doc assigned to the pack
+    where its first token lands (operators/sampling.sequence_packing —
+    one window cumsum, no Python)."""
+    from search_engine_spark.operators.sampling import sequence_packing
+
+    return sequence_packing(_t(spark, sf_dir, "documents"), budget=512)
+
+
+SQL_SEQUENCE_PACKING = """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) AS strt
+  FROM t
+)
+SELECT doc_id, n_tokens, (strt // 512)::BIGINT AS pack_id,
+       row_number() OVER (PARTITION BY (strt // 512)
+                          ORDER BY doc_id)::BIGINT AS pack_pos
+FROM c
+"""
+
+
+def q_filtered_ann_topk(spark, sf_dir):
+    """Metadata-filtered vector search: cosine top-10 among embeddings
+    with label = 3 only (the filter prunes BEFORE the distance math —
+    at scale it partition-prunes a label-partitioned table)."""
+    from search_engine_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+    return cosine_topk(emb.filter(F.col("label") == 3), qv, k=10)
+
+
+SQL_FILTERED_ANN_TOPK = """
+WITH qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], v)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(v, v))), 6) AS cos
+FROM embeddings CROSS JOIN qv
+WHERE label = 3
+ORDER BY cos DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def q_contains_term_stats(spark, sf_dir):
+    """Wildcard '*ark*' dictionary scan: df + cf for every vocabulary
+    term CONTAINING a substring (complements prefix_term_stats; the
+    serving-side analogue walks the same row-group-pruned dictionary
+    with a contains predicate)."""
+    tf = term_frequencies(split_terms(_t(spark, sf_dir, "documents")))
+    return (
+        tf.filter(F.col("term").contains("ark"))
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
+    )
+
+
+SQL_CONTAINS_TERM_STATS = f"""
+WITH {_TOK_CTE}
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM tf WHERE term LIKE '%ark%' GROUP BY term
+"""
+
+
 # ---------------------------------------------------------------------------
 # QUERIES ordering is part of the deliverable: the driver's correctness
 # harness checks only the FIRST 50 entries (insertion order), so every
@@ -2537,6 +2695,11 @@ QUERIES = {
     "lsh_cosine_topk": q_lsh_cosine_topk,
     "ivf_cosine_topk": q_ivf_cosine_topk,
     # -- round-3 additions go HERE (before the veterans) --
+    "source_collapsed_topk": q_source_collapsed_topk,
+    "domain_mixture": q_domain_mixture,
+    "sequence_packing": q_sequence_packing,
+    "filtered_ann_topk": q_filtered_ann_topk,
+    "contains_term_stats": q_contains_term_stats,
     # -- veterans: green in CORRECTNESS_r01/r02, rotate toward the tail --
     "document_frequency": q_document_frequency,
     "doc_lengths": q_doc_lengths,
@@ -2653,6 +2816,11 @@ ORACLES = {
     "bigram_pmi": SQL_BIGRAM_PMI,
     "lsh_cosine_topk": SQL_LSH_COSINE_TOPK,
     "ivf_cosine_topk": SQL_IVF_COSINE_TOPK,
+    "source_collapsed_topk": SQL_SOURCE_COLLAPSED_TOPK,
+    "domain_mixture": SQL_DOMAIN_MIXTURE,
+    "sequence_packing": SQL_SEQUENCE_PACKING,
+    "filtered_ann_topk": SQL_FILTERED_ANN_TOPK,
+    "contains_term_stats": SQL_CONTAINS_TERM_STATS,
     # intentionally rows-only (non-SQL-expressible), with their pytest
     # exactness anchors:
     # bm25_stemmed_topk — Porter 1980 stemmer is not ANSI-SQL; rank

@@ -264,3 +264,42 @@ def bm25_exhaustive(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def collapse_top_hits(
+    scored: DataFrame,
+    meta: DataFrame,
+    *,
+    key: str,
+    per_key: int = 2,
+    k: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Result diversification by field collapse (the search-engine
+    'site collapse' feature): keep at most `per_key` hits per `key`
+    (e.g. source/host), then the global top-k. `scored` is a full
+    (doc_id, score) ranking; `meta` maps doc_id -> key (broadcast if
+    small, else an equi-join on the id).
+
+    Collapse only REMOVES docs, so it must see the ranking DEEP
+    enough that k survivors exist — callers pass the full match set
+    (or k * per-key-cardinality at minimum), not a pre-cut top-k.
+    Windows partition by the collapse key — shuffle on `key`, skew
+    bounded by the per-key rank cutoff running map-side under AQE."""
+    from pyspark.sql import Window as W
+
+    w_key = W.partitionBy(key).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        scored.join(meta.select(id_col, key), id_col)
+        .withColumn("_kr", F.row_number().over(w_key))
+        .filter(F.col("_kr") <= per_key)
+        .select(
+            id_col, key, score_col,
+            F.col("_kr").cast("long").alias("key_rank"),
+        )
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .limit(k)
+    )
