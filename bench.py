@@ -39,7 +39,8 @@ BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "600000"))
 # 2 vs 8 sits below this box's measured memory-bandwidth saturation
 # (~16 busy cores); the full-width level reports peak throughput.
 SCALE_CORES = [
-    int(c) for c in os.environ.get("SPARK_GRAFT_BENCH_CORES", "2,8,32").split(",")
+    int(c)
+    for c in os.environ.get("SPARK_GRAFT_BENCH_CORES", "2,8,16,32").split(",")
 ]
 SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 # this host's wall-times vary ±30-50% run to run (BENCH/BASELINE.md);
@@ -103,9 +104,32 @@ def build_at(cores: int, corpus_dir: str, out_dir: str) -> float:
         spark.stop()
 
 
+def host_noise_probe() -> dict:
+    """This box's memory bandwidth swings >100x under neighbor load
+    (a bare 17 MB memcpy measured 4.6ms..582ms across runs). Record
+    the spread alongside every bench so the numbers carry their own
+    noise context."""
+    import numpy as np
+
+    a = np.zeros(17_000_000, dtype=np.uint8)
+    samples = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        b = a.copy()
+        samples.append((time.perf_counter() - t0) * 1000)
+        del b
+    samples.sort()
+    return {
+        "memcpy17mb_ms_min": round(samples[0], 2),
+        "memcpy17mb_ms_p50": round(samples[len(samples) // 2], 2),
+        "memcpy17mb_ms_max": round(samples[-1], 2),
+    }
+
+
 def main() -> None:
     queries: dict[str, float] = {}
     extra: dict[str, float] = {}
+    extra.update(host_noise_probe())
     work = tempfile.mkdtemp(prefix="bench_idx_")
     corpus = os.path.join(work, "corpus")
 
@@ -218,6 +242,20 @@ def main() -> None:
     # exact-phrase serving p50 (positional index; includes the
     # hottest stopword bigram — worst-case candidate volume)
     from search_engine_spark.plans.positions import PhraseSearcher
+
+    # COLD first-contact latency (round-2 weak spot #1): a fresh
+    # searcher per query so every read/decode path starts empty;
+    # median-of-3 per query to shed the host's memcpy noise spikes
+    cold = {}
+    for q in PHRASE_QUERIES:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            PhraseSearcher(idx_big).search_phrase(q, k=10)
+            runs.append(time.perf_counter() - t0)
+        cold[q] = round(statistics.median(runs), 3)
+    extra["phrase_cold_s"] = cold
+    extra["phrase_cold_max_s"] = max(cold.values())
 
     ps = PhraseSearcher(idx_big)
     t0 = time.perf_counter()
