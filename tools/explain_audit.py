@@ -74,6 +74,20 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
                             ["Python", "CartesianProduct"]),
     # unigram LM: per-token logprob aggregation, keyed joins only
     "unigram_lm_quality": (["HashAggregate"], ["CartesianProduct"]),
+    # round 3: site collapse = keyed join + per-key window, never
+    # all-pairs; the scored side joins documents on doc_id
+    "source_collapsed_topk": (["Window", "HashAggregate"],
+                              ["CartesianProduct", "Python"]),
+    # mixture weights: one aggregation + broadcast-sized window
+    "domain_mixture": (["HashAggregate", "Window"],
+                       ["CartesianProduct", "Python"]),
+    # pack assignment: single window cumsum, pure JVM
+    "sequence_packing": (["Window"], ["CartesianProduct", "Python"]),
+    # metadata-filtered ANN: the label predicate must reach the scan
+    "filtered_ann_topk": (["EqualTo(label,3)", "TakeOrderedAndProject"],
+                          ["CartesianProduct", "Python"]),
+    # wildcard contains scan: aggregation in codegen, no Python
+    "contains_term_stats": (["HashAggregate", "codegen id"], ["Python"]),
 }
 
 
