@@ -113,22 +113,20 @@ def main() -> None:
                         F.col("_s.warc_ts").alias("_old_ts"),
                     )
                 )
-                # eager localCheckpoint: delete_docs appends tombstone
-                # files below, and `updated` must keep the PRE-append
-                # view when the union re-evaluates it (the re-crawl
-                # batch is small relative to the corpus, so the
-                # executor-local persist is cheap). `fresh` is pinned
-                # by Spark's file-listing snapshot: `tomb` listed the
-                # deletes directory when it was created.
+                # eager localCheckpoints: every write below (tombstone
+                # append, urlmap append) invalidates Spark's
+                # file-listing cache for the tables these plans read,
+                # so a later re-evaluation would see its OWN output
+                # and silently change the batch (observed: the title/
+                # positions extension re-filtering against the
+                # just-appended urlmap and becoming a no-op). Pin the
+                # batch BEFORE the first write; the re-crawl batch is
+                # small relative to the corpus, so the executor-local
+                # persist is cheap.
                 updated = (
                     src.join(old, "url")
                     .filter(F.col("warc_ts") > F.col("_old_ts"))
                 ).localCheckpoint()
-                n_upd = delete_docs(
-                    spark, args.index_dir, updated.select(
-                        F.col("_old_id").alias("doc_id")
-                    )
-                )["tombstones_appended"]
                 # a url whose every row is tombstoned counts as absent
                 # — a re-crawl of a deleted page re-enters as fresh
                 fresh = src.join(live.select("url"), "url", "left_anti")
@@ -138,7 +136,11 @@ def main() -> None:
                 src = fresh.unionByName(
                     updated.drop("_old_id", "_old_ts")
                 ).dropDuplicates(["url"])
-                print(json.dumps({"urls_updated": n_upd}))
+                # tombstoning is DEFERRED until the whole batch is
+                # pinned below: a crash between the two leaves
+                # tombstones without replacements, and the re-run
+                # self-heals (fully-dead urls re-enter as fresh)
+                dead_ids = updated.select(F.col("_old_id").alias("doc_id"))
             else:
                 # append-only extension: genuinely new urls only
                 src = src.join(existing.select("url"), "url", "left_anti")
@@ -151,9 +153,20 @@ def main() -> None:
             # postings.
             max_id = existing.agg(F.max("doc_id")).collect()[0][0]
             offset = int(max_id) + 1 if max_id is not None else 0
+            # PIN the batch before any index write: the body extend
+            # appends to urlmap/deletes, which invalidates the file-
+            # listing cache behind `existing`/`tomb` — without the
+            # eager checkpoint, the positions/title extensions that
+            # re-evaluate `src` afterwards would anti-join against
+            # their own output and silently ingest nothing.
             src = assign_dense_ids(src, "url").withColumn(
                 "doc_id", F.col("doc_id") + F.lit(offset)
-            )
+            ).localCheckpoint()
+            if args.update:
+                n_upd = delete_docs(spark, args.index_dir, dead_ids)[
+                    "tombstones_appended"
+                ]
+                print(json.dumps({"urls_updated": n_upd}))
         else:
             src = assign_dense_ids(src, "url")
         html_col = "html"
@@ -216,15 +229,27 @@ def main() -> None:
         if args.input_format != "pages":
             ap.error("--title-index needs pages input (html column)")
         if args.extend:
-            ap.error("--title-index does not support --extend yet — "
-                     "rebuild the title field after extending (it is "
-                     "a small fraction of the main build)")
-        from search_engine_spark.plans.multifield import build_title_index
+            # src already carries the genuinely-new docs with fresh
+            # offset ids (and the re-crawled snapshots under --update,
+            # whose old title postings are masked by the SAME
+            # tombstones the body path appended — fields/title shares
+            # the doc_id space)
+            from search_engine_spark.plans.multifield import (
+                extend_title_index,
+            )
 
-        build_title_index(
-            spark, src, args.index_dir,
-            n_buckets=args.n_buckets, stem=not args.no_stem,
-        )
+            extend_title_index(
+                spark, src, args.index_dir, stem=not args.no_stem,
+            )
+        else:
+            from search_engine_spark.plans.multifield import (
+                build_title_index,
+            )
+
+            build_title_index(
+                spark, src, args.index_dir,
+                n_buckets=args.n_buckets, stem=not args.no_stem,
+            )
         summary["title_index_built"] = True
     if args.store_text:
         from search_engine_spark.plans.docstore import build_docstore

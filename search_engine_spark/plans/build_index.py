@@ -706,9 +706,12 @@ def extend_index(
     segment_size: int = DEFAULT_SEGMENT_SIZE,
     max_salts: int = 32,
     run_id: str | None = None,
+    field: str = "body",
 ) -> dict:
     """Incrementally add documents to an existing index and converge to
     the index a full rebuild over the union corpus would produce.
+    field="title" extends a title field index (fields/title) with the
+    same mechanics — the per-field tables are ordinary indexes.
 
     Mechanics: tokenize ONLY the new docs and append their postings to
     the flat table's bucket partitions; recompute the derived tables
@@ -738,7 +741,7 @@ def extend_index(
 
     new_flat = postings_from_text(
         new_source, id_col=id_col, text_col=text_col, html_col=html_col,
-        stem=stem,
+        stem=stem, field=field,
     ).withColumn("bucket", _bucket_expr(F.col("term"), n_buckets))
     # same zero-shuffle layout as _stage_a: new files are also
     # (bucket, term)-sorted, so bucket row-group pruning keeps working.

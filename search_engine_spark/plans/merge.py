@@ -88,27 +88,62 @@ def merge_indexes(
     run_id = run_id or uuid.uuid4().hex[:12]
 
     offset = _max_allocated_id(spark, a_dir) + 1
+
+    def _merge_flat(src_a: IndexPaths, src_b: IndexPaths,
+                    dst: IndexPaths) -> None:
+        # each (sub-)index pair carries its OWN physical invariants —
+        # fields/title may use a different bucket count than the body
+        ma, mb = _read_meta(spark, src_a), _read_meta(spark, src_b)
+        if int(ma["n_buckets"]) != int(mb["n_buckets"]):
+            raise ValueError(
+                f"n_buckets mismatch under {src_a.root} vs "
+                f"{src_b.root} ({ma['n_buckets']} vs {mb['n_buckets']})"
+            )
+        nb = int(ma["n_buckets"])
+        st = int(min(ma.get("salt_threshold", 1_000_000),
+                     mb.get("salt_threshold", 1_000_000)))
+        flat_a = spark.read.parquet(src_a.flat)
+        flat_b = spark.read.parquet(src_b.flat).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(offset)
+        )
+        (
+            flat_a.unionByName(flat_b)
+            .repartition(nb, "bucket")
+            .sortWithinPartitions("bucket", "term", "doc_id")
+            .write.mode("overwrite").parquet(dst.flat)
+        )
+        _stage_a_stats(
+            spark, dst, n_buckets=nb, salt_threshold=st,
+            stem=bool(ma.get("stem", True)),
+        )
+        _stage_b(
+            spark, dst, list(range(nb)),
+            segment_size=segment_size, salt_threshold=st,
+            max_salts=max_salts, run_id=run_id,
+        )
+
     out = IndexPaths(out_dir)
-    flat_a = spark.read.parquet(pa.flat)
-    flat_b = spark.read.parquet(pb.flat).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(offset)
-    )
-    (
-        flat_a.unionByName(flat_b)
-        .repartition(n_buckets, "bucket")
-        .sortWithinPartitions("bucket", "term", "doc_id")
-        .write.mode("overwrite").parquet(out.flat)
-    )
-    _stage_a_stats(
-        spark, out, n_buckets=n_buckets, salt_threshold=salt_threshold,
-        stem=bool(meta_a.get("stem", True)),
-    )
+    _merge_flat(pa, pb, out)
     touched = list(range(n_buckets))
-    _stage_b(
-        spark, out, touched,
-        segment_size=segment_size, salt_threshold=salt_threshold,
-        max_salts=max_salts, run_id=run_id,
-    )
+
+    # field indexes share the doc_id space, so they merge with the
+    # SAME offset; an asymmetric title field would leave the merged
+    # index half-ranked — refuse instead of guessing
+    title_a = os.path.join(a_dir, "fields", "title")
+    title_b = os.path.join(b_dir, "fields", "title")
+    merged_title = False
+    if os.path.isdir(title_a) != os.path.isdir(title_b):
+        raise ValueError(
+            "one side has a fields/title index and the other does not "
+            "— build the missing title field (or drop the present one) "
+            "before merging"
+        )
+    if os.path.isdir(title_a):
+        _merge_flat(
+            IndexPaths(title_a), IndexPaths(title_b),
+            IndexPaths(os.path.join(out_dir, "fields", "title")),
+        )
+        merged_title = True
 
     def _union_side_table(name: str, sort_col: str) -> bool:
         ta, tb = (os.path.join(d, name) for d in (a_dir, b_dir))
@@ -133,4 +168,5 @@ def merge_indexes(
         "buckets_rebuilt": len(touched),
         "urlmap_merged": merged_urlmap,
         "docstore_merged": merged_docstore,
+        "title_merged": merged_title,
     }

@@ -70,6 +70,36 @@ def build_title_index(
     )
 
 
+def extend_title_index(
+    spark,
+    new_source,
+    index_dir: str,
+    *,
+    segment_size: int = 4096,
+    stem: bool = True,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+) -> dict:
+    """Extend the title field with the SAME new docs the body extend
+    just ingested (ids already offset by the caller) — fields/title is
+    an ordinary index, so this is extend_index with the title
+    analyzer. Converges to a fresh two-index build over the union
+    (tests/test_multifield.py)."""
+    from search_engine_spark.plans.build_index import extend_index
+
+    tdir = os.path.join(index_dir, TITLE_DIR)
+    if not os.path.isdir(tdir):
+        raise FileNotFoundError(
+            f"{tdir} missing — extending a title index requires one "
+            "(full build with --title-index first)"
+        )
+    return extend_index(
+        spark, new_source, tdir,
+        segment_size=segment_size, stem=stem,
+        id_col=id_col, html_col=html_col, field="title",
+    )
+
+
 class MultiFieldSearcher:
     """Serving-side weighted multi-field ranking over two
     LocalSearchers (body = the main index, title = fields/title)."""

@@ -167,6 +167,92 @@ def test_cli_extend_update_recrawl(spark, tmp_path):
     assert um.url.is_unique
 
 
+def test_cli_extend_with_title_index(spark, tmp_path):
+    """Round 3: --extend --title-index extends fields/title with the
+    same new docs (previously a hard CLI error). The extended pair
+    must rank identically (by url) to a fresh two-index build over
+    the union corpus."""
+    first = _pages_pdf(30, empty_every=10**9)
+    second = _pages_pdf(45, empty_every=10**9)  # 30 old + 15 new urls
+    for pdf in (first, second):
+        # give the pages real <title> content so the title field has
+        # postings (the shared helper's html is title-less)
+        pdf["html"] = [
+            (f"<html><head><title>t{u.split('/p')[-1]} spark</title>"
+             f"</head><body>{t}</body></html>").encode()
+            for u, t in zip(pdf["url"], pdf["text"])
+        ]
+    p1 = os.path.join(str(tmp_path), "pages1")
+    p2 = os.path.join(str(tmp_path), "pages2")
+    spark.createDataFrame(first).write.parquet(p1)
+    spark.createDataFrame(second).write.parquet(p2)
+    idx = os.path.join(str(tmp_path), "idx")
+    full = os.path.join(str(tmp_path), "idx_full")
+
+    r = _run_cli(["build_index.py", "--input", p1, "--input-format", "pages",
+                  "--index-dir", idx, "--n-buckets", "4", "--title-index"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run_cli(["build_index.py", "--input", p2, "--input-format", "pages",
+                  "--index-dir", idx, "--n-buckets", "4", "--extend",
+                  "--title-index"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run_cli(["build_index.py", "--input", p2, "--input-format", "pages",
+                  "--index-dir", full, "--n-buckets", "4", "--title-index"])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    from search_engine_spark.plans.multifield import MultiFieldSearcher
+
+    def urls_for(index_dir, qtext):
+        hits = MultiFieldSearcher(index_dir, title_weight=2.0).search(
+            qtext, k=1000
+        )
+        um = pd.read_parquet(os.path.join(index_dir, "urlmap"))
+        m = dict(zip(um.doc_id, um.url))
+        return sorted((m[d], round(sc, 9)) for d, sc in hits)
+
+    for q in ("spark join", "number40", "fast"):
+        assert urls_for(idx, q) == urls_for(full, q), q
+
+
+def test_cli_extend_with_positions(spark, tmp_path):
+    """Round 3: the CLI's --extend --positions path re-evaluated `src`
+    AFTER the urlmap append invalidated the file-listing cache, so the
+    positional append silently ingested nothing. With the batch
+    pinned, extended positions must answer phrases identically (by
+    url) to a fresh --positions build over the union."""
+    first = _pages_pdf(25, empty_every=10**9)
+    second = _pages_pdf(40, empty_every=10**9)
+    p1 = os.path.join(str(tmp_path), "pages1")
+    p2 = os.path.join(str(tmp_path), "pages2")
+    spark.createDataFrame(first).write.parquet(p1)
+    spark.createDataFrame(second).write.parquet(p2)
+    idx = os.path.join(str(tmp_path), "idx")
+    full = os.path.join(str(tmp_path), "idx_full")
+
+    for args in (
+        ["--input", p1, "--index-dir", idx, "--positions"],
+        ["--input", p2, "--index-dir", idx, "--positions", "--extend"],
+        ["--input", p2, "--index-dir", full, "--positions"],
+    ):
+        r = _run_cli(["build_index.py", "--input-format", "pages",
+                      "--n-buckets", "4"] + args)
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    from search_engine_spark.plans.positions import PhraseSearcher
+
+    def urls_for(index_dir, phrase):
+        hits = PhraseSearcher(index_dir).search_phrase(phrase, k=1000)
+        um = pd.read_parquet(os.path.join(index_dir, "urlmap"))
+        m = dict(zip(um.doc_id, um.url))
+        return sorted((m[d], tf) for d, tf in hits)
+
+    # number35 only exists in the EXTENDED batch — the no-op bug made
+    # this come back empty on idx
+    got = urls_for(idx, "number35 join")
+    assert got and got == urls_for(full, "number35 join")
+    assert urls_for(idx, "join fast") == urls_for(full, "join fast")
+
+
 def test_cli_extend_update_idempotent(spark, tmp_path):
     """Round-3 ADVICE regression: --extend --update must join re-crawls
     against LIVE urlmap rows only. Before the fix, urlmap's stale

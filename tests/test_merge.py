@@ -87,6 +87,57 @@ def test_merge_unions_urlmap_with_offset(spark, dirs):
     assert um[um.url == "https://ex.com/p99"].doc_id.iloc[0] == 60 + 39
 
 
+def _pages(spark, lo, hi):
+    rows = []
+    for i in range(lo, hi):
+        title = f"title number{i} spark"
+        body = " ".join(["join"] * (i % 3 + 1)) + f" body number{i} the fast"
+        html = f"<html><head><title>{title}</title></head><body>{body}</body></html>"
+        rows.append((i - lo, html.encode(), f"{title} {body}",
+                     f"https://ex.com/p{i}"))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "html", "text", "url"])
+    )
+
+
+def test_merge_with_title_field(spark, tmp_path):
+    """Field indexes share the doc_id space: the merge must fold
+    fields/title with the SAME offset, converging to a fresh two-index
+    build over the union; an asymmetric title field is refused."""
+    from search_engine_spark.plans.multifield import (
+        MultiFieldSearcher,
+        build_title_index,
+    )
+
+    a_src, b_src = _pages(spark, 0, 40), _pages(spark, 40, 70)
+    a, b, out, full = (str(tmp_path / n) for n in ("a", "b", "out", "full"))
+    kw = dict(n_buckets=4, segment_size=32, stem=False, html_col="html")
+    build_index(spark, a_src, a, **kw)
+    build_index(spark, b_src, b, **kw)
+    build_title_index(spark, a_src, a, n_buckets=2, stem=False)
+    # asymmetric title -> refused
+    with pytest.raises(ValueError, match="title"):
+        merge_indexes(spark, a, b, str(tmp_path / "asym"))
+    build_title_index(spark, b_src, b, n_buckets=2, stem=False)
+
+    summary = merge_indexes(spark, a, b, out, segment_size=32)
+    assert summary["title_merged"]
+
+    union = a_src.unionByName(
+        b_src.withColumn("doc_id", F.col("doc_id") + F.lit(40))
+    )
+    build_index(spark, union, full, **kw)
+    build_title_index(spark, union, full, n_buckets=2, stem=False)
+    for q in ("spark join", "number12 the", "fast"):
+        got = MultiFieldSearcher(out, title_weight=2.0).search(
+            q, k=12, stem=False
+        )
+        want = MultiFieldSearcher(full, title_weight=2.0).search(
+            q, k=12, stem=False
+        )
+        assert got == want, q
+
+
 def test_merge_guards(spark, dirs, tmp_path):
     a, b, _, _ = dirs
     other = str(tmp_path / "othern")
