@@ -115,6 +115,11 @@ def main() -> None:
                          "W * title BM25 (requires an index built "
                          "with build_index.py --title-index; local "
                          "single query)")
+    ap.add_argument("--collapse-host", type=int, metavar="N", default=None,
+                    help="result diversification (site collapse): keep "
+                         "at most N hits per url host, refetching "
+                         "deeper until k survivors exist (requires the "
+                         "urlmap table; local single-query mode)")
     ap.add_argument("--explain-doc", type=int, metavar="DOC_ID",
                     help="print a Lucene-style per-term score "
                          "explanation of DOC_ID for the query "
@@ -199,6 +204,61 @@ def main() -> None:
         for rank, (doc_id, score) in enumerate(hits, 1 + args.offset):
             print(f"{rank}\t{doc_id}\t{score:.6f}")
         print(json.dumps({"n": len(hits), "n_queries": 1,
+                          "wall_s": round(time.time() - t0, 4)}))
+        return
+
+    if args.collapse_host is not None:
+        if args.batch or args.phrase or args.distributed:
+            ap.error("--collapse-host is a local single-query mode")
+        if args.collapse_host < 1:
+            ap.error("--collapse-host needs N >= 1")
+        if not os.path.isdir(os.path.join(args.index_dir, "urlmap")):
+            ap.error("--collapse-host needs the urlmap table (index "
+                     "built from pages input)")
+        from urllib.parse import urlsplit
+
+        from search_engine_spark.plans.scoring import collapse_ranked
+        from search_engine_spark.plans.wand import LocalSearcher
+
+        t0 = time.time()
+        qpos, qneg = split_not_terms(args.qtext)
+        stem_q = not args.no_stem
+        if "^" in qpos:
+            from search_engine_spark.plans.scoring import (
+                parse_grouped_query,
+            )
+
+            try:
+                parse_grouped_query(qpos, stem=stem_q)
+            except ValueError as e:
+                ap.error(str(e))
+        s = LocalSearcher(args.index_dir)
+        need = args.k + args.offset
+        fetch = max(4 * need * args.collapse_host, 50)
+        while True:
+            if "|" in qpos or "^" in qpos:
+                hits = s.search_grouped(qpos, k=fetch, stem=stem_q,
+                                        exclude=qneg or None)
+            else:
+                hits = s.search(qpos, k=fetch, stem=stem_q,
+                                mode=args.mode, exclude=qneg or None)
+            urls = (
+                _url_lookup(args.index_dir, sorted({d for d, _ in hits}))
+                if hits else {}
+            )
+            hosts = {d: urlsplit(urls.get(d, "")).netloc.lower()
+                     for d, _ in hits}
+            kept = collapse_ranked(hits, hosts,
+                                   per_key=args.collapse_host, k=need)
+            if len(kept) >= need or len(hits) < fetch:
+                break  # satisfied, or the ranking is exhausted
+            fetch *= 4
+        for rank, (doc_id, score, host) in enumerate(
+            kept[args.offset:], 1 + args.offset
+        ):
+            tail = f"\t{urls.get(doc_id, '?')}" if args.urls else f"\t{host}"
+            print(f"{rank}\t{doc_id}\t{score:.6f}{tail}")
+        print(json.dumps({"n": len(kept) - args.offset, "n_queries": 1,
                           "wall_s": round(time.time() - t0, 4)}))
         return
 

@@ -303,3 +303,31 @@ def collapse_top_hits(
         .orderBy(F.desc(score_col), F.asc(id_col))
         .limit(k)
     )
+
+
+def collapse_ranked(
+    hits: list[tuple[int, float]],
+    key_of,
+    *,
+    per_key: int = 2,
+    k: int = 10,
+) -> list[tuple[int, float, object]]:
+    """Greedy field collapse over an ALREADY-RANKED hit list (the
+    serving-side twin of collapse_top_hits): walk hits in rank order,
+    keep a doc only while its collapse key (e.g. url host) has been
+    seen fewer than per_key times, stop at k. key_of is a mapping or
+    callable doc_id -> key. Exact given a deep-enough hit list —
+    callers refetch deeper when fewer than k survive and the source
+    list was cut (query.py --collapse-host does)."""
+    get = key_of if callable(key_of) else key_of.__getitem__
+    out: list[tuple[int, float, object]] = []
+    seen: dict = {}
+    for d, s in hits:
+        key = get(d)
+        c = seen.get(key, 0)
+        if c < per_key:
+            seen[key] = c + 1
+            out.append((d, s, key))
+            if len(out) == k:
+                break
+    return out
