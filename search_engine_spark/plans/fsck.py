@@ -303,11 +303,30 @@ def fsck(index_dir: str, *, sample_terms: int = 200, seed: int = 7) -> dict:
                 index_dir, list(picked.term[:20]), searcher, errors
             )
 
+    # field indexes (fields/<name>) use the ordinary layout — recurse
+    # with a proportionally smaller sample so a corrupted title field
+    # fails the same audit the body does
+    field_reports = {}
+    fields_dir = os.path.join(index_dir, "fields")
+    if os.path.isdir(fields_dir):
+        for name in sorted(os.listdir(fields_dir)):
+            fdir = os.path.join(fields_dir, name)
+            if os.path.isdir(os.path.join(fdir, "postings")):
+                sub = fsck(fdir, sample_terms=max(sample_terms // 4, 20),
+                           seed=seed)
+                field_reports[name] = sub
+                if not sub["ok"]:
+                    errors.append(
+                        f"I7 field index '{name}': {sub['n_errors']} "
+                        f"errors (first: {sub['errors'][0]})"
+                    )
+
     return {
         "index_dir": index_dir,
         "terms_checked": int(len(picked)),
         "positions_terms_checked": positions_checked,
         "tombstones_checked": tombstones_checked,
+        "fields_checked": sorted(field_reports),
         "n_errors": len(errors),
         "errors": errors[:50],
         "ok": not errors,

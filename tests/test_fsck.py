@@ -60,6 +60,45 @@ def test_detects_df_drift(index_dir):
         out["errors"][:5]
 
 
+def test_fsck_recurses_into_title_field(spark, tmp_path_factory):
+    """Round 3: fields/title is audited by the same invariants — a
+    clean two-field index passes with fields_checked=['title'], and a
+    df corruption INSIDE the title dictionary fails the parent fsck."""
+    from search_engine_spark.operators.dedup import latest_snapshot
+    from search_engine_spark.operators.ids import assign_dense_ids
+    from search_engine_spark.plans.multifield import build_title_index
+    from search_engine_spark.sources.pages import generate_pages
+
+    d = str(tmp_path_factory.mktemp("index_fsck_title"))
+    corpus = assign_dense_ids(
+        latest_snapshot(generate_pages(spark, 200, partitions=2)), "url"
+    )
+    build_index(spark, corpus, d, n_buckets=4, segment_size=64,
+                stem=False, html_col="html")
+    build_title_index(spark, corpus, d, n_buckets=2, stem=False)
+
+    out = fsck(d, sample_terms=40)
+    assert out["ok"], out["errors"]
+    assert out["fields_checked"] == ["title"]
+
+    frag = sorted(glob.glob(
+        os.path.join(d, "fields", "title", "dictionary",
+                     "bucket=*", "*.parquet")
+    ))[0]
+    tbl = pq.read_table(frag)
+    df = tbl["df"].to_pylist()
+    df[0] += 1
+    pq.write_table(
+        tbl.set_column(tbl.schema.get_field_index("df"), "df",
+                       pa.array(df, type=tbl["df"].type)),
+        frag,
+    )
+    out = fsck(d, sample_terms=10**6)
+    assert not out["ok"]
+    assert any("I7 field index 'title'" in e for e in out["errors"]), \
+        out["errors"][:5]
+
+
 def test_detects_duplicate_postings(index_dir):
     # simulate the extend-offset bug: a postings file duplicated into
     # its bucket dir duplicates every (term, doc_id) it holds
