@@ -184,6 +184,44 @@ def main() -> None:
     reader.search("spark join", k=10).collect()
     queries["bm25_index_distributed"] = round(time.time() - t0, 3)
 
+    # --- tiered merge cost (round-4): fold a 10% shard into the big
+    # index. merge_into must cost O(incoming), i.e. far below the
+    # full-rebuild merge of the same pair (which re-segments 110%).
+    from search_engine_spark.plans.build_index import build_index
+    from search_engine_spark.plans.merge import merge_indexes, merge_into
+    from search_engine_spark.sources.pages import generate_pages
+
+    from search_engine_spark.operators.dedup import latest_snapshot
+    from search_engine_spark.operators.ids import assign_dense_ids
+
+    shard_docs = max(BENCH_DOCS // 10, 1000)
+    shard_src = os.path.join(work, "shard_corpus")
+    assign_dense_ids(
+        latest_snapshot(generate_pages(spark, shard_docs, partitions=32),
+                        "url", "warc_ts"),
+        "url",
+    ).write.mode("overwrite").parquet(shard_src)
+    shard_idx = os.path.join(work, "shard_idx")
+    t0 = time.time()
+    build_index(
+        spark, spark.read.parquet(shard_src), shard_idx, n_buckets=64,
+        segment_size=4096, stem=True, html_col="html",
+        salt_threshold=max(BENCH_DOCS // 8, 1000), max_salts=16,
+    )
+    extra["merge_shard_build_s"] = round(time.time() - t0, 3)
+    merge_target = os.path.join(work, "idx_merge_target")
+    shutil.copytree(idx_big, merge_target)
+    t0 = time.time()
+    merge_into(spark, merge_target, shard_idx)
+    extra["merge_into_s"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    merge_indexes(spark, idx_big, shard_idx,
+                  os.path.join(work, "idx_merge_rebuilt"), rebuild=True)
+    extra["merge_rebuild_s"] = round(time.time() - t0, 3)
+    shutil.rmtree(merge_target, ignore_errors=True)
+    shutil.rmtree(os.path.join(work, "idx_merge_rebuilt"),
+                  ignore_errors=True)
+
     # positional table (same corpus) for the phrase-serving p50
     from search_engine_spark.plans.positions import build_positions
 

@@ -230,10 +230,12 @@ def main() -> None:
             ap.error("--title-index needs pages input (html column)")
         if args.extend:
             # src already carries the genuinely-new docs with fresh
-            # offset ids (and the re-crawled snapshots under --update,
-            # whose old title postings are masked by the SAME
-            # tombstones the body path appended — fields/title shares
-            # the doc_id space)
+            # offset ids (and the re-crawled snapshots under --update).
+            # Re-crawled docs' OLD title postings are masked because
+            # fields/title shares the parent's doc_id space and its
+            # tombstone table: the field searcher falls back to
+            # <index>/deletes (plans/deletes._field_parent) since
+            # delete_docs never writes a fields/title/deletes dir.
             from search_engine_spark.plans.multifield import (
                 extend_title_index,
             )

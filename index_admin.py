@@ -130,12 +130,26 @@ def main() -> None:
                        help="tiered merge: fold two BUILT indexes "
                             "into one without re-tokenizing (the "
                             "parallel-shard ingest path; converges "
-                            "to a fresh build over the union corpus)")
+                            "to a fresh build over the union corpus). "
+                            "Default is the O(incoming) segment-append "
+                            "(copy a, append b); --rebuild re-segments "
+                            "the union for the canonical layout")
     m.add_argument("--index-a", required=True)
     m.add_argument("--index-b", required=True)
     m.add_argument("--out", required=True)
+    m.add_argument("--rebuild", action="store_true",
+                   help="O(total) canonicalizing merge (forceMerge-"
+                        "style): packed segments, tight bounds")
     m.add_argument("--segment-size", type=int, default=4096)
     m.add_argument("--max-salts", type=int, default=32)
+
+    mi = sub.add_parser("merge-into",
+                        help="fold a built index INTO the target in "
+                             "place — O(incoming): the LSM ingest "
+                             "cadence (nightly shard folds)")
+    mi.add_argument("--index-dir", required=True,
+                    help="target index (modified in place)")
+    mi.add_argument("--incoming", required=True)
 
     args = ap.parse_args()
 
@@ -192,7 +206,12 @@ def main() -> None:
         summary = merge_indexes(
             spark, args.index_a, args.index_b, args.out,
             segment_size=args.segment_size, max_salts=args.max_salts,
+            rebuild=args.rebuild,
         )
+    elif args.cmd == "merge-into":
+        from search_engine_spark.plans.merge import merge_into
+
+        summary = merge_into(spark, args.index_dir, args.incoming)
     else:
         from search_engine_spark.plans.deletes import compact_index
 

@@ -2653,71 +2653,28 @@ FROM tf WHERE term LIKE '%ark%' GROUP BY term
 # QUERIES ordering is part of the deliverable: the driver's correctness
 # harness checks only the FIRST 50 entries (insertion order), so every
 # entry that has never earned a green CORRECTNESS row MUST sit inside
-# that window.  tests/test_entry_order.py enforces the invariant.
-# Layout:
-#   1. four driver-green anchors (regression canaries for the harness),
-#   2. the round-2 entries that were at positions 51-71 and therefore
-#      never driver-checked (incl. multimodal_features),
-#   3. rows-only / new round-3 entries,
-#   4. veterans already green in CORRECTNESS_r01/r02, rotated to the
-#      tail (they spill past the window as new entries are added).
+# that window, and the window ROTATES each round so no entry's newest
+# green row goes more than ~two rounds stale.
+# tests/test_entry_order.py enforces the never-checked invariant.
+# Round-4 layout: anchors -> re-check entries whose implementation
+# changed this round -> rows-only entries -> the 26 veterans whose last
+# green row is r01/r02 -> round-3 value oracles -> r03-green rotated
+# past the window.
 # ---------------------------------------------------------------------------
 QUERIES = {
-    # -- anchors (driver-green r1+r2) --
+    # -- anchors (driver-green every round: harness regression canaries) --
     "term_frequency": q_term_frequency,
     "bm25_topk": q_bm25_topk,
     "collection_stats": q_collection_stats,
     "intersect_and": q_intersect_and,
-    # -- round-2 entries never seen by the driver (were 51-71) --
-    "multimodal_features": q_multimodal_features,
-    "embedding_near_dup": q_embedding_near_dup,
-    "near_dup_lsh": q_near_dup_lsh,
-    "phrase_match_counts": q_phrase_match_counts,
-    "phrase_topk": q_phrase_topk,
-    "dup_ngram_quality": q_dup_ngram_quality,
-    "hybrid_rrf_topk": q_hybrid_rrf_topk,
-    "phrase_snippets": q_phrase_snippets,
-    "near_query": q_near_query,
-    "media_frame_sample": q_media_frame_sample,
-    "prefix_term_stats": q_prefix_term_stats,
-    "fuzzy_term_match": q_fuzzy_term_match,
-    "symspell_suggest": q_symspell_suggest,
-    "bm25_grouped_query": q_bm25_grouped_query,
-    "bm25_boosted_query": q_bm25_boosted_query,
-    "multifield_bm25": q_multifield_bm25,
-    "more_like_this": q_more_like_this,
-    "unigram_lm_quality": q_unigram_lm_quality,
-    "url_canonical_dedup": q_url_canonical_dedup,
-    "stratified_sample": q_stratified_sample,
-    "bigram_pmi": q_bigram_pmi,
-    # -- rows-only in r2; lsh/ivf gain value oracles this round --
-    "bm25_stemmed_topk": q_bm25_stemmed_topk,
-    "lsh_cosine_topk": q_lsh_cosine_topk,
-    "ivf_cosine_topk": q_ivf_cosine_topk,
-    # -- round-3 additions go HERE (before the veterans) --
-    "source_collapsed_topk": q_source_collapsed_topk,
-    "domain_mixture": q_domain_mixture,
+    # -- round-4 re-check: sequence_packing's implementation changed
+    # (sharded two-pass prefix sum) -> the driver must re-verify it --
     "sequence_packing": q_sequence_packing,
-    "filtered_ann_topk": q_filtered_ann_topk,
-    "contains_term_stats": q_contains_term_stats,
-    # -- veterans: green in CORRECTNESS_r01/r02, rotate toward the tail --
-    "document_frequency": q_document_frequency,
-    "doc_lengths": q_doc_lengths,
-    "bm25_single_term": q_bm25_single_term,
-    "bm25_not_query": q_bm25_not_query,
-    "bm25_facet_counts": q_bm25_facet_counts,
-    "lang_counts": q_lang_counts,
-    "dedup_exact_text": q_dedup_exact_text,
-    "quality_score": q_quality_score,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "embedding_norms": q_embedding_norms,
-    "latest_event_per_user": q_latest_event_per_user,
-    "hourly_event_counts": q_hourly_event_counts,
-    "pricing_summary": q_pricing_summary,
-    "revenue_by_nation": q_revenue_by_nation,
-    "top_customers_per_nation": q_top_customers_per_nation,
-    "token_stats": q_token_stats,
-    "union_partial_runs": q_union_partial_runs,
+    # -- rows-only by design (driver records the weaker check) --
+    "near_dup_lsh": q_near_dup_lsh,
+    "bm25_stemmed_topk": q_bm25_stemmed_topk,
+    # -- veterans whose last green row is r01/r02: rotated back into the
+    # window so no entry's green row is more than two rounds stale --
     "except_regression": q_except_regression,
     "bm25_topk_or": q_bm25_topk_or,
     "sessionization": q_sessionization,
@@ -2744,6 +2701,51 @@ QUERIES = {
     "simhash_fingerprints": q_simhash_fingerprints,
     "lang_id": q_lang_id,
     "content_fingerprints": q_content_fingerprints,
+    # -- round-3 entries kept in-window (newest value oracles) --
+    "source_collapsed_topk": q_source_collapsed_topk,
+    "domain_mixture": q_domain_mixture,
+    "filtered_ann_topk": q_filtered_ann_topk,
+    "contains_term_stats": q_contains_term_stats,
+    "lsh_cosine_topk": q_lsh_cosine_topk,
+    "ivf_cosine_topk": q_ivf_cosine_topk,
+    "multifield_bm25": q_multifield_bm25,
+    "more_like_this": q_more_like_this,
+    "bm25_grouped_query": q_bm25_grouped_query,
+    "bm25_boosted_query": q_bm25_boosted_query,
+    "url_canonical_dedup": q_url_canonical_dedup,
+    "stratified_sample": q_stratified_sample,
+    "bigram_pmi": q_bigram_pmi,
+    "unigram_lm_quality": q_unigram_lm_quality,
+    "hybrid_rrf_topk": q_hybrid_rrf_topk,
+    "symspell_suggest": q_symspell_suggest,
+    "fuzzy_term_match": q_fuzzy_term_match,
+    # -- driver-green in r03: rotated past the window (fresh rows exist) --
+    "multimodal_features": q_multimodal_features,
+    "embedding_near_dup": q_embedding_near_dup,
+    "phrase_match_counts": q_phrase_match_counts,
+    "phrase_topk": q_phrase_topk,
+    "dup_ngram_quality": q_dup_ngram_quality,
+    "phrase_snippets": q_phrase_snippets,
+    "near_query": q_near_query,
+    "media_frame_sample": q_media_frame_sample,
+    "prefix_term_stats": q_prefix_term_stats,
+    "document_frequency": q_document_frequency,
+    "doc_lengths": q_doc_lengths,
+    "bm25_single_term": q_bm25_single_term,
+    "bm25_not_query": q_bm25_not_query,
+    "bm25_facet_counts": q_bm25_facet_counts,
+    "lang_counts": q_lang_counts,
+    "dedup_exact_text": q_dedup_exact_text,
+    "quality_score": q_quality_score,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_norms": q_embedding_norms,
+    "latest_event_per_user": q_latest_event_per_user,
+    "hourly_event_counts": q_hourly_event_counts,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_customers_per_nation": q_top_customers_per_nation,
+    "token_stats": q_token_stats,
+    "union_partial_runs": q_union_partial_runs,
 }
 
 ORACLES = {

@@ -169,6 +169,35 @@ def encode_postings_runs(
     )
 
 
+def rebase_first_docs(blobs: list[bytes], offset: int) -> list[bytes]:
+    """Shift every doc_id in each posting blob by `offset` WITHOUT
+    decoding the blob: only the FIRST varint stores an absolute doc_id
+    (the rest are gaps, which a constant shift leaves unchanged), so
+    rebasing a segment is decode-one-varint + re-encode-one-varint +
+    byte concat. This is what makes the tiered merge's segment append
+    O(segments), not O(postings) (plans/merge.py)."""
+    firsts = np.empty(len(blobs), dtype=np.uint64)
+    tails: list[int] = []  # byte index just past the first varint
+    for r, b in enumerate(blobs):
+        if not b:  # empty segment blob: nothing to rebase
+            firsts[r] = 0
+            tails.append(0)
+            continue
+        i = 0
+        v = 0
+        while b[i] & 0x80:
+            v |= (b[i] & 0x7F) << (7 * i)
+            i += 1
+        v |= (b[i] & 0x7F) << (7 * i)
+        firsts[r] = v
+        tails.append(i + 1)
+    new_firsts = encode_varints_runs(
+        firsts + np.uint64(offset),
+        np.arange(len(blobs), dtype=np.int64),
+    )
+    return [nf + b[t:] if b else b for nf, b, t in zip(new_firsts, blobs, tails)]
+
+
 def decode_varints_concat(blobs: list[bytes],
                           counts: np.ndarray) -> np.ndarray:
     """Decode many varint blobs in ONE pass: returns the concatenated

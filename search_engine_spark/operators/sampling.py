@@ -9,14 +9,19 @@ sequence_packing   — streaming concat-and-chunk packing (GPT-style
                      pretraining batches): docs in deterministic
                      doc_id order are concatenated and split into
                      fixed token budgets; each doc is assigned the
-                     pack where it STARTS. One window cumsum —
-                     no Python, order fully deterministic.
+                     pack where it STARTS. Sharded two-pass prefix
+                     sum (the operators/ids.py scheme) — no global
+                     single-partition window, order fully
+                     deterministic regardless of shard boundaries.
 
 Both are exactly replayable in ANSI SQL (driver oracles).
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 
@@ -54,28 +59,69 @@ def sequence_packing(
     budget: int = 512,
     text_col: str = "text",
     id_col: str = "doc_id",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Assign every doc to a training pack: docs are concatenated in
     id order and chunked every `budget` tokens (whitespace count, the
     driver-oracle convention); a doc belongs to the pack where its
     first token lands. Output: (doc_id, n_tokens, pack_id, pack_pos).
 
-    Scale note: the global cumsum is ONE window over an id-ordered
-    sort — at 10^12 docs you run it per shard (id ranges are dense per
-    shard) and offset pack_ids by the per-shard totals, which is the
-    same two-pass prefix-sum trick assign_dense_ids uses."""
+    Sharded two-pass prefix sum (the assign_dense_ids scheme — this
+    used to be ONE `W.partitionBy().orderBy(id)` window, i.e. a
+    single task serializing the whole corpus):
+      1. range-repartition by id + sort within shards;
+      2. per-shard token totals (tiny collect) -> cumulative token
+         offsets on the driver;
+      3. per-shard local cumsum + offset -> global start offsets,
+         identical to the single-window result REGARDLESS of where
+         the range partitioner cuts the shards.
+    pack_pos stays a window, but partitioned by pack_id — millions of
+    budget-bounded groups, never a single-partition exchange
+    (gated in tools/explain_audit.py)."""
     toks = F.size(F.filter(F.split(F.col(text_col), " "),
                            lambda x: x != ""))
-    w = W.partitionBy().orderBy(id_col)
-    base = df.select(
-        F.col(id_col), toks.cast("long").alias("n_tokens")
-    ).withColumn(
-        "_start", F.sum("n_tokens").over(w) - F.col("n_tokens")
-    ).withColumn(
-        "pack_id", F.floor(F.col("_start") / F.lit(int(budget))).cast("long")
+    base = df.select(F.col(id_col), toks.cast("long").alias("n_tokens"))
+    n_parts = (
+        num_partitions
+        or df.sparkSession.sparkContext.defaultParallelism
+    )
+    parted = (
+        base.repartitionByRange(n_parts, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    sums = {
+        r._pid: int(r.s)
+        for r in parted.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    budget_i = int(budget)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0  # tokens already consumed within this shard
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iat[0])
+            n = pdf["n_tokens"].to_numpy()
+            csum = n.cumsum()
+            start = offsets[pid] + local + csum - n
+            local += int(csum[-1])
+            out = pdf.drop(columns=["_pid"]).copy()
+            out["pack_id"] = (start // budget_i).astype("int64")
+            yield out
+
+    packed = parted.mapInPandas(
+        assign, f"`{id_col}` long, n_tokens long, pack_id long"
     )
     wp = W.partitionBy("pack_id").orderBy(id_col)
-    return base.select(
+    return packed.select(
         id_col, "n_tokens", "pack_id",
         F.row_number().over(wp).cast("long").alias("pack_pos"),
     )

@@ -253,6 +253,116 @@ def ivf_topk(
     )
 
 
+def build_ann_index(
+    spark,
+    df: DataFrame,
+    out_dir: str,
+    *,
+    n_centroids: int = 8,
+    quantizer: str = "seeded",
+    max_iter: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Materialize the IVF layout: `assigned` partitioned BY CENTROID
+    plus the tiny `centroids` table and a meta JSON, under out_dir.
+
+    This turns the ANN serving story into a LAYOUT instead of a
+    per-query recomputation (round-3 verdict #7): ann_query's cell
+    filter becomes static hive partition pruning — a query reads only
+    its nprobe cells' files, exactly like a postings query reads only
+    its terms' buckets. quantizer: "seeded" (SQL-replayable
+    sampled-point cells, ivf_build_seeded) or "kmeans" (Spark ML
+    Lloyd's, ivf_build)."""
+    import json
+    import os
+
+    if quantizer == "seeded":
+        assigned, cents = ivf_build_seeded(
+            df, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+        )
+    elif quantizer == "kmeans":
+        assigned_raw, centroids = ivf_build(
+            df, n_centroids=n_centroids, max_iter=max_iter, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+        assigned = assigned_raw.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias(vec_col),
+            "centroid",
+        )
+        cents = spark.createDataFrame(
+            [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "c int, cv array<double>",
+        )
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
+    os.makedirs(out_dir, exist_ok=True)
+    (
+        # centroid-led sort: partitionBy would otherwise insert its own
+        # sort by the partition column alone (the round-3 layout-rot
+        # class); leading with it keeps vec_id-ordered row groups
+        assigned.repartition("centroid")
+        .sortWithinPartitions("centroid", "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid")
+        .parquet(os.path.join(out_dir, "assigned"))
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "centroids")
+    )
+    with open(os.path.join(out_dir, "ann_meta.json"), "w") as f:
+        json.dump({
+            "n_centroids": int(n_centroids),
+            "quantizer": quantizer,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        }, f)
+    return {"n_centroids": int(n_centroids), "quantizer": quantizer}
+
+
+def ann_query(
+    spark,
+    ann_dir: str,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Serve a top-k query from the materialized IVF layout: probe
+    selection against the tiny centroids table (driver-side, bounded
+    by n_centroids), then a PARTITION-PRUNED scan of the nprobe cells
+    with exact cosine re-rank — the plan carries
+    `PartitionFilters: [centroid IN (...)]`, so cost is O(probed
+    cells), never O(corpus). Same rounded-cosine + id tie-break
+    contract as ivf_topk_seeded."""
+    import json
+    import os
+
+    with open(os.path.join(ann_dir, "ann_meta.json")) as f:
+        meta = json.load(f)
+    vec_col = meta["vec_col"]
+    q = np.asarray(query_vec, dtype=np.float64)
+    rows = spark.read.parquet(
+        os.path.join(ann_dir, "centroids")
+    ).select("c", "cv").collect()
+    sims = []
+    for r in rows:
+        cv = np.asarray(r.cv, dtype=np.float64)
+        cs = float(cv @ q / (np.linalg.norm(cv) * np.linalg.norm(q)))
+        sims.append((round(cs, 6), int(r.c)))
+    probes = [c for _, c in sorted(sims, key=lambda t: (-t[0], t[1]))[:nprobe]]
+    qarr = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        spark.read.parquet(os.path.join(ann_dir, "assigned"))
+        .filter(F.col("centroid").isin(probes))
+        .select("vec_id",
+                F.round(cosine_expr(F.col(vec_col), qarr), 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def exact_near_dup(df: DataFrame, *, threshold: float = 0.95,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate pairs, EXACT (brute-force a<b

@@ -146,9 +146,17 @@ def _stage_a_stats(
     docs = flat.select("doc_id", "doclen").dropDuplicates(["doc_id"])
     docs.write.mode("overwrite").parquet(paths.docs)
 
+    # avgdl derived as exact-integer-sum / count (NOT F.avg's running
+    # double mean): the integer sum is associative, so a tiered merge
+    # (plans/merge.py) can combine two indexes' stats in O(1) —
+    # (sum_a + sum_b) / (n_a + n_b) — and land BIT-identically on the
+    # avgdl a fresh build over the union corpus computes.
     stats = spark.read.parquet(paths.docs).agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.avg("doclen").alias("avgdl"),
+        F.sum("doclen").cast("long").alias("sum_doclen"),
+    ).withColumn(
+        "avgdl",
+        F.col("sum_doclen").cast("double") / F.col("n_docs").cast("double"),
     )
     stats.coalesce(1).write.mode("overwrite").parquet(paths.stats)
 
@@ -181,6 +189,7 @@ def _stage_a_stats(
         "n_buckets": n_buckets,
         "n_docs": int(st["n_docs"]),
         "avgdl": float(st["avgdl"]),
+        "sum_doclen": int(st["sum_doclen"]),
         "salt_threshold": salt_threshold,
     }
     if stem is not None:
@@ -738,6 +747,14 @@ def extend_index(
     n_buckets = int(meta["n_buckets"])
     salt_threshold = int(meta.get("salt_threshold", 1_000_000))
     old_avgdl = float(meta["avgdl"])
+    # a segment-append merge (plans/merge.py merge_into) leaves meta
+    # markers (loosened tfnorm bound scale, shifted salt generations)
+    # that _stage_a_stats resets — that reset is only sound if EVERY
+    # bucket is rebuilt, so force the full-rebuild path here
+    was_merged = (
+        float(meta.get("tfnorm_scale", 1.0)) != 1.0
+        or int(meta.get("salt_generation", 0)) != 0
+    )
 
     new_flat = postings_from_text(
         new_source, id_col=id_col, text_col=text_col, html_col=html_col,
@@ -765,7 +782,7 @@ def extend_index(
                    salt_threshold=salt_threshold, stem=stem)
 
     new_avgdl = float(_read_meta(spark, paths)["avgdl"])
-    if abs(new_avgdl - old_avgdl) / max(old_avgdl, 1e-9) > 1e-12:
+    if was_merged or abs(new_avgdl - old_avgdl) / max(old_avgdl, 1e-9) > 1e-12:
         # avgdl moved: every segment's baked tfnorm bound and the
         # score normalization change -> rebuild all buckets
         touched = list(range(n_buckets))

@@ -66,6 +66,20 @@ def _deletes_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "deletes")
 
 
+def _field_parent(index_dir: str) -> str | None:
+    """If index_dir is a field index (<parent>/fields/<name>), return
+    the parent index dir. Field indexes share the parent's doc_id
+    space AND its tombstone table: delete_docs writes only to
+    <parent>/deletes, so a field searcher must mask against it —
+    otherwise a standalone title search would resurrect superseded
+    docs (it was previously benign only because MultiFieldSearcher
+    scores title terms solely over body-driven candidates)."""
+    p = os.path.normpath(index_dir)
+    if os.path.basename(os.path.dirname(p)) == "fields":
+        return os.path.dirname(os.path.dirname(p))
+    return None
+
+
 def delete_docs(
     spark: SparkSession, index_dir: str, doc_ids
 ) -> dict:
@@ -89,6 +103,9 @@ def load_tombstones(index_dir: str) -> np.ndarray:
     Pure pyarrow — the serving paths must not pay a Spark job."""
     out = _deletes_dir(index_dir)
     if not os.path.isdir(out):
+        parent = _field_parent(index_dir)
+        if parent is not None:
+            return load_tombstones(parent)
         return np.empty(0, dtype=np.int64)
     import pyarrow.parquet as pq
 
@@ -102,6 +119,9 @@ def tombstones_df(spark: SparkSession, index_dir: str) -> DataFrame | None:
     """Tombstones as a distinct (doc_id long) DataFrame, or None."""
     out = _deletes_dir(index_dir)
     if not os.path.isdir(out):
+        parent = _field_parent(index_dir)
+        if parent is not None:
+            return tombstones_df(spark, parent)
         return None
     return spark.read.parquet(out).select("doc_id").distinct()
 

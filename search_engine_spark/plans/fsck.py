@@ -145,7 +145,12 @@ def fsck_distributed(spark, index_dir: str) -> dict:
     I3/I6 — order violations, blob-length mismatches, and
         non-positive doclens counted inside the decode kernel;
     I4 — bucket routing for every dictionary row via the same JVM
-        hash expression the build uses (pure codegen, no Python).
+        hash expression the build uses (pure codegen, no Python);
+    I7 — positions agreement for EVERY (term, doc): npos == tf via a
+        full-outer join of the decoded postings against the
+        positional table (when it exists and shares the analyzer);
+    field indexes (fields/*) are audited by recursion — one report
+        per field rolled into the parent's.
     """
     import pandas as pd
     from pyspark.sql import functions as F
@@ -165,6 +170,7 @@ def fsck_distributed(spark, index_dir: str) -> dict:
                     {
                         "term": [row.term],
                         "doc_id": pd.array([None], dtype="Int64"),
+                        "tf": pd.array([None], dtype="Int64"),
                         "bad_len": [int(not (n == len(tfs) == len(dls)
                                              == row.n))],
                         "bad_order": [int(n > 1 and bool(
@@ -176,6 +182,7 @@ def fsck_distributed(spark, index_dir: str) -> dict:
                     {
                         "term": np.repeat(row.term, n),
                         "doc_id": docs,
+                        "tf": tfs,
                         "bad_len": np.zeros(n, dtype=np.int32),
                         "bad_order": np.zeros(n, dtype=np.int32),
                         "bad_dl": np.zeros(n, dtype=np.int32),
@@ -185,7 +192,8 @@ def fsck_distributed(spark, index_dir: str) -> dict:
 
     decoded = segs.mapInPandas(
         kernel,
-        "term string, doc_id long, bad_len int, bad_order int, bad_dl int",
+        "term string, doc_id long, tf long,"
+        " bad_len int, bad_order int, bad_dl int",
     ).persist()  # several actions below — decode the postings ONCE
     seg_errs = decoded.filter(F.col("doc_id").isNull()).agg(
         F.sum("bad_len").alias("bad_len"),
@@ -232,13 +240,70 @@ def fsck_distributed(spark, index_dir: str) -> dict:
     totals = per_term.agg(
         F.count("*").alias("terms"), F.sum("n_postings").alias("postings")
     ).collect()[0]
+
+    # I7 full coverage: EVERY (term, doc) must agree npos == tf when a
+    # positional table with the same analyzer exists (the sampled
+    # local fsck probes 20 terms; this is the audit pass)
+    positions_checked = 0
+    pos_dir = os.path.join(index_dir, "positions")
+    pos_meta = os.path.join(index_dir, "positions_meta.json")
+    idx_meta = os.path.join(index_dir, "index_meta.json")
+    if (os.path.isdir(pos_dir) and os.path.exists(pos_meta)
+            and os.path.exists(idx_meta)):
+        with open(pos_meta) as f:
+            pstem = json.load(f).get("stem")
+        with open(idx_meta) as f:
+            istem = json.load(f).get("stem")
+        if istem is not None and pstem == istem:
+            pos = spark.read.parquet(pos_dir).select(
+                "term", "doc_id", F.col("npos").cast("long").alias("npos")
+            )
+            tf_rows = decoded.filter(F.col("doc_id").isNotNull()).select(
+                "term", "doc_id", "tf"
+            )
+            mism = tf_rows.join(pos, ["term", "doc_id"], "full_outer").filter(
+                F.col("tf").isNull()
+                | F.col("npos").isNull()
+                | (F.col("tf") != F.col("npos"))
+            )
+            n_mism = mism.count()
+            positions_checked = int(totals["postings"] or 0)
+            if n_mism:
+                for r in mism.limit(20).collect():
+                    errors.append(
+                        f"I7 positions: {r.term!r} doc {r.doc_id} "
+                        f"tf={r.tf} npos={r.npos}"
+                    )
+                if n_mism > 20:
+                    errors.append(
+                        f"I7 positions: {n_mism} (term, doc) mismatches total"
+                    )
+
     decoded.unpersist()
     per_term.unpersist()
+
+    # field indexes use the ordinary layout — full-coverage recursion
+    field_reports = {}
+    fields_dir = os.path.join(index_dir, "fields")
+    if os.path.isdir(fields_dir):
+        for name in sorted(os.listdir(fields_dir)):
+            fdir = os.path.join(fields_dir, name)
+            if os.path.isdir(os.path.join(fdir, "postings")):
+                sub = fsck_distributed(spark, fdir)
+                field_reports[name] = sub
+                if not sub["ok"]:
+                    errors.append(
+                        f"field index '{name}': {sub['n_errors']} errors "
+                        f"(first: {sub['errors'][0]})"
+                    )
+
     return {
         "index_dir": index_dir,
         "mode": "distributed-full",
         "terms_checked": int(totals["terms"] or 0),
         "postings_checked": int(totals["postings"] or 0),
+        "positions_checked": positions_checked,
+        "fields_checked": sorted(field_reports),
         "bad_terms": int(n_bad_terms),
         "n_errors": len(errors),
         "errors": errors[:50],

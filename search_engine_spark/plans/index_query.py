@@ -196,6 +196,19 @@ class IndexReader:
             raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
         if offset < 0:
             raise ValueError(f"offset must be >= 0, got {offset}")
+        agg = self.match_scores(qtext_or_terms, stem=stem, mode=mode,
+                                exclude=exclude)
+        if agg is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self._topk(agg, k, offset)
+
+    def match_scores(self, qtext_or_terms, *, stem: bool = True,
+                     mode: str = "and", exclude=None) -> DataFrame | None:
+        """The FULL match set with BM25 scores — (doc_id, score), no
+        top-k truncation. The building block search() ranks and the
+        distributed multi-field twin (plans/multifield) re-ranks;
+        returns None when no query term exists in the index (or a
+        required term is missing under AND semantics)."""
         spark = self.spark
         if isinstance(qtext_or_terms, str):
             qterms = analyze_query(qtext_or_terms, stem=stem)
@@ -203,16 +216,15 @@ class IndexReader:
             qterms = list(dict.fromkeys(qtext_or_terms))
         if isinstance(exclude, str):
             exclude = analyze_query(exclude, stem=stem)
-        empty = spark.createDataFrame([], "doc_id long, score double")
         if not qterms:
-            return empty
+            return None
         dict_rows = self.lookup_terms(qterms)
         found = {r.term for r in dict_rows}
         if mode == "and" and not set(qterms) <= found:
-            return empty  # a missing term makes the intersection empty
+            return None  # a missing term makes the intersection empty
         qterms = [t for t in qterms if t in found]
         if not qterms:
-            return empty
+            return None
         n_terms = len(qterms)
         idf_rows = [
             (r.term, math.log(1.0 + (self.n_docs - r.df + 0.5) / (r.df + 0.5)))
@@ -246,7 +258,7 @@ class IndexReader:
             edocs = self._excluded_docs_df(list(dict.fromkeys(exclude)))
             if edocs is not None:
                 agg = agg.join(edocs, "doc_id", "left_anti")
-        return self._topk(agg.select("doc_id", "score"), k, offset)
+        return agg.select("doc_id", "score")
 
     @staticmethod
     def _topk(ranked: DataFrame, k: int, offset: int) -> DataFrame:

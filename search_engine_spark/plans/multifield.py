@@ -100,6 +100,105 @@ def extend_title_index(
     )
 
 
+def multifield_search_distributed(
+    spark,
+    index_dir: str,
+    qtext_or_terms,
+    *,
+    k: int = 10,
+    title_weight: float = 2.0,
+    stem: bool = True,
+    mode: str = "and",
+    exclude=None,
+    offset: int = 0,
+):
+    """Cluster-scale twin of MultiFieldSearcher.search — the same
+    weighted two-field score as ONE Spark job (property-tested
+    result-identical in tests/test_multifield.py).
+
+    Plan: the body IndexReader's full match set (bucket-pruned scan,
+    decode, AND/OR group filter, NOT anti-join) LEFT-joins the title
+    field's per-doc BM25 sum (its own pruned scan over the SAME query
+    terms, scored against the title index's own df/n_docs/avgdl);
+    score = body + w * coalesce(title, 0); TakeOrderedAndProject
+    top-k. Both scans touch only the query terms' buckets/row groups;
+    the join keys on doc_id over df-bounded sides — never all-pairs.
+    Title-only matches are excluded by the left join, matching the
+    local searcher's body-drives-candidates semantics."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark import B as _B, K1 as _K1
+    from search_engine_spark.plans.index_query import IndexReader
+
+    tdir = _os.path.join(index_dir, TITLE_DIR)
+    if not _os.path.isdir(tdir):
+        raise FileNotFoundError(
+            f"{tdir} missing — build it with build_index.py "
+            "--title-index (pages input)"
+        )
+    if isinstance(qtext_or_terms, str):
+        qterms = analyze_query(qtext_or_terms, stem=stem)
+    else:
+        qterms = list(dict.fromkeys(qtext_or_terms))
+    body = IndexReader(spark, index_dir)
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    body_agg = body.match_scores(qterms, stem=stem, mode=mode,
+                                 exclude=exclude)
+    if body_agg is None:
+        return empty
+
+    title = IndexReader(spark, tdir)
+    import math as _math
+
+    trows = title.lookup_terms(qterms)
+    if trows and title_weight != 0.0:
+        tterms = sorted({r.term for r in trows})
+        tbuckets = sorted({r.bucket for r in trows})
+        tidf = spark.createDataFrame(
+            [
+                (r.term,
+                 _math.log(1.0 + (title.n_docs - r.df + 0.5) / (r.df + 0.5)))
+                for r in trows
+            ],
+            "term string, idf double",
+        )
+        tscore = (
+            title.decoded_postings(tterms, tbuckets)
+            .join(F.broadcast(tidf), "term")
+            .withColumn(
+                "partial",
+                F.col("idf")
+                * (
+                    F.col("tf").cast("double") * F.lit(_K1 + 1.0)
+                    / (
+                        F.col("tf").cast("double")
+                        + F.lit(_K1)
+                        * (
+                            F.lit(1.0 - _B)
+                            + F.lit(_B) * F.col("doclen").cast("double")
+                            / F.lit(title.avgdl)
+                        )
+                    )
+                ),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("partial").alias("_tscore"))
+        )
+        body_agg = (
+            body_agg.join(tscore, "doc_id", "left")
+            .withColumn(
+                "score",
+                F.col("score")
+                + F.lit(float(title_weight))
+                * F.coalesce(F.col("_tscore"), F.lit(0.0)),
+            )
+            .select("doc_id", "score")
+        )
+    return IndexReader._topk(body_agg, k, offset)
+
+
 class MultiFieldSearcher:
     """Serving-side weighted multi-field ranking over two
     LocalSearchers (body = the main index, title = fields/title)."""

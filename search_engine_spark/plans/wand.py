@@ -127,11 +127,22 @@ class LocalSearcher:
         # maps: correct, just vocabulary-sized).
         meta_path = os.path.join(index_dir, "index_meta.json")
         self._eager = not os.path.exists(meta_path)
+        # tfnorm bound scale: 1.0 for a fresh build. A segment-append
+        # merge (plans/merge.py merge_into) moves avgdl without
+        # re-baking per-segment max_tfnorm, so it records the factor
+        # that keeps every stored bound a VALID upper bound under the
+        # merged avgdl (tfnorm is monotone in avgdl with ratio
+        # < avgdl_new/avgdl_built). Applied once at segment load —
+        # pruning stays exact, just marginally looser until the next
+        # compaction/rebuild resets it.
+        self._tfnorm_scale = 1.0
         if not self._eager:
             import json
 
             with open(meta_path) as f:
-                self.n_buckets = int(json.load(f)["n_buckets"])
+                _meta = json.load(f)
+            self.n_buckets = int(_meta["n_buckets"])
+            self._tfnorm_scale = float(_meta.get("tfnorm_scale", 1.0))
         # dictionary row-group index (mirrors the postings one below)
         self._dict_rg: dict[int, list[tuple[str, int, str, str]]] = {}
         self._dict_files: dict[str, pq.ParquetFile] = {}
@@ -615,6 +626,8 @@ class LocalSearcher:
             pd.concat(parts, ignore_index=True)
             if parts else pd.DataFrame(columns=self._COLUMNS)
         )
+        if self._tfnorm_scale != 1.0 and len(out):
+            out = out.assign(max_tfnorm=out.max_tfnorm * self._tfnorm_scale)
         if len(self._term_cache) >= self._cache_terms:
             self._term_cache.pop(next(iter(self._term_cache)))
         self._term_cache[term] = out

@@ -116,3 +116,35 @@ def test_python_xxhash64_matches_jvm(spark):
         h, b = jvm[w]
         assert xxhash64(w.encode("utf-8")) == h, w
         assert term_bucket(w, 64) == b, w
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_rebase_first_docs(seed):
+    """Segment rebase (tiered merge): shifting only the first varint
+    moves EVERY decoded doc_id by the offset — including 1-posting
+    segments and multi-byte boundary crossings."""
+    from search_engine_spark.functions.codec import rebase_first_docs
+
+    rng = np.random.default_rng(200 + seed)
+    blobs, wants, offset = [], [], int(rng.integers(1, 10**12))
+    for _ in range(50):
+        n = int(rng.integers(1, 300))
+        docs = np.sort(
+            rng.choice(10**8, size=n, replace=False)
+        ).astype(np.int64)
+        tfs = np.ones(n, dtype=np.int64)
+        dblob, _ = encode_postings(docs, tfs)
+        blobs.append(dblob)
+        wants.append(docs + offset)
+    # boundary values: first doc 0 (1-byte varint) and 127/128
+    for first in (0, 127, 128, 2**28 - 1):
+        docs = np.asarray([first, first + 1, first + 1000], dtype=np.int64)
+        dblob, _ = encode_postings(docs, np.ones(3, dtype=np.int64))
+        blobs.append(dblob)
+        wants.append(docs + offset)
+    blobs.append(b"")
+    out = rebase_first_docs(blobs, offset)
+    assert out[-1] == b""
+    for blob, want in zip(out[:-1], wants):
+        got = np.cumsum(decode_varints(blob).astype(np.int64))
+        assert np.array_equal(got, want)

@@ -23,6 +23,16 @@ from search_engine_spark.plans.positions import build_positions
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _drop_crc(frag: str) -> None:
+    # rewriting a Spark-written fragment in place invalidates Hadoop's
+    # .crc sidecar; Spark reads would then fail on ChecksumException
+    # instead of reaching the invariant under test
+    crc = os.path.join(os.path.dirname(frag),
+                       "." + os.path.basename(frag) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
 @pytest.fixture()
 def index_dir(spark, documents, tmp_path_factory):
     # function-scoped: corruption tests mutate their copy
@@ -172,3 +182,70 @@ def test_cli_exit_codes(index_dir):
         capture_output=True, text=True, env=env,
     )
     assert r.returncode == 1
+
+
+def test_distributed_detects_position_mismatch(spark, index_dir):
+    """Round-4: fsck --distributed now audits the positional table at
+    FULL coverage (every (term, doc): npos == tf) — a single corrupted
+    npos fails the audit."""
+    from search_engine_spark.plans.fsck import fsck_distributed
+
+    out = fsck_distributed(spark, index_dir)
+    assert out["ok"], out["errors"]
+    assert out["positions_checked"] > 0
+
+    frag = sorted(glob.glob(
+        os.path.join(index_dir, "positions", "bucket=*", "*.parquet")
+    ))[0]
+    tbl = pq.read_table(frag)
+    npos = tbl["npos"].to_pylist()
+    npos[0] += 1
+    pq.write_table(
+        tbl.set_column(tbl.schema.get_field_index("npos"), "npos",
+                       pa.array(npos, type=tbl["npos"].type)),
+        frag,
+    )
+    _drop_crc(frag)
+    out = fsck_distributed(spark, index_dir)
+    assert not out["ok"]
+    assert any("I7 positions" in e for e in out["errors"]), out["errors"][:5]
+
+
+def test_distributed_recurses_into_title_field(spark, tmp_path_factory):
+    """Round-4: the distributed audit recurses into fields/* — a df
+    corruption inside the title dictionary fails the parent audit."""
+    from search_engine_spark.operators.dedup import latest_snapshot
+    from search_engine_spark.operators.ids import assign_dense_ids
+    from search_engine_spark.plans.fsck import fsck_distributed
+    from search_engine_spark.plans.multifield import build_title_index
+    from search_engine_spark.sources.pages import generate_pages
+
+    d = str(tmp_path_factory.mktemp("index_fsck_title_dist"))
+    corpus = assign_dense_ids(
+        latest_snapshot(generate_pages(spark, 200, partitions=2)), "url"
+    )
+    build_index(spark, corpus, d, n_buckets=4, segment_size=64,
+                stem=False, html_col="html")
+    build_title_index(spark, corpus, d, n_buckets=2, stem=False)
+
+    out = fsck_distributed(spark, d)
+    assert out["ok"], out["errors"]
+    assert out["fields_checked"] == ["title"]
+
+    frag = sorted(glob.glob(
+        os.path.join(d, "fields", "title", "dictionary",
+                     "bucket=*", "*.parquet")
+    ))[0]
+    tbl = pq.read_table(frag)
+    df = tbl["df"].to_pylist()
+    df[0] += 1
+    pq.write_table(
+        tbl.set_column(tbl.schema.get_field_index("df"), "df",
+                       pa.array(df, type=tbl["df"].type)),
+        frag,
+    )
+    _drop_crc(frag)
+    out = fsck_distributed(spark, d)
+    assert not out["ok"]
+    assert any("field index 'title'" in e for e in out["errors"]), \
+        out["errors"][:5]

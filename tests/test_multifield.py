@@ -152,3 +152,95 @@ def test_zero_weight_is_plain_body_search(index_dir):
     assert [d for d, _ in got] == [d for d, _ in want]
     for (_, a), (_, b) in zip(got, want):
         assert a == pytest.approx(b, abs=1e-12)
+
+
+def test_title_tombstone_fallback(spark, corpus, tmp_path):
+    """delete_docs writes tombstones only under <index>/deletes; the
+    title field index has no deletes dir of its own, so its searcher
+    must fall back to the PARENT's tombstone table (fields share the
+    doc_id space) — otherwise a standalone title search resurrects
+    deleted docs (round-3 ADVICE)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from search_engine_spark.plans.deletes import delete_docs
+    from search_engine_spark.plans.multifield import TITLE_DIR
+    from search_engine_spark.plans.wand import LocalSearcher
+
+    d = str(tmp_path / "idx_tomb")
+    build_index(spark, corpus, d, n_buckets=4, segment_size=64,
+                stem=False, html_col="html")
+    build_title_index(spark, corpus, d, n_buckets=4, stem=False)
+    tdir = os.path.join(d, TITLE_DIR)
+    dic = pq.read_table(
+        os.path.join(tdir, "dictionary"), columns=["term", "df"]
+    ).to_pandas()
+    term = dic[dic.df >= 2].sort_values("df").iloc[-1].term
+    hits = LocalSearcher(tdir).search([term], k=5, stem=False)
+    assert hits
+    victim = hits[0][0]
+    delete_docs(spark, d, [victim])
+    assert not os.path.isdir(os.path.join(tdir, "deletes"))
+    after = LocalSearcher(tdir).search([term], k=5, stem=False)
+    assert victim not in [doc for doc, _ in after]
+    # MultiFieldSearcher's body-driven path masks it too
+    mf = MultiFieldSearcher(d, title_weight=W)
+    got = mf.search([term], k=5, stem=False)
+    assert victim not in [doc for doc, _ in got]
+
+
+@pytest.mark.parametrize("qtext,mode,w", [
+    ("the fast", "and", W),
+    ("spark join", "and", W),
+    ("the fast", "or", W),
+    ("window", "or", 0.5),
+    ("the fast", "and", 0.0),
+    ("the fast", "and", -0.5),
+])
+def test_distributed_multifield_equals_local(spark, index_dir, qtext,
+                                             mode, w):
+    """Round-3 verdict #6: the cluster path must carry multi-field
+    ranking like every other query feature. One Spark job ranks
+    identically to MultiFieldSearcher (scores to 1e-9 — distributed
+    float sums legitimately differ in accumulation order)."""
+    from search_engine_spark.plans.multifield import (
+        multifield_search_distributed,
+    )
+
+    k = 20
+    got = [
+        (r.doc_id, r.score)
+        for r in multifield_search_distributed(
+            spark, index_dir, qtext, k=k, title_weight=w, stem=False,
+            mode=mode,
+        ).collect()
+    ]
+    local = MultiFieldSearcher(index_dir, title_weight=w)
+    want = local.search(qtext, k=k, stem=False, mode=mode)
+    assert [d for d, _ in got] == [d for d, _ in want], (qtext, mode, w)
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_distributed_multifield_not_and_offset(spark, index_dir):
+    """NOT-terms and deep pagination on the distributed multi-field
+    path: page 2 == the local ranking's slice [k:2k]."""
+    from search_engine_spark.plans.multifield import (
+        multifield_search_distributed,
+    )
+
+    k = 8
+    local = MultiFieldSearcher(index_dir, title_weight=W)
+    want = local.search("the fast", k=3 * k, stem=False,
+                        exclude=["join"])
+    got = [
+        (r.doc_id, r.score)
+        for r in multifield_search_distributed(
+            spark, index_dir, "the fast", k=k, title_weight=W,
+            stem=False, exclude=["join"], offset=k,
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want[k:2 * k]]
+    for (_, a), (_, b) in zip(got, want[k:2 * k]):
+        assert a == pytest.approx(b, abs=1e-9)

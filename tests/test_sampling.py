@@ -61,3 +61,26 @@ def test_sequence_packing_matches_pandas_reference(spark, documents):
         assert r.n_tokens == n, r.doc_id
         assert r.pack_id == start // 64, r.doc_id
         start += n
+
+
+@pytest.mark.parametrize("shards", [1, 3, 7])
+def test_sequence_packing_shard_invariant(spark, docs, shards):
+    """The sharded two-pass prefix sum assigns the SAME packs no
+    matter where the range partitioner cuts the shards (including the
+    degenerate 1-shard case == the old global window)."""
+    out = sorted(
+        sequence_packing(docs, budget=4, num_partitions=shards).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [r.pack_id for r in out] == [0, 0, 0, 1, 2]
+    assert [r.pack_pos for r in out] == [1, 2, 3, 1, 1]
+
+
+def test_sequence_packing_no_single_partition_exchange(spark, documents):
+    """Scale gate (round-3 verdict #3): the packing plan must not
+    serialize the corpus through one task — no SinglePartition
+    exchange may feed the cumsum (the pack_pos window partitions by
+    pack_id, which is many bounded groups)."""
+    plan = sequence_packing(documents, budget=64)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SinglePartition" not in plan, plan

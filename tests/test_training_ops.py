@@ -394,3 +394,67 @@ def test_resize_plan(spark):
             assert (r.new_w, r.new_h) == (r.width, r.height)
         # aspect ratio preserved within floor rounding
         assert abs(r.new_w / r.new_h - r.width / r.height) < 0.15
+
+
+def test_ann_index_layout_partition_prunes(spark, tmp_path):
+    """Round-3 verdict #7: the IVF serving story is a LAYOUT —
+    build writes `assigned` partitionBy(centroid); ann_query's cell
+    filter shows up as hive PartitionFilters (static pruning), and
+    results equal the recomputed seeded-IVF path."""
+    from search_engine_spark.operators.similarity import (
+        ann_query,
+        build_ann_index,
+        ivf_build_seeded,
+        ivf_topk_seeded,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = str(tmp_path / "ann")
+    summary = build_ann_index(spark, emb, d, n_centroids=6)
+    assert summary["n_centroids"] == 6
+    qv = [float((i * 7) % 13 - 6) / 6.0 for i in range(
+        len(emb.select("embedding").first()[0])
+    )]
+    served = ann_query(spark, d, qv, k=5, nprobe=2)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid" in plan, plan
+
+    assigned, cents = ivf_build_seeded(emb, n_centroids=6)
+    want = [
+        (r.vec_id, r.cos)
+        for r in ivf_topk_seeded(assigned, cents, qv, k=5, nprobe=2).collect()
+    ]
+    got = [(r.vec_id, r.cos) for r in served.collect()]
+    assert got == want
+
+    # all-probes == brute-force exactness carries over to the layout
+    from search_engine_spark.operators.similarity import cosine_topk
+
+    got_all = [
+        (r.vec_id, r.cos)
+        for r in ann_query(spark, d, qv, k=5, nprobe=6).collect()
+    ]
+    brute = [(r.vec_id, r.cos) for r in cosine_topk(emb, qv, k=5).collect()]
+    assert got_all == brute
+
+
+def test_ann_index_kmeans_quantizer(spark, tmp_path):
+    """The kmeans quantizer writes the same layout; nprobe=all is
+    exact (every cell scanned — still pruned file sets per probe)."""
+    from search_engine_spark.operators.similarity import (
+        ann_query,
+        build_ann_index,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = str(tmp_path / "annk")
+    build_ann_index(spark, emb, d, n_centroids=4, quantizer="kmeans")
+    dim = len(emb.select("embedding").first()[0])
+    qv = [1.0 if i % 3 == 0 else -0.5 for i in range(dim)]
+    got = [
+        (r.vec_id, r.cos)
+        for r in ann_query(spark, d, qv, k=5, nprobe=4).collect()
+    ]
+    want = [(r.vec_id, r.cos) for r in cosine_topk(emb, qv, k=5).collect()]
+    assert got == want

@@ -83,8 +83,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # mixture weights: one aggregation + broadcast-sized window
     "domain_mixture": (["HashAggregate", "Window"],
                        ["CartesianProduct", "Python"]),
-    # pack assignment: single window cumsum, pure JVM
-    "sequence_packing": (["Window"], ["CartesianProduct", "Python"]),
+    # pack assignment: sharded two-pass prefix sum — the cumsum rides
+    # a range-partitioned Arrow kernel, the pack_pos window partitions
+    # by pack_id (many bounded groups); the corpus must NEVER funnel
+    # through a single-partition exchange (round-3 verdict #3)
+    "sequence_packing": (["Window", "rangepartitioning"],
+                         ["CartesianProduct", "SinglePartition"]),
     # metadata-filtered ANN: the label predicate must reach the scan
     "filtered_ann_topk": (["EqualTo(label,3)", "TakeOrderedAndProject"],
                           ["CartesianProduct", "Python"]),
