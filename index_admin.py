@@ -151,6 +151,29 @@ def main() -> None:
                     help="target index (modified in place)")
     mi.add_argument("--incoming", required=True)
 
+    pr = sub.add_parser("pagerank",
+                        help="compute PageRank over a (src, dst) edge "
+                             "table and write it as the index's static "
+                             "boost table (<index>/boosts) — serving "
+                             "adds boost(doc) to every BM25 score "
+                             "(query.py picks it up automatically)")
+    pr.add_argument("--index-dir", required=True)
+    pr.add_argument("--edges", required=True,
+                    help="parquet with (src, dst) doc_id edges; pass "
+                         "'synthetic' to derive the deterministic test "
+                         "graph from the index's doc_id space")
+    pr.add_argument("--iters", type=int, default=5)
+    pr.add_argument("--damping", type=float, default=0.85)
+    pr.add_argument("--weight", type=float, default=2.0,
+                    help="boost = weight * ln(1 + n_docs * rank)")
+
+    sb = sub.add_parser("set-boosts",
+                        help="install an arbitrary (doc_id, boost) "
+                             "parquet as the index's static boost "
+                             "table (boosts must be >= 0)")
+    sb.add_argument("--index-dir", required=True)
+    sb.add_argument("--boosts", required=True, help="source parquet path")
+
     args = ap.parse_args()
 
     if args.cmd == "stats":
@@ -212,6 +235,58 @@ def main() -> None:
         from search_engine_spark.plans.merge import merge_into
 
         summary = merge_into(spark, args.index_dir, args.incoming)
+    elif args.cmd == "pagerank":
+        import os
+
+        from pyspark.sql import functions as F
+
+        from search_engine_spark.operators.graph import (
+            pagerank, pagerank_boosts, synthetic_link_graph,
+        )
+
+        stats = spark.read.parquet(os.path.join(args.index_dir, "stats"))
+        n_docs = int(stats.collect()[0]["n_docs"])
+        nodes = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+        if args.edges == "synthetic":
+            edges = synthetic_link_graph(nodes, n_docs=n_docs)
+        else:
+            edges = spark.read.parquet(args.edges).select("src", "dst")
+        ranks = pagerank(nodes, edges, n_docs=n_docs, iters=args.iters,
+                         damping=args.damping)
+        boosts = pagerank_boosts(ranks, n_docs=n_docs, weight=args.weight)
+        # keep only strictly-positive boosts: absent == 0.0 on the
+        # serving side, and a smaller table broadcasts cheaper
+        (
+            boosts.filter(F.col("boost") > 0.0)
+            .sort("doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(args.index_dir, "boosts"))
+        )
+        summary = {"ok": True, "n_docs": n_docs, "iters": args.iters,
+                   "weight": args.weight,
+                   "boosts": os.path.join(args.index_dir, "boosts")}
+    elif args.cmd == "set-boosts":
+        import os
+
+        from pyspark.sql import functions as F
+
+        b = spark.read.parquet(args.boosts).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("boost").cast("double").alias("boost"),
+        )
+        n_bad = b.filter(
+            F.col("boost") < 0.0
+        ).limit(1).count()
+        if n_bad:
+            raise SystemExit(
+                "negative boost values — additive static boosts must "
+                "be >= 0 (block-max bounds assume it)"
+            )
+        b.sort("doc_id").write.mode("overwrite").parquet(
+            os.path.join(args.index_dir, "boosts")
+        )
+        summary = {"ok": True,
+                   "boosts": os.path.join(args.index_dir, "boosts")}
     else:
         from search_engine_spark.plans.deletes import compact_index
 

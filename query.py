@@ -134,6 +134,21 @@ def main() -> None:
                     help="also write the ranked results as parquet "
                          "(query_id, rank, doc_id, score[, url]) — the "
                          "S5 results sink for batch/cluster runs")
+    ap.add_argument("--msm", type=int, default=1, metavar="M",
+                    help="minimum-should-match (--mode or only): keep "
+                         "docs matching at least M of the query terms; "
+                         "scores stay the plain OR sums. M larger than "
+                         "the number of in-index terms matches nothing")
+    ap.add_argument("--synonyms", metavar="FILE",
+                    help="JSON {term: [alternatives...]} — expand each "
+                         "query clause into an OR-group with its "
+                         "synonyms (Lucene expand=true model), scored "
+                         "by the grouped-query semantics; single-query "
+                         "modes only")
+    ap.add_argument("--no-static-boost", action="store_true",
+                    help="ignore the index's static boost table "
+                         "(<index>/boosts, written by index_admin.py "
+                         "pagerank) for this query — score pure BM25")
     args = ap.parse_args()
 
     if not os.path.isdir(args.index_dir) or not os.path.isdir(
@@ -166,6 +181,31 @@ def main() -> None:
         ap.error("--phrase answers a single phrase query")
     if args.offset < 0:
         ap.error("--offset must be >= 0")
+    if args.msm < 1:
+        ap.error("--msm must be >= 1")
+    if args.msm > 1:
+        if args.mode != "or":
+            ap.error("--msm applies to --mode or (AND already requires "
+                     "every term)")
+        if args.batch or args.phrase:
+            ap.error("--msm is a single-query ranked mode")
+        if args.qtext and ("|" in args.qtext or "^" in args.qtext):
+            ap.error("--msm applies to plain term queries (grouped "
+                     "syntax has its own per-group semantics)")
+    syn_map = None
+    if args.synonyms:
+        if args.batch or args.phrase or args.complete:
+            ap.error("--synonyms is a single-query ranked mode")
+        try:
+            with open(args.synonyms) as f:
+                syn_map = json.load(f)
+        except (OSError, json.JSONDecodeError) as e:
+            ap.error(f"--synonyms: {e}")
+        if not isinstance(syn_map, dict) or not all(
+            isinstance(v, list) for v in syn_map.values()
+        ):
+            ap.error("--synonyms must be a JSON object "
+                     "{term: [alternatives...]}")
 
     if args.complete:
         if args.batch or args.phrase or args.distributed:
@@ -368,14 +408,27 @@ def main() -> None:
         qpos, qneg = split_not_terms(args.qtext)
         spark = get_spark("query")
         reader = IndexReader(spark, args.index_dir)
-        if "|" in qpos or "^" in qpos:
+        if args.no_static_boost:
+            reader.clear_static_boosts()
+        if syn_map is not None:
+            from search_engine_spark.plans.scoring import (
+                expand_synonyms, parse_grouped_query,
+            )
+
+            groups, _, pboosts = parse_grouped_query(qpos, stem=stem)
+            groups = expand_synonyms(groups, syn_map, stem=stem)
+            res_df = reader.search_grouped(groups, k=args.k, stem=stem,
+                                           exclude=qneg or None,
+                                           boosts=pboosts or None,
+                                           offset=args.offset)
+        elif "|" in qpos or "^" in qpos:
             res_df = reader.search_grouped(qpos, k=args.k, stem=stem,
                                            exclude=qneg or None,
                                            offset=args.offset)
         else:
             res_df = reader.search(qpos, k=args.k, stem=stem,
                                    mode=args.mode, exclude=qneg or None,
-                                   offset=args.offset)
+                                   offset=args.offset, msm=args.msm)
         results[""] = [(r.doc_id, r.score) for r in res_df.collect()]
         spark.stop()
     else:
@@ -383,14 +436,27 @@ def main() -> None:
 
         qpos, qneg = split_not_terms(args.qtext)
         s = LocalSearcher(args.index_dir)
-        if "|" in qpos or "^" in qpos:
+        if args.no_static_boost:
+            s.clear_static_boosts()
+        if syn_map is not None:
+            from search_engine_spark.plans.scoring import (
+                expand_synonyms, parse_grouped_query,
+            )
+
+            groups, _, pboosts = parse_grouped_query(qpos, stem=stem)
+            groups = expand_synonyms(groups, syn_map, stem=stem)
+            results[""] = s.search_grouped(
+                groups, k=kk, stem=stem, exclude=qneg or None,
+                boosts=pboosts or None,
+            )[args.offset:]
+        elif "|" in qpos or "^" in qpos:
             results[""] = s.search_grouped(
                 qpos, k=kk, stem=stem, exclude=qneg or None,
             )[args.offset:]
         else:
             results[""] = s.search(
                 qpos, k=kk, stem=stem, mode=args.mode,
-                exclude=qneg or None,
+                exclude=qneg or None, msm=args.msm,
             )[args.offset:]
     wall = time.time() - t0
 

@@ -2650,6 +2650,329 @@ FROM tf WHERE term LIKE '%ark%' GROUP BY term
 
 
 # ---------------------------------------------------------------------------
+# Link graph: PageRank + static-score blending (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+def q_pagerank_top(spark, sf_dir):
+    """Damped PageRank (d=0.85, 5 iterations, dangling-mass
+    redistribution) over the deterministic synthetic link graph —
+    operators/graph.pagerank; each iteration is two keyed shuffles +
+    an eager localCheckpoint (lineage truncation, the GraphX idiom).
+    The oracle replays the identical edge derivation and 5 unrolled
+    iterations in SQL. Returns EVERY node's rank (no top-k cut — no
+    float-boundary risk), rounded to 6."""
+    from search_engine_spark.operators.graph import (
+        pagerank, synthetic_link_graph,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = synthetic_link_graph(docs, n_docs=n)
+    pr = pagerank(docs.select("doc_id"), edges, n_docs=n, iters=5)
+    return pr.select("doc_id", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_cte(iters: int = 5, damping: float = 0.85) -> str:
+    """Shared CTE chain computing r{iters} = PageRank after `iters`
+    damped iterations (mirrors operators/graph.py constants: edge salt
+    7919, offset 13, out-degree 1 + doc_id % 3, self-links dropped,
+    dangling mass redistributed)."""
+    parts = [f"""
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+e0 AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id * d.doc_id + j * 7919 + 13) % (SELECT n FROM nn) AS dst
+  FROM documents d,
+       unnest(generate_series(1, 1 + (d.doc_id % 3))) AS s(j)
+),
+e AS (SELECT src, dst FROM e0 WHERE dst <> src),
+deg AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src),
+r0 AS (SELECT doc_id, 1.0 / (SELECT n FROM nn) AS rank FROM documents)"""]
+    for i in range(iters):
+        parts.append(f"""
+d{i} AS (SELECT coalesce(sum(rank), 0) AS dang FROM r{i}
+         WHERE doc_id NOT IN (SELECT src FROM deg)),
+s{i} AS (SELECT e.dst AS doc_id, sum(r.rank / deg.deg) AS insum
+         FROM e JOIN deg USING (src) JOIN r{i} r ON r.doc_id = e.src
+         GROUP BY e.dst),
+r{i + 1} AS (
+  SELECT d.doc_id,
+         (1.0 - {damping}) / (SELECT n FROM nn)
+         + {damping} * (coalesce(s.insum, 0)
+                        + (SELECT dang FROM d{i}) / (SELECT n FROM nn))
+           AS rank
+  FROM documents d LEFT JOIN s{i} s USING (doc_id))""")
+    return ",".join(parts)
+
+
+SQL_PAGERANK_TOP = f"""
+WITH {_pagerank_cte(5)}
+SELECT doc_id, round(rank, 6) AS rank FROM r5
+"""
+
+
+def q_bm25_pagerank_blend(spark, sf_dir):
+    """Static-score ranking: BM25 (conjunctive 'spark merge') plus the
+    PageRank prior mapped through operators/graph.pagerank_boosts
+    (boost = 2 * ln(1 + n*rank) — the Lucene FeatureField shape).
+    This is the oracle twin of the SERVING composition
+    `index_admin.py pagerank` -> LocalSearcher/IndexReader static
+    boosts (block-max bounds raised by max(boost); property-tested in
+    tests/test_boosts.py)."""
+    from search_engine_spark.operators.graph import (
+        pagerank, pagerank_boosts, synthetic_link_graph,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    pr = pagerank(
+        docs.select("doc_id"),
+        synthetic_link_graph(docs, n_docs=n), n_docs=n, iters=5,
+    )
+    boosts = pagerank_boosts(pr, n_docs=n, weight=2.0)
+    base = bm25_exhaustive(
+        spark, _postings(spark, sf_dir), ["spark", "merge"],
+        k=1 << 30, stem=False,
+    )
+    return (
+        base.join(boosts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("score") + F.coalesce(F.col("boost"), F.lit(0.0)), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_BM25_PAGERANK_BLEND = f"""
+WITH {_TOK_CTE},
+{_pagerank_cte(5)},
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(doclen) AS avgdl FROM dl),
+q(term) AS (VALUES ('spark'), ('merge')),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf JOIN q USING (term)
+        GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (tf.tf * {K1 + 1.0} / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / s.avgdl)))
+           AS partial
+  FROM tf JOIN q USING (term) JOIN dfs USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+base AS (
+  SELECT doc_id, sum(partial) AS score FROM scored
+  GROUP BY doc_id HAVING count(*) = 2
+)
+SELECT base.doc_id,
+       round(base.score
+             + 2.0 * ln(1.0 + (SELECT n FROM nn) * r5.rank), 6) AS score
+FROM base LEFT JOIN r5 ON base.doc_id = r5.doc_id
+ORDER BY score DESC, base.doc_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Minimum-should-match, synonym expansion, BM25F
+# ---------------------------------------------------------------------------
+
+def q_bm25_msm_topk(spark, sf_dir):
+    """Minimum-should-match OR query: docs matching >= 2 of {spark,
+    merge, window}, scored as the plain OR sum over matched terms —
+    the elastic `minimum_should_match` semantics. Serving twins:
+    LocalSearcher.search(mode='or', msm=2) (counts folded into the
+    block-max candidate loop; pruning stays exact because msm only
+    REMOVES candidates) and IndexReader.search(msm=2); query.py
+    --msm. Property-tested against this exhaustive path in
+    tests/test_boosts.py."""
+    return bm25_exhaustive(
+        spark, _postings(spark, sf_dir), ["spark", "merge", "window"],
+        k=10, stem=False, mode="or", msm=2,
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
+SQL_BM25_MSM_TOPK = f"""
+WITH {_TOK_CTE},
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(doclen) AS avgdl FROM dl),
+q(term) AS (VALUES ('spark'), ('merge'), ('window')),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf JOIN q USING (term)
+        GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (tf.tf * {K1 + 1.0} / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / s.avgdl)))
+           AS partial
+  FROM tf JOIN q USING (term) JOIN dfs USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(partial), 6) AS score
+FROM scored GROUP BY doc_id
+HAVING count(*) >= 2
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def q_synonym_expanded_topk(spark, sf_dir):
+    """Query-time synonym expansion (scoring.expand_synonyms — the
+    Lucene SynonymGraphFilter expand=true model): 'spark join' with
+    {join: [merge]} rewrites to (spark) AND (join OR merge), scored
+    by the standard grouped semantics (sum over all distinct matched
+    terms, each against its OWN df). A pure rewrite — every serving
+    path supports synonyms with no new scoring machinery (query.py
+    --synonyms)."""
+    from search_engine_spark.plans.scoring import (
+        bm25_exhaustive_grouped, expand_synonyms,
+    )
+
+    groups = expand_synonyms(
+        [["spark"], ["join"]], {"join": ["merge"]}, stem=False
+    )
+    return bm25_exhaustive_grouped(
+        spark, _postings(spark, sf_dir), groups, k=10,
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
+SQL_SYNONYM_EXPANDED_TOPK = f"""
+WITH {_TOK_CTE},
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(doclen) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+q(term, grp) AS (VALUES ('spark', 0), ('join', 1), ('merge', 1)),
+qt AS (SELECT DISTINCT term FROM q),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (tf.tf * {K1 + 1.0} / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / s.avgdl)))
+           AS partial
+  FROM tf JOIN qt USING (term) JOIN dfs USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+matched AS (
+  SELECT doc_id FROM tf JOIN q USING (term)
+  GROUP BY doc_id HAVING count(DISTINCT grp) = 2
+)
+SELECT doc_id, round(sum(partial), 6) AS score
+FROM scored WHERE doc_id IN (SELECT doc_id FROM matched)
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def q_bm25f_topk(spark, sf_dir):
+    """True BM25F (Zaragoza et al., TREC-13): per-field length-
+    normalized tfs are combined into ONE pseudo-tf BEFORE the k1
+    saturation — tf~ = sum_f w_f * tf_f / B_f with
+    B_f = (1-b) + b*len_f/avgdl_f — then score = sum_t idf_t *
+    tf~/(k1 + tf~), idf over docs containing t in ANY field.
+    Distinct from multifield_bm25 ('most_fields': per-field BM25
+    SUMMED — double-saturates). Title surrogate: first 6 whitespace
+    tokens (same as multifield_bm25). Disjunctive candidates,
+    weights body=1, title=2."""
+    qterms = ["spark", "join"]
+    qdf = spark.createDataFrame([(t,) for t in qterms], "term string")
+    docs = _t(spark, sf_dir, "documents")
+
+    body = _postings(spark, sf_dir)
+    bavg = body.select("doc_id", "doclen").dropDuplicates(["doc_id"]).agg(
+        F.avg("doclen").alias("bavg")
+    )
+    ttok = docs.select(
+        "doc_id",
+        F.explode(F.slice(F.split(F.col("text"), " "), 1, 6)).alias("term"),
+    ).filter(F.col("term") != "")
+    ttf = ttok.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("ttf")
+    )
+    tdl = ttf.groupBy("doc_id").agg(F.sum("ttf").alias("tdoclen"))
+    tavg = tdl.agg(F.avg("tdoclen").alias("tavg"))
+
+    b_pairs = body.join(F.broadcast(qdf), "term").select(
+        "term", "doc_id",
+        F.col("tf").cast("double").alias("btf"), "doclen",
+    )
+    t_pairs = (
+        ttf.join(F.broadcast(qdf), "term")
+        .join(tdl, "doc_id")
+        .select("term", "doc_id",
+                F.col("ttf").cast("double").alias("ttf"), "tdoclen")
+    )
+    pairs = (
+        b_pairs.join(t_pairs, ["term", "doc_id"], "full_outer")
+        .crossJoin(F.broadcast(bavg))
+        .crossJoin(F.broadcast(tavg))
+        .withColumn(
+            "wtf",
+            F.coalesce(
+                F.lit(1.0) * F.col("btf")
+                / (F.lit(1.0 - B)
+                   + F.lit(B) * F.col("doclen").cast("double") / F.col("bavg")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(2.0) * F.col("ttf")
+                / (F.lit(1.0 - B)
+                   + F.lit(B) * F.col("tdoclen").cast("double") / F.col("tavg")),
+                F.lit(0.0),
+            ),
+        )
+    )
+    n_docs = docs.count()
+    dfs = pairs.groupBy("term").agg(F.count("*").alias("df"))
+    scored = pairs.join(F.broadcast(dfs), "term").withColumn(
+        "partial",
+        idf_expr(F.col("df"), F.lit(n_docs))
+        * F.col("wtf") / (F.lit(K1) + F.col("wtf")),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("partial"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_BM25F_TOPK = f"""
+WITH {_TOK_CTE},
+q(term) AS (VALUES ('spark'), ('join')),
+bavg AS (SELECT avg(doclen) AS bavg FROM dl),
+ttok AS (
+  SELECT doc_id,
+         unnest(list_slice(string_split(text, ' '), 1, 6)) AS term
+  FROM documents
+),
+ttf AS (SELECT term, doc_id, count(*)::BIGINT AS ttf FROM ttok
+        WHERE term <> '' GROUP BY term, doc_id),
+tdl AS (SELECT doc_id, sum(ttf) AS tdoclen FROM ttf GROUP BY doc_id),
+tavg AS (SELECT avg(tdoclen) AS tavg FROM tdl),
+bp AS (SELECT tf.term, tf.doc_id, tf.tf::DOUBLE AS btf, dl.doclen
+       FROM tf JOIN q USING (term) JOIN dl USING (doc_id)),
+tp AS (SELECT ttf.term, ttf.doc_id, ttf.ttf::DOUBLE AS ttf, tdl.tdoclen
+       FROM ttf JOIN q USING (term) JOIN tdl USING (doc_id)),
+pairs AS (
+  SELECT coalesce(bp.term, tp.term) AS term,
+         coalesce(bp.doc_id, tp.doc_id) AS doc_id,
+         coalesce(1.0 * bp.btf
+                  / ({1.0 - B} + {B} * bp.doclen / (SELECT bavg FROM bavg)),
+                  0.0)
+         + coalesce(2.0 * tp.ttf
+                    / ({1.0 - B} + {B} * tp.tdoclen / (SELECT tavg FROM tavg)),
+                    0.0) AS wtf
+  FROM bp FULL OUTER JOIN tp
+    ON bp.term = tp.term AND bp.doc_id = tp.doc_id
+),
+nn2 AS (SELECT count(*)::BIGINT AS n FROM documents),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM pairs GROUP BY term)
+SELECT doc_id,
+       round(sum(
+         ln(1.0 + ((SELECT n FROM nn2) - dfs.df + 0.5) / (dfs.df + 0.5))
+         * pairs.wtf / ({K1} + pairs.wtf)
+       ), 6) AS score
+FROM pairs JOIN dfs USING (term)
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # QUERIES ordering is part of the deliverable: the driver's correctness
 # harness checks only the FIRST 50 entries (insertion order), so every
 # entry that has never earned a green CORRECTNESS row MUST sit inside
@@ -2657,9 +2980,12 @@ FROM tf WHERE term LIKE '%ark%' GROUP BY term
 # green row goes more than ~two rounds stale.
 # tests/test_entry_order.py enforces the never-checked invariant.
 # Round-4 layout: anchors -> re-check entries whose implementation
-# changed this round -> rows-only entries -> the 26 veterans whose last
-# green row is r01/r02 -> round-3 value oracles -> r03-green rotated
-# past the window.
+# changed this round -> rows-only entries -> round-4 NEW entries
+# (pagerank/static-boost/msm/synonyms/BM25F — never checked, must be
+# in-window) -> the 26 veterans whose last green row is r01/r02 ->
+# round-3 value oracles (the five displaced past 50 — bigram_pmi,
+# unigram_lm_quality, hybrid_rrf_topk, symspell_suggest,
+# fuzzy_term_match — are all driver-r3 green) -> r03-green tail.
 # ---------------------------------------------------------------------------
 QUERIES = {
     # -- anchors (driver-green every round: harness regression canaries) --
@@ -2673,6 +2999,14 @@ QUERIES = {
     # -- rows-only by design (driver records the weaker check) --
     "near_dup_lsh": q_near_dup_lsh,
     "bm25_stemmed_topk": q_bm25_stemmed_topk,
+    # -- round-4 additions (never driver-checked -> must sit inside
+    # the window): link graph + static-score serving, msm, synonyms,
+    # true BM25F --
+    "pagerank_top": q_pagerank_top,
+    "bm25_pagerank_blend": q_bm25_pagerank_blend,
+    "bm25_msm_topk": q_bm25_msm_topk,
+    "synonym_expanded_topk": q_synonym_expanded_topk,
+    "bm25f_topk": q_bm25f_topk,
     # -- veterans whose last green row is r01/r02: rotated back into the
     # window so no entry's green row is more than two rounds stale --
     "except_regression": q_except_regression,
@@ -2749,6 +3083,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pagerank_top": SQL_PAGERANK_TOP,
+    "bm25_pagerank_blend": SQL_BM25_PAGERANK_BLEND,
+    "bm25_msm_topk": SQL_BM25_MSM_TOPK,
+    "synonym_expanded_topk": SQL_SYNONYM_EXPANDED_TOPK,
+    "bm25f_topk": SQL_BM25F_TOPK,
     "term_frequency": SQL_TERM_FREQUENCY,
     "document_frequency": SQL_DOCUMENT_FREQUENCY,
     "doc_lengths": SQL_DOC_LENGTHS,

@@ -1,0 +1,153 @@
+"""Link-graph operators: PageRank and static-score derivation.
+
+A web-scale search engine ranks with more than text statistics: the
+link graph supplies a query-independent document prior (PageRank,
+Brin & Page 1998) that serving blends into BM25. This module gives
+the engine that leg:
+
+``synthetic_link_graph`` derives a deterministic, irregular edge set
+from the documents table itself (the sandbox corpus has no real
+hyperlinks) — same integer arithmetic on the Spark and DuckDB sides,
+so PageRank over it is value-oracle-checkable. Real deployments
+replace this one function with an extracted <a href> edge table; the
+PageRank and boost plumbing below is payload-agnostic.
+
+``pagerank`` is the textbook damped iteration with dangling-mass
+redistribution, shaped for Spark's execution model:
+
+  * each iteration is two keyed shuffles (edges ⋈ ranks on src,
+    then groupBy dst) — the canonical distributed PageRank plan;
+  * the dangling-node mass is a 1-row aggregate broadcast back in
+    (crossJoin with a broadcast singleton, NOT a driver collect —
+    the iteration stays a single lazy plan);
+  * every iteration ends in an eager ``localCheckpoint`` — five
+    chained shuffles otherwise build a lineage whose re-evaluation
+    (and optimizer planning time) grows per round; checkpointing is
+    the standard Spark idiom for iterative graph algorithms
+    (GraphX does the same internally).
+
+At 10^12 docs: ranks/edges partition by id; per-iteration cost is
+|E| shuffle + |V| agg, no driver materialization, no cross joins
+(the only crossJoin is against a broadcast 1-row dangling sum).
+
+``pagerank_boosts`` turns ranks into the bounded additive static
+boost the serving path consumes (plans/wand.LocalSearcher
+static_boosts): boost = weight * ln(1 + n * rank), which is 0 for a
+rank-less doc and grows logarithmically — the shape Lucene's
+FeatureField / elastic's rank_feature use for static signals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# edge-derivation constants (shared with the DuckDB oracle SQL —
+# change in lockstep): out-degree 1 + doc_id % 3, dst by a quadratic
+# hash so in-degree is irregular (an affine map would give every node
+# identical in-degree and a flat, test-blind PageRank).
+EDGE_SALT = 7919
+EDGE_OFFSET = 13
+DAMPING = 0.85
+
+
+def synthetic_link_graph(docs: DataFrame, *, n_docs: int | None = None,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Deterministic (src, dst) edge multiset over the documents table.
+
+    src = doc_id; for j in 1..(1 + doc_id % 3):
+    dst = (doc_id^2 + j*7919 + 13) % n_docs, self-links dropped.
+    Duplicate (src, dst) pairs are KEPT (multiset semantics — a page
+    linking twice contributes twice), matching the oracle exactly.
+
+    n_docs may be passed to avoid a count() job when the caller
+    already knows it; ids must be dense 0..n-1 (the engine's doc_id
+    allocation invariant)."""
+    n = int(n_docs) if n_docs is not None else docs.count()
+    s = F.col("src")
+    dst = (s * s + F.col("j") * F.lit(EDGE_SALT) + F.lit(EDGE_OFFSET)) % F.lit(n)
+    return (
+        docs.select(F.col(id_col).cast("long").alias("src"))
+        .withColumn(
+            "j",
+            F.explode(F.sequence(F.lit(1), (F.lit(1) + s % 3).cast("int"))),
+        )
+        .select("src", dst.alias("dst"))
+        .filter(F.col("dst") != F.col("src"))
+    )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    n_docs: int | None = None,
+    iters: int = 5,
+    damping: float = DAMPING,
+    id_col: str = "doc_id",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Damped PageRank with dangling-mass redistribution.
+
+    nodes: one row per document (``id_col``); edges: (src, dst)
+    multiset. Returns (doc_id, rank) over ALL nodes; sum(rank) == 1
+    up to float error every iteration.
+
+      rank'(v) = (1-d)/n + d * (sum over in-edges u->v of
+                 rank(u)/deg(u)  +  dangling_mass/n)
+
+    checkpoint=False keeps the full lazy plan (used by tests that
+    assert plan shape); the default eagerly truncates lineage per
+    iteration — see module docstring."""
+    n = int(n_docs) if n_docs is not None else nodes.count()
+    if n == 0:
+        return nodes.select(F.col(id_col).alias("doc_id"),
+                            F.lit(0.0).alias("rank"))
+    nodes = nodes.select(F.col(id_col).alias("doc_id"))
+    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    out_nodes = deg.select(F.col("src").alias("doc_id"))
+    ranks = nodes.select("doc_id", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        # dangling mass: 1-row aggregate, broadcast back in — no collect
+        dang = (
+            ranks.join(out_nodes, "doc_id", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+        )
+        insum = (
+            edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            .select(F.col("dst").alias("doc_id"),
+                    (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("insum"))
+        )
+        ranks = (
+            nodes.join(insum, "doc_id", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "doc_id",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("insum"), F.lit(0.0))
+                       + F.col("_dang") / F.lit(float(n)))
+                ).alias("rank"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def pagerank_boosts(ranks: DataFrame, *, n_docs: int,
+                    weight: float = 2.0) -> DataFrame:
+    """(doc_id, boost) static-boost table from PageRank output:
+    boost = weight * ln(1 + n * rank). n*rank is ~1 for an average
+    page, so an average boost is ~weight*ln(2); a rank-less doc_id
+    (absent row) is an implicit 0.0 on the serving side."""
+    return ranks.select(
+        "doc_id",
+        (F.lit(float(weight))
+         * F.log(F.lit(1.0) + F.lit(float(n_docs)) * F.col("rank"))
+         ).alias("boost"),
+    )

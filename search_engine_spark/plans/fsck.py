@@ -320,7 +320,9 @@ def fsck(index_dir: str, *, sample_terms: int = 200, seed: int = 7) -> dict:
     from search_engine_spark.plans.wand import LocalSearcher
 
     errors: list[str] = []
-    searcher = LocalSearcher(index_dir)
+    # the searcher must not crash the audit when the boosts table is
+    # the corrupt part — the I8 block below reports it instead
+    searcher = LocalSearcher(index_dir, load_boosts=False)
     if searcher.n_docs <= 0:
         errors.append(f"I6 stats: n_docs={searcher.n_docs}")
     if not searcher.avgdl > 0:
@@ -368,6 +370,36 @@ def fsck(index_dir: str, *, sample_terms: int = 200, seed: int = 7) -> dict:
                 index_dir, list(picked.term[:20]), searcher, errors
             )
 
+    # static boost table (I8): serving assumes boosts >= 0 (block-max
+    # bound argument), unique doc_ids, and ids inside the allocated
+    # space — a violating table would silently mis-rank every query
+    boosts_checked = False
+    boosts_path = os.path.join(index_dir, "boosts")
+    if os.path.isdir(boosts_path):
+        bt = pq.read_table(boosts_path, columns=["doc_id", "boost"])
+        bd = np.asarray(bt["doc_id"].to_pylist(), dtype=np.int64)
+        bv = np.asarray(bt["boost"].to_pylist(), dtype=np.float64)
+        if bv.size and (~np.isfinite(bv)).any():
+            errors.append("I8 boosts: non-finite boost value")
+        if bv.size and (bv < 0).any():
+            errors.append(
+                f"I8 boosts: {int((bv < 0).sum())} negative boosts "
+                "(block-max bounds assume >= 0)"
+            )
+        if bd.size != np.unique(bd).size:
+            errors.append("I8 boosts: duplicate doc_id rows")
+        if os.path.isdir(urlmap_path):
+            ids = pq.read_table(urlmap_path, columns=["doc_id"])["doc_id"]
+            known = np.sort(np.asarray(ids.to_pylist(), dtype=np.int64))
+            pos = np.searchsorted(known, bd)
+            pos_c = np.minimum(pos, max(known.size - 1, 0))
+            bad = bd[known[pos_c] != bd] if known.size else bd
+            for d in bad[:20]:
+                errors.append(
+                    f"I8 boosts: doc_id {int(d)} not in urlmap"
+                )
+        boosts_checked = True
+
     # field indexes (fields/<name>) use the ordinary layout — recurse
     # with a proportionally smaller sample so a corrupted title field
     # fails the same audit the body does
@@ -391,6 +423,7 @@ def fsck(index_dir: str, *, sample_terms: int = 200, seed: int = 7) -> dict:
         "terms_checked": int(len(picked)),
         "positions_terms_checked": positions_checked,
         "tombstones_checked": tombstones_checked,
+        "boosts_checked": boosts_checked,
         "fields_checked": sorted(field_reports),
         "n_errors": len(errors),
         "errors": errors[:50],

@@ -92,6 +92,36 @@ class IndexReader:
 
         self._deleted = load_tombstones(index_dir)
         self._deleted_in_closure = self._deleted.size <= IN_CLOSURE_MAX
+        # static additive doc prior (PageRank etc): lazily-read
+        # (doc_id, boost) table; joined onto results when present.
+        # Written by `index_admin.py pagerank` / set-boosts.
+        import os as _os
+
+        self._boosts_dir = _os.path.join(index_dir, "boosts")
+        self._has_boosts = _os.path.isdir(self._boosts_dir)
+
+    def clear_static_boosts(self) -> None:
+        """Score pure BM25 even when the index carries a boosts table
+        (LocalSearcher.clear_static_boosts twin)."""
+        self._has_boosts = False
+
+    def _boosted_df(self, agg: DataFrame) -> DataFrame:
+        """(doc_id, score) -> score + static boost when the index
+        carries a boosts table. A left join against a doc_id-keyed
+        side (broadcast when small, AQE decides); absent ids boost 0."""
+        if not self._has_boosts:
+            return agg
+        b = self.spark.read.parquet(self._boosts_dir).select(
+            "doc_id", F.col("boost").cast("double").alias("_b")
+        )
+        return (
+            agg.join(b, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.col("score")
+                 + F.coalesce(F.col("_b"), F.lit(0.0))).alias("score"),
+            )
+        )
 
     def refresh_deletes(self) -> None:
         """Re-read the tombstone table on a live reader."""
@@ -184,7 +214,8 @@ class IndexReader:
         return self.decoded_postings(terms, buckets).select("doc_id").distinct()
 
     def search(self, qtext_or_terms, *, k: int = 10, stem: bool = True,
-               mode: str = "and", exclude=None, offset: int = 0) -> DataFrame:
+               mode: str = "and", exclude=None, offset: int = 0,
+               msm: int = 1) -> DataFrame:
         """offset: deep-pagination twin of LocalSearcher's `after`
         cursor — skip the first `offset` ranked results. Offset-based
         (not score-cursor-based) on purpose: distributed float sums
@@ -197,19 +228,28 @@ class IndexReader:
         if offset < 0:
             raise ValueError(f"offset must be >= 0, got {offset}")
         agg = self.match_scores(qtext_or_terms, stem=stem, mode=mode,
-                                exclude=exclude)
+                                exclude=exclude, msm=msm)
         if agg is None:
             return self.spark.createDataFrame([], "doc_id long, score double")
         return self._topk(agg, k, offset)
 
     def match_scores(self, qtext_or_terms, *, stem: bool = True,
-                     mode: str = "and", exclude=None) -> DataFrame | None:
+                     mode: str = "and", exclude=None,
+                     msm: int = 1) -> DataFrame | None:
         """The FULL match set with BM25 scores — (doc_id, score), no
         top-k truncation. The building block search() ranks and the
         distributed multi-field twin (plans/multifield) re-ranks;
         returns None when no query term exists in the index (or a
         required term is missing under AND semantics)."""
         spark = self.spark
+        msm = int(msm)
+        if msm < 1:
+            raise ValueError(f"msm must be >= 1, got {msm}")
+        if msm > 1 and mode != "or":
+            raise ValueError(
+                "minimum-should-match applies to mode='or' only "
+                "(AND already requires every term)"
+            )
         if isinstance(qtext_or_terms, str):
             qterms = analyze_query(qtext_or_terms, stem=stem)
         else:
@@ -254,11 +294,18 @@ class IndexReader:
         )
         if mode == "and":
             agg = agg.filter(F.col("n_matched") == n_terms)
+        elif msm > 1:
+            # minimum-should-match: docs matching >= msm of the PRESENT
+            # query terms (LocalSearcher.search msm twin). Counted over
+            # present terms — absent terms were already dropped above.
+            if msm > n_terms:
+                return None
+            agg = agg.filter(F.col("n_matched") >= msm)
         if exclude:
             edocs = self._excluded_docs_df(list(dict.fromkeys(exclude)))
             if edocs is not None:
                 agg = agg.join(edocs, "doc_id", "left_anti")
-        return agg.select("doc_id", "score")
+        return self._boosted_df(agg.select("doc_id", "score"))
 
     @staticmethod
     def _topk(ranked: DataFrame, k: int, offset: int) -> DataFrame:
@@ -365,7 +412,9 @@ class IndexReader:
             edocs = self._excluded_docs_df(list(dict.fromkeys(exclude)))
             if edocs is not None:
                 agg = agg.join(edocs, "doc_id", "left_anti")
-        return self._topk(agg.select("doc_id", "score"), k, offset)
+        return self._topk(
+            self._boosted_df(agg.select("doc_id", "score")), k, offset
+        )
 
     def search_batch(
         self, queries: dict, *, k: int = 10, stem: bool = True,
@@ -518,6 +567,14 @@ class IndexReader:
                     .distinct()
                 )
                 agg = agg.join(edocs, ["query_id", "doc_id"], "left_anti")
+        if self._has_boosts:
+            # static prior applied per (query_id, doc_id) BEFORE ranks
+            b = self.spark.read.parquet(self._boosts_dir).select(
+                "doc_id", F.col("boost").cast("double").alias("_b")
+            )
+            agg = agg.join(b, "doc_id", "left").withColumn(
+                "score", F.col("score") + F.coalesce(F.col("_b"), F.lit(0.0))
+            ).drop("_b")
         w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             agg.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -433,6 +433,22 @@ def merge_into(
 
     merged_urlmap = _append_side_table("urlmap")
     merged_docstore = _append_side_table("docstore")
+
+    # static boosts (doc_id, boost) are per-doc data, NOT derived from
+    # index statistics, so they merge like urlmap — an absent side
+    # contributes nothing (absent doc_id == boost 0.0 at serving).
+    # Asymmetric cases are legal: the incoming side's boosts land
+    # offset whether or not the target had any.
+    merged_boosts = False
+    i_boosts = os.path.join(incoming_dir, "boosts")
+    if os.path.isdir(i_boosts):
+        t_boosts = os.path.join(target_dir, "boosts")
+        db = (
+            spark.read.parquet(i_boosts)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+        )
+        db.sort("doc_id").write.mode("append").parquet(t_boosts)
+        merged_boosts = True
     return {
         "run_id": run_id,
         "mode": "append",
@@ -442,8 +458,13 @@ def merge_into(
         "urlmap_merged": merged_urlmap,
         "docstore_merged": merged_docstore,
         "positions_merged": merged_positions,
+        "boosts_merged": merged_boosts,
         "title_merged": "title" in merged_fields,
         "fields_merged": merged_fields,
+        # the SymSpell suggest table derives from dictionary dfs, which
+        # the merge just changed — re-derive it (index_admin.py
+        # build-suggest) if the index serves suggestions
+        "suggest_stale": os.path.isdir(os.path.join(target_dir, "suggest")),
     }
 
 
@@ -544,6 +565,26 @@ def _merge_rebuild(
         )
         return True
 
+    # static boosts: per-doc side data, asymmetric sides legal (absent
+    # doc_id == boost 0.0) — union with the same offset
+    merged_boosts = False
+    b_frames = []
+    if os.path.isdir(os.path.join(a_dir, "boosts")):
+        b_frames.append(spark.read.parquet(os.path.join(a_dir, "boosts")))
+    if os.path.isdir(os.path.join(b_dir, "boosts")):
+        b_frames.append(
+            spark.read.parquet(os.path.join(b_dir, "boosts"))
+            .withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+        )
+    if b_frames:
+        u = b_frames[0]
+        for extra in b_frames[1:]:
+            u = u.unionByName(extra)
+        u.sort("doc_id").write.mode("overwrite").parquet(
+            os.path.join(out_dir, "boosts")
+        )
+        merged_boosts = True
+
     return {
         "run_id": run_id,
         "mode": "rebuild",
@@ -553,8 +594,10 @@ def _merge_rebuild(
         "urlmap_merged": _union_side_table("urlmap"),
         "docstore_merged": _union_side_table("docstore"),
         "positions_merged": merged_positions,
+        "boosts_merged": merged_boosts,
         "title_merged": "title" in merged_fields,
         "fields_merged": merged_fields,
+        "suggest_stale": False,  # rebuild writes a fresh out_dir
     }
 
 

@@ -109,6 +109,47 @@ def parse_grouped_query(
     return groups, list(dict.fromkeys(exclude)), boosts
 
 
+def expand_synonyms(
+    groups: list[list[str]],
+    synonyms: dict[str, list[str]],
+    *,
+    stem: bool = True,
+) -> list[list[str]]:
+    """Query-time synonym expansion as a pure rewrite into grouped
+    boolean form (the Elasticsearch/Lucene SynonymGraphFilter model,
+    expand=true): every OR-group is extended with the synonyms of its
+    members, so 'join' with synonyms {join: [merge]} becomes the group
+    [join, merge] — a doc satisfies the clause through ANY variant and
+    scores by parse_grouped_query's existing semantics (sum over all
+    distinct matched terms, each against its own df). No new scoring
+    machinery: expansion happens before the engine sees the query, so
+    every serving path (LocalSearcher.search_grouped, IndexReader
+    .search_grouped, the exhaustive oracle) supports synonyms for
+    free. Synonym keys and values run through the SAME analyzer as
+    query text (stem flag shared) — a stemmed index expands stemmed
+    variants."""
+    syn_analyzed: dict[str, list[str]] = {}
+    for key, alts in synonyms.items():
+        akeys = analyze_query(key, stem=stem)
+        if len(akeys) != 1:
+            raise ValueError(
+                f"synonym key {key!r} must analyze to exactly one term"
+            )
+        out: list[str] = []
+        for alt in alts:
+            out.extend(analyze_query(alt, stem=stem))
+        syn_analyzed.setdefault(akeys[0], []).extend(out)
+    expanded: list[list[str]] = []
+    for g in groups:
+        ng = list(g)
+        for t in g:
+            for s in syn_analyzed.get(t, ()):
+                if s not in ng:
+                    ng.append(s)
+        expanded.append(ng)
+    return expanded
+
+
 def bm25_exhaustive_grouped(
     spark: SparkSession,
     postings_flat: DataFrame,
@@ -190,8 +231,13 @@ def bm25_exhaustive(
     stem: bool = True,
     mode: str = "and",
     exclude=None,
+    msm: int = 1,
 ) -> DataFrame:
     """Score a query straight off flat postings (term, doc_id, tf, doclen).
+
+    msm (mode='or' only): minimum-should-match — keep docs matching at
+    least `msm` of the present query terms; scores stay the plain OR
+    sums (structural filter, not a scoring change).
 
     exclude: terms (list or raw text, analyzed the same way) whose
     containing docs are REMOVED from the result (NOT semantics) before
@@ -243,8 +289,15 @@ def bm25_exhaustive(
         F.sum("partial").alias("score"),
         F.count("*").alias("n_matched"),  # (term, doc) unique -> count = distinct terms
     )
+    msm = int(msm)
+    if msm > 1 and mode != "or":
+        raise ValueError("msm applies to mode='or' only")
     if mode == "and":
         agg = agg.filter(F.col("n_matched") == n_terms)
+    elif msm > 1:
+        if msm > n_terms:
+            return spark.createDataFrame([], "doc_id long, score double")
+        agg = agg.filter(F.col("n_matched") >= msm)
     if exclude:
         if isinstance(exclude, str):
             excl = analyze_query(exclude, stem=stem)

@@ -112,7 +112,8 @@ class LocalSearcher:
                 "max_tfnorm", "first_doc", "last_doc"]
     _DICT_CACHE = 65536
 
-    def __init__(self, index_dir: str, *, cache_terms: int = 256):
+    def __init__(self, index_dir: str, *, cache_terms: int = 256,
+                 load_boosts: bool = True):
         self.root = index_dir
         st = pq.read_table(os.path.join(index_dir, "stats")).to_pandas()
         self.n_docs = int(st.n_docs.iloc[0])
@@ -220,6 +221,69 @@ class LocalSearcher:
         # upper bounds (a max over a superset). df/n_docs/avgdl keep
         # build-time values until compaction (Lucene-style contract).
         self._deleted = load_tombstones(index_dir)
+        # static per-doc additive boost (PageRank / quality prior):
+        # (sorted doc_ids, values, max) or None. Applied AFTER all term
+        # contributions on every path; block-max bounds gain +max so
+        # pruning stays exact (see load_static_boosts).
+        self._boost: tuple[np.ndarray, np.ndarray, float] | None = None
+        boosts_dir = os.path.join(index_dir, "boosts")
+        # fail LOUDLY on a corrupt boosts table — serving with a bad
+        # prior mis-ranks every query. fsck passes load_boosts=False
+        # (it audits the table itself and must not crash on corruption)
+        if load_boosts and os.path.isdir(boosts_dir):
+            self.load_static_boosts(boosts_dir)
+
+    def load_static_boosts(self, source) -> None:
+        """Attach a static document prior: (doc_id, boost) rows from a
+        parquet path or pandas DataFrame. Serving adds boost(d) to the
+        BM25 score of every RESULT doc (an absent doc_id boosts 0.0);
+        candidate generation is unchanged — a boost alone never makes
+        a non-matching doc match. Block-max pruning stays exact
+        because every segment upper bound is raised by max(boost):
+        ub + bmax >= score(d) + boost(d) for any doc in the segment.
+        Boosts must be >= 0 — a negative boost would silently break
+        that bound (we fail loudly instead). An index dir with a
+        ``boosts`` table (index_admin.py pagerank writes one) loads it
+        automatically at open."""
+        if isinstance(source, str):
+            b = pq.read_table(source, columns=["doc_id", "boost"]).to_pandas()
+        else:
+            b = source[["doc_id", "boost"]]
+        docs = b["doc_id"].to_numpy(dtype=np.int64)
+        vals = b["boost"].to_numpy(dtype=np.float64)
+        order = np.argsort(docs, kind="stable")
+        docs, vals = docs[order], vals[order]
+        if docs.size and docs[:-1].size and (docs[1:] == docs[:-1]).any():
+            raise ValueError("duplicate doc_id in static boosts")
+        if (vals < 0).any():
+            raise ValueError(
+                "negative static boost — additive boosts must be >= 0 "
+                "(block-max upper bounds assume it)"
+            )
+        bmax = float(vals.max()) if vals.size else 0.0
+        self._boost = (docs, vals, bmax)
+
+    def clear_static_boosts(self) -> None:
+        self._boost = None
+
+    @property
+    def _bmax(self) -> float:
+        return self._boost[2] if self._boost is not None else 0.0
+
+    def _boosted(self, docs: np.ndarray, scores: np.ndarray) -> np.ndarray:
+        """scores + static boost per doc (vectorized sorted lookup).
+        No-op (bit-identical input array) when no boosts are loaded —
+        the unboosted paths keep their warm==cold bit-equality."""
+        if self._boost is None or docs.size == 0:
+            return scores
+        bd, bv, _ = self._boost
+        pos = np.searchsorted(bd, docs)
+        pos_c = np.clip(pos, 0, max(bd.size - 1, 0))
+        hit = bd.size > 0
+        if hit:
+            m = bd[pos_c] == docs
+            return scores + np.where(m, bv[pos_c], 0.0)
+        return scores
 
     def refresh_deletes(self) -> None:
         """Re-read the tombstone table (after delete_docs /
@@ -376,7 +440,8 @@ class LocalSearcher:
             # x * 1.0 is bit-exact, so unboosted queries are unchanged
             scores[pos_c[hit]] += oc[hit] * w[t]
         self.last_segments_skipped = 0
-        return self._vector_topk(union[alive], scores[alive], k, after)
+        ca, sa = union[alive], scores[alive]
+        return self._vector_topk(ca, self._boosted(ca, sa), k, after)
 
     def _grouped_blockmax(self, terms, base_terms, other_groups, idf, w,
                           k, excl=None, after=None):
@@ -406,7 +471,8 @@ class LocalSearcher:
                     osegs.max_tfnorm.to_numpy(), s_first, s_last,
                 )
             for r, row in enumerate(segs.itertuples(index=False)):
-                entries.append((float(ub[r]), i, row))
+                # +bmax keeps the bound valid over boosted final scores
+                entries.append((float(ub[r]) + self._bmax, i, row))
         entries.sort(key=lambda e: -e[0])
 
         heap: list[tuple[float, int]] = []
@@ -456,6 +522,7 @@ class LocalSearcher:
                         g_mask = g_mask | hits[u]
                 alive = alive & g_mask
             ca, sa = cand[alive], scores[alive]
+            sa = self._boosted(ca, sa)
             if after is not None and ca.size:
                 keep_a = self._after_mask(ca, sa, after)
                 ca, sa = ca[keep_a], sa[keep_a]
@@ -517,6 +584,13 @@ class LocalSearcher:
                         break
             total += row["contribution"]
             out_terms.append(row)
+        static = 0.0
+        if self._boost is not None and not deleted:
+            static = float(self._boosted(
+                np.asarray([doc_id], dtype=np.int64),
+                np.zeros(1, dtype=np.float64),
+            )[0])
+            total += static
         return {
             "doc_id": doc_id,
             "deleted": deleted,
@@ -525,6 +599,7 @@ class LocalSearcher:
             "k1": K1,
             "b": B,
             "terms": out_terms,
+            "static_boost": static,
             "matched_all": bool(out_terms)
             and all(r["matched"] for r in out_terms),
             "score": total,
@@ -788,9 +863,11 @@ class LocalSearcher:
             alive &= hit
             scores = scores + np.where(hit, oc[pos_c], 0.0)
         self.last_segments_skipped = 0
-        return self._vector_topk(docs[alive], scores[alive], k, after)
+        ca, sa = docs[alive], scores[alive]
+        return self._vector_topk(ca, self._boosted(ca, sa), k, after)
 
-    def _search_or_warm(self, qterms, idf, k, excl=None, after=None):
+    def _search_or_warm(self, qterms, idf, k, excl=None, after=None,
+                        msm: int = 1):
         """Serving fast path (OR): scatter-add each term's cached
         contribution list into the union doc array, in the same sorted
         term order the block-max path uses — per-doc addition sequences
@@ -804,6 +881,7 @@ class LocalSearcher:
         if union.size == 0:
             return []
         scores = np.zeros(union.size, dtype=np.float64)
+        counts = np.zeros(union.size, dtype=np.int32) if msm > 1 else None
         for od, oc in parts:
             if od.size:
                 pos = np.searchsorted(union, od)
@@ -812,11 +890,19 @@ class LocalSearcher:
                 # od is strictly increasing per term -> hit indices are
                 # unique; fancy += is a safe (and faster) scatter-add
                 scores[pos_c[hit]] += oc[hit]
+                if counts is not None:
+                    counts[pos_c[hit]] += 1
+        if counts is not None:
+            # minimum-should-match: structural filter only — scores of
+            # surviving docs are the plain OR sums
+            keep_m = counts >= msm
+            union, scores = union[keep_m], scores[keep_m]
         self.last_segments_skipped = 0
-        return self._vector_topk(union, scores, k, after)
+        return self._vector_topk(union, self._boosted(union, scores), k, after)
 
     def _search_or(
         self, qterms: list[str], k: int, prune: bool, excl=None, after=None,
+        msm: int = 1,
     ) -> list[tuple[int, float]]:
         """Disjunctive (OR) top-k: block-max pruned union scoring.
 
@@ -836,7 +922,7 @@ class LocalSearcher:
         if prune and self._fast:
             self._promote_repeats(qterms, idf)
             if self._warm(qterms):
-                return self._search_or_warm(qterms, idf, k, excl, after)
+                return self._search_or_warm(qterms, idf, k, excl, after, msm)
         per_term = []  # (term, segs_df) in fixed dedup order
         for t in qterms:
             per_term.append((t, self._segments(t)))
@@ -857,7 +943,8 @@ class LocalSearcher:
                     osegs.max_tfnorm.to_numpy(), s_first, s_last,
                 )
             for r, row in enumerate(segs.itertuples(index=False)):
-                entries.append((float(ub[r]), i, row))
+                # +bmax keeps the bound valid over boosted final scores
+                entries.append((float(ub[r]) + self._bmax, i, row))
         entries.sort(key=lambda e: -e[0])
 
         heap: list[tuple[float, int]] = []
@@ -886,6 +973,7 @@ class LocalSearcher:
             cand, scores = self._seg_decode(t, row, idf[t])
             scores = scores.copy()
             keep = ~self._in_sorted(excl, cand)
+            n_hit = np.ones(cand.size, dtype=np.int32) if msm > 1 else None
             for j, (u, _) in enumerate(per_term):
                 if j == i:
                     continue
@@ -898,7 +986,14 @@ class LocalSearcher:
                 if j < i:
                     keep &= ~hit  # doc is driven by its first term only
                 scores = scores + np.where(hit, oc[pos_c], 0.0)
+                if n_hit is not None:
+                    n_hit += hit
+            if n_hit is not None:
+                # minimum-should-match removes candidates only, so every
+                # segment bound stays a valid upper bound (pruning exact)
+                keep &= n_hit >= msm
             ca, sa = cand[keep], scores[keep]
+            sa = self._boosted(ca, sa)
             if after is not None and ca.size:
                 # BEFORE the per-segment k-cut: the segment's k best
                 # may all be pre-cursor docs
@@ -917,6 +1012,7 @@ class LocalSearcher:
         self, qtext_or_terms, *, k: int = 10, stem: bool = True,
         prune: bool = True, mode: str = "and", fast: bool = True,
         exclude=None, after: tuple[int, float] | None = None,
+        msm: int = 1,
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), score desc then doc_id asc.
 
@@ -942,6 +1038,14 @@ class LocalSearcher:
         repeats (warm == cold bit-identity)."""
         if mode not in ("and", "or"):
             raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+        msm = int(msm)
+        if msm < 1:
+            raise ValueError(f"msm must be >= 1, got {msm}")
+        if msm > 1 and mode != "or":
+            raise ValueError(
+                "minimum-should-match applies to mode='or' only "
+                "(AND already requires every term)"
+            )
         if isinstance(qtext_or_terms, str):
             qterms = analyze_query(qtext_or_terms, stem=stem)
         else:
@@ -954,9 +1058,12 @@ class LocalSearcher:
             after = (int(after[0]), float(after[1]))
         if mode == "or":
             qterms = [t for t in qterms if t in self._df]
-            if not qterms:
+            # msm counts PRESENT query terms (absent terms are dropped,
+            # not fatal, mirroring plain OR); a doc can never match
+            # more terms than exist in the index
+            if not qterms or msm > len(qterms):
                 return []
-            return self._search_or(qterms, k, prune, excl, after)
+            return self._search_or(qterms, k, prune, excl, after, msm)
         if not qterms or any(t not in self._df for t in qterms):
             return []
         idf = {t: self._idf(t) for t in qterms}
@@ -1052,9 +1159,11 @@ class LocalSearcher:
             elif item > heap[0]:
                 heapq.heapreplace(heap, item)
 
-        # descending bound order grows theta fastest
+        # descending bound order grows theta fastest (+bmax keeps every
+        # bound valid over statically-boosted final scores)
         r_segs = r_segs.assign(
             ub=idf[rarest] * r_segs.max_tfnorm.to_numpy() + others_ub_vec
+            + self._bmax
         )
         r_segs = r_segs.sort_values("ub", ascending=False)
         skipped = 0
@@ -1083,6 +1192,7 @@ class LocalSearcher:
                     break
                 scores = scores + np.where(hit, oc[pos_c], 0.0)
             ca, sa = cand[alive], scores[alive]
+            sa = self._boosted(ca, sa)
             if after is not None and ca.size:
                 # BEFORE the per-segment k-cut: the segment's k best
                 # may all be pre-cursor docs

@@ -16,10 +16,15 @@ def brute_force_topk(
     b: float = 0.75,
     analyzer=None,
     mode: str = "and",
+    msm: int = 1,
+    static_boosts: dict | None = None,
 ) -> list[tuple[int, float]]:
     """BM25 top-k over (doc_id, text) pairs. mode="and" requires every
     query term in the doc (reference semantics); mode="or" scores any
     doc containing at least one term, over the terms it contains.
+
+    msm (mode="or"): require at least `msm` query terms present.
+    static_boosts: {doc_id: additive boost} applied to every result.
 
     analyzer: callable text -> token list. Defaults to str.split (the
     synthetic corpus is space-separated lowercase words).
@@ -44,7 +49,7 @@ def brute_force_topk(
         present = [t for t in qterms if t in c]
         if mode == "and" and len(present) != len(qterms):
             continue
-        if not present:
+        if not present or len(present) < msm:
             continue
         dl = len(toks[did])
         score = 0.0
@@ -52,6 +57,8 @@ def brute_force_topk(
             idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
             tf = c[t]
             score += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        if static_boosts is not None:
+            score += static_boosts.get(did, 0.0)
         results.append((did, score))
     results.sort(key=lambda r: (-r[1], r[0]))
     return results[:k]

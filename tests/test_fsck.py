@@ -50,6 +50,27 @@ def test_clean_index_passes(index_dir):
     assert out["positions_terms_checked"] > 0
 
 
+def test_boosts_checked(spark, index_dir):
+    """I8: a static boost table with negative values or duplicate
+    doc_ids must fail fsck — serving's block-max bound assumes
+    boost >= 0 and a unique per-doc prior."""
+    import os
+
+    spark.createDataFrame(
+        [(0, 1.0), (1, 0.5)], "doc_id long, boost double"
+    ).write.parquet(os.path.join(index_dir, "boosts"))
+    out = fsck(index_dir, sample_terms=20)
+    assert out["boosts_checked"] and out["ok"], out["errors"]
+
+    spark.createDataFrame(
+        [(0, -1.0), (1, 0.5), (1, 0.7)], "doc_id long, boost double"
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "boosts"))
+    out = fsck(index_dir, sample_terms=20)
+    assert not out["ok"]
+    assert any("I8" in e and "negative" in e for e in out["errors"])
+    assert any("I8" in e and "duplicate" in e for e in out["errors"])
+
+
 def test_detects_df_drift(index_dir):
     # bump one term's dictionary df by 1 in its bucket fragment
     frag = sorted(glob.glob(

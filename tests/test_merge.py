@@ -87,6 +87,39 @@ def test_merge_unions_urlmap_with_offset(spark, dirs):
     assert um[um.url == "https://ex.com/p99"].doc_id.iloc[0] == 60 + 39
 
 
+def test_merge_carries_static_boosts(spark, dirs, tmp_path):
+    """Boosts are per-doc side data: the merged index must serve a's
+    boosts at their original ids and b's at offset ids (a silently
+    dropped boosts table would quietly unboost every incoming doc).
+    Asymmetric sides are legal — here only b carries boosts."""
+    import shutil
+
+    a, b, _, _ = dirs
+    a2, b2 = str(tmp_path / "a2"), str(tmp_path / "b2")
+    shutil.copytree(a, a2)
+    shutil.copytree(b, b2)
+    spark.createDataFrame(
+        [(5, 1.5), (12, 0.25)], "doc_id long, boost double"
+    ).write.parquet(os.path.join(b2, "boosts"))
+    out = str(tmp_path / "out2")
+    summary = merge_indexes(spark, a2, b2, out)
+    assert summary["boosts_merged"]
+    bt = pd.read_parquet(os.path.join(out, "boosts"))
+    assert sorted(bt.doc_id.tolist()) == [60 + 5, 60 + 12]
+    s = LocalSearcher(out)
+    assert s._boost is not None
+    exp = s.explain_score("the", 60 + 5, stem=False)
+    assert exp["static_boost"] == pytest.approx(1.5, abs=1e-12)
+    # symmetric case: both sides boosted -> union with offset
+    spark.createDataFrame(
+        [(0, 2.0)], "doc_id long, boost double"
+    ).write.parquet(os.path.join(a2, "boosts"))
+    out2 = str(tmp_path / "out3")
+    merge_indexes(spark, a2, b2, out2, rebuild=True)
+    bt2 = pd.read_parquet(os.path.join(out2, "boosts"))
+    assert sorted(bt2.doc_id.tolist()) == [0, 65, 72]
+
+
 def _pages(spark, lo, hi):
     rows = []
     for i in range(lo, hi):

@@ -94,6 +94,24 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
                           ["CartesianProduct", "Python"]),
     # wildcard contains scan: aggregation in codegen, no Python
     "contains_term_stats": (["HashAggregate", "codegen id"], ["Python"]),
+    # round 4 — msm: same keyed-join shape as plain OR scoring, the
+    # match-count filter rides the existing aggregate
+    "bm25_msm_topk": (["HashAggregate", "BroadcastHashJoin"],
+                      ["CartesianProduct"]),
+    # synonym expansion is a pure query rewrite: the expanded groups
+    # keep the grouped plan (semi-join conjunction, broadcast terms)
+    "synonym_expanded_topk": (["LeftSemi", "BroadcastHashJoin"],
+                              ["CartesianProduct"]),
+    # BM25F: per-field tf tables meet in a keyed (term, doc_id) join;
+    # the only nested-loop is the broadcast 1-row avgdl constants
+    "bm25f_topk": (["HashAggregate", "TakeOrderedAndProject"],
+                   ["CartesianProduct"]),
+    # static-score blend: boost table joins results on doc_id, ranked
+    # by TakeOrderedAndProject (pagerank's iteration plan is gated in
+    # tests/test_graph.py on the un-checkpointed lineage — here the
+    # localCheckpoint truncation hides it by design)
+    "bm25_pagerank_blend": (["TakeOrderedAndProject"],
+                            ["CartesianProduct"]),
 }
 
 
