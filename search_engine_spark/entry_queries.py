@@ -2972,6 +2972,104 @@ GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_recency_boosted_topk(spark, sf_dir):
+    """Time-decay ranking (elastic function_score exp-decay):
+    score = bm25 * (0.5 + exp(-ln2 * age_days / halflife)), 30-day
+    half-life — a MULTIPLICATIVE query-independent prior, the second
+    blend shape next to the additive static boost (O10). The corpus
+    has no timestamps, so age is derived deterministically from
+    doc_id ((id*37 + 11) % 365) on BOTH engines; a pages-shaped input
+    uses warc_ts and otherwise identical plumbing. A recency prior
+    can also be baked additively via index_admin.py set-boosts."""
+    base = bm25_exhaustive(
+        spark, _postings(spark, sf_dir), ["spark", "scan"],
+        k=1 << 30, stem=False,
+    )
+    age = (F.col("doc_id") * 37 + 11) % 365
+    decay = F.exp(-age.cast("double") / F.lit(30.0)
+                  * F.lit(0.6931471805599453))
+    return (
+        base.select(
+            "doc_id",
+            F.round(F.col("score") * (F.lit(0.5) + decay), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_RECENCY_BOOSTED_TOPK = f"""
+WITH {_TOK_CTE},
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(doclen) AS avgdl FROM dl),
+q(term) AS (VALUES ('spark'), ('scan')),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf JOIN q USING (term)
+        GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (tf.tf * {K1 + 1.0} / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / s.avgdl)))
+           AS partial
+  FROM tf JOIN q USING (term) JOIN dfs USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+base AS (
+  SELECT doc_id, sum(partial) AS score FROM scored
+  GROUP BY doc_id HAVING count(*) = 2
+)
+SELECT doc_id,
+       round(score * (0.5 + exp(-(((doc_id * 37 + 11) % 365)::DOUBLE)
+                                / 30.0 * 0.6931471805599453)), 6) AS score
+FROM base ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def q_top_ngram_mass(spark, sf_dir):
+    """Gopher repetition rule #2 family: per-doc mass of the single
+    most frequent bigram (top_count / n_bigrams) — catches the
+    'same phrase looped' page that the distinct-ratio signal
+    (dup_ngram_quality) under-weights. Pure JVM higher-order
+    functions + two aggregations."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    per = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.max("c").cast("long").alias("top_count"),
+            F.round(
+                F.max("c").cast("double") / F.sum("c").cast("double"), 6
+            ).alias("top_bigram_mass"),
+        )
+    )
+
+
+SQL_TOP_NGRAM_MASS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+g2 AS (
+  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+  FROM t, unnest(generate_series(1, len(w) - 1)) AS s(i)
+),
+per AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g)
+SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c)::BIGINT AS top_count,
+       round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_mass
+FROM per GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # QUERIES ordering is part of the deliverable: the driver's correctness
 # harness checks only the FIRST 50 entries (insertion order), so every
@@ -3007,6 +3105,8 @@ QUERIES = {
     "bm25_msm_topk": q_bm25_msm_topk,
     "synonym_expanded_topk": q_synonym_expanded_topk,
     "bm25f_topk": q_bm25f_topk,
+    "recency_boosted_topk": q_recency_boosted_topk,
+    "top_ngram_mass": q_top_ngram_mass,
     # -- veterans whose last green row is r01/r02: rotated back into the
     # window so no entry's green row is more than two rounds stale --
     "except_regression": q_except_regression,
@@ -3088,6 +3188,8 @@ ORACLES = {
     "bm25_msm_topk": SQL_BM25_MSM_TOPK,
     "synonym_expanded_topk": SQL_SYNONYM_EXPANDED_TOPK,
     "bm25f_topk": SQL_BM25F_TOPK,
+    "recency_boosted_topk": SQL_RECENCY_BOOSTED_TOPK,
+    "top_ngram_mass": SQL_TOP_NGRAM_MASS,
     "term_frequency": SQL_TERM_FREQUENCY,
     "document_frequency": SQL_DOCUMENT_FREQUENCY,
     "doc_lengths": SQL_DOC_LENGTHS,

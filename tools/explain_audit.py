@@ -112,6 +112,18 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # localCheckpoint truncation hides it by design)
     "bm25_pagerank_blend": (["TakeOrderedAndProject"],
                             ["CartesianProduct"]),
+    # multiplicative time-decay: the decay factor is a pure projection
+    # over the scored rows — no extra join. ('Python' not forbidden:
+    # the 2-row query-term local relation shows as
+    # applySchemaToPythonRDD — a driver-local literal, not a UDF.)
+    "recency_boosted_topk": (["TakeOrderedAndProject"],
+                             ["CartesianProduct", "BatchEvalPython",
+                              "ArrowEvalPython"]),
+    # repetition mass: pruned 2-column scan, JVM HOF n-grams, two
+    # keyed aggregations
+    "top_ngram_mass": (["ReadSchema: struct<doc_id:bigint,text:string>",
+                        "HashAggregate"],
+                       ["Python", "CartesianProduct"]),
 }
 
 
