@@ -259,6 +259,47 @@ def main() -> None:
             lat_or.append(time.perf_counter() - t0)
     extra["wand_or_p50_ms"] = round(statistics.median(lat_or) * 1000, 3)
 
+    # static-boost serving p50 (round 4): a PageRank-shaped prior over
+    # ~60% of docs; measures the +bmax bound and the per-result boost
+    # lookup on the block-max AND path. Expect ~= wand_p50_ms — boost
+    # is one vectorized searchsorted per surviving segment.
+    import numpy as _np
+
+    _rng = _np.random.RandomState(11)
+    _n_boost = int(s.n_docs * 0.6)
+    _bids = _np.sort(_rng.choice(s.n_docs, size=_n_boost, replace=False))
+    import pandas as _pd
+
+    s.load_static_boosts(_pd.DataFrame({
+        "doc_id": _bids.astype("int64"),
+        "boost": _rng.rand(_n_boost) * 2.0,
+    }))
+    for q in WAND_QUERIES:
+        s.search(q, k=10)  # warm
+    lat_b = []
+    for _ in range(100):
+        for q in WAND_QUERIES:
+            t0 = time.perf_counter()
+            s.search(q, k=10)
+            lat_b.append(time.perf_counter() - t0)
+    extra["wand_boosted_p50_ms"] = round(
+        statistics.median(lat_b) * 1000, 3
+    )
+
+    # minimum-should-match OR p50 (round 4): msm=2 over the multi-term
+    # queries (a single-term query with msm=2 is a trivial empty)
+    msm_queries = [q for q in WAND_QUERIES if len(q.split()) >= 2]
+    lat_m = []
+    for q in msm_queries:
+        s.search(q, k=10, mode="or", msm=2)  # warm
+    for _ in range(100):
+        for q in msm_queries:
+            t0 = time.perf_counter()
+            s.search(q, k=10, mode="or", msm=2)
+            lat_m.append(time.perf_counter() - t0)
+    extra["wand_msm_p50_ms"] = round(statistics.median(lat_m) * 1000, 3)
+    s.clear_static_boosts()
+
     # grouped boolean serving p50 (round 2+): OR-groups built from
     # adjacent WAND query terms — includes the stopword head, so the
     # smallest-group candidate-base optimization is what's measured
