@@ -158,10 +158,15 @@ def main() -> None:
                              "adds boost(doc) to every BM25 score "
                              "(query.py picks it up automatically)")
     pr.add_argument("--index-dir", required=True)
-    pr.add_argument("--edges", required=True,
+    pr.add_argument("--edges", default=None,
                     help="parquet with (src, dst) doc_id edges; pass "
                          "'synthetic' to derive the deterministic test "
                          "graph from the index's doc_id space")
+    pr.add_argument("--pages", default=None,
+                    help="pages-shaped parquet: extract <a href> edges "
+                         "from the html column and resolve them through "
+                         "the index's urlmap (the real web-graph path; "
+                         "re-crawl dups deduped to the latest snapshot)")
     pr.add_argument("--iters", type=int, default=5)
     pr.add_argument("--damping", type=float, default=0.85)
     pr.add_argument("--weight", type=float, default=2.0,
@@ -241,13 +246,33 @@ def main() -> None:
         from pyspark.sql import functions as F
 
         from search_engine_spark.operators.graph import (
-            pagerank, pagerank_boosts, synthetic_link_graph,
+            extract_link_edges, pagerank, pagerank_boosts,
+            synthetic_link_graph,
         )
 
+        if bool(args.edges) == bool(args.pages):
+            raise SystemExit(
+                "provide exactly one of --edges / --pages"
+            )
         stats = spark.read.parquet(os.path.join(args.index_dir, "stats"))
         n_docs = int(stats.collect()[0]["n_docs"])
         nodes = spark.range(n_docs).select(F.col("id").alias("doc_id"))
-        if args.edges == "synthetic":
+        if args.pages:
+            from search_engine_spark.operators.dedup import latest_snapshot
+
+            urlmap_dir = os.path.join(args.index_dir, "urlmap")
+            if not os.path.isdir(urlmap_dir):
+                raise SystemExit(
+                    "--pages needs the index's urlmap table (built "
+                    "from pages input)"
+                )
+            pages = latest_snapshot(
+                spark.read.parquet(args.pages), "url", "warc_ts"
+            )
+            edges = extract_link_edges(
+                pages, spark.read.parquet(urlmap_dir)
+            )
+        elif args.edges == "synthetic":
             edges = synthetic_link_graph(nodes, n_docs=n_docs)
         else:
             edges = spark.read.parquet(args.edges).select("src", "dst")

@@ -139,6 +139,43 @@ def pagerank(
     return ranks
 
 
+def extract_link_edges(pages: DataFrame, urlmap: DataFrame) -> DataFrame:
+    """REAL link-graph extraction: parse ``<a href="...">`` targets out
+    of the pages table's html and resolve both endpoints to doc_ids
+    through the urlmap — (src, dst) edge multiset, self-links dropped,
+    hrefs pointing outside the crawl (no urlmap row) dropped.
+
+    Pure JVM end to end: `regexp_extract_all` over the decoded html
+    (whole-stage codegen — no Python crosses the per-row path), then
+    two url-keyed equi-joins against the urlmap. At 10^12 docs the
+    joins shuffle on url — the same key the urlmap is already laid out
+    by — and the href fan-out is bounded by per-page link counts.
+
+    Callers pass the DEDUPED snapshot (operators.dedup.latest_snapshot)
+    so a re-crawled url contributes its edges once, mirroring the
+    build path's ingest semantics."""
+    hrefs = pages.select(
+        F.col("url").alias("src_url"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col("html").cast("string"),
+                F.lit(r'<a href="([^"]+)"'),
+                F.lit(1),
+            )
+        ).alias("dst_url"),
+    )
+    src = urlmap.select(F.col("url").alias("src_url"),
+                        F.col("doc_id").alias("src"))
+    dst = urlmap.select(F.col("url").alias("dst_url"),
+                        F.col("doc_id").alias("dst"))
+    return (
+        hrefs.join(src, "src_url")
+        .join(dst, "dst_url")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+
+
 def pagerank_boosts(ranks: DataFrame, *, n_docs: int,
                     weight: float = 2.0) -> DataFrame:
     """(doc_id, boost) static-boost table from PageRank output:

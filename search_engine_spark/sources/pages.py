@@ -90,6 +90,21 @@ def _row(i: int, vocab: list[str], cdf: np.ndarray) -> tuple:
         title = " ".join(vocab[j] for j in t_idx)
     else:
         title = ""
+    # deterministic out-links (the web-graph fixture): page `key`
+    # links to keys key+1, key//2, 2*key+1 — in-degree then varies
+    # 1..4 across nodes and some targets fall past any finite corpus
+    # (realistic dangling hrefs, dropped at urlmap resolution). The
+    # anchors carry NO display text, so the frozen extractor's
+    # extract_text(html) == text invariant is untouched; empty-body
+    # pages link nowhere (empty-doc fixture intact).
+    if text:
+        targets = sorted({key + 1, key // 2, 2 * key + 1} - {key})
+        links = "".join(
+            f'<a href="https://src{t % 20}.example.com/p/{t}"></a>'
+            for t in targets
+        )
+    else:
+        links = ""
     # the literal newline between </head> and <p> matters: the frozen
     # extractor joins data chunks verbatim (no implicit block
     # separators), so the title needs real whitespace before the body
@@ -98,7 +113,7 @@ def _row(i: int, vocab: list[str], cdf: np.ndarray) -> tuple:
         f"<style>p{{color:red}}</style></head><body>\n<p>"
         + text.replace("and", "and &amp; x", 1)
           .replace(" the ", " the <b>bold</b> ", 1)
-        + "</p><!-- comment --></body></html>"
+        + "</p><!-- comment -->" + links + "</body></html>"
     )
     # undo the marker words in expected text too: extraction of the html
     # above yields text with the injected tokens, so recompute expected

@@ -87,6 +87,80 @@ def test_pagerank_boosts_nonnegative(spark, graph):
     assert b.filter(F.col("boost") < 0).count() == 0
 
 
+@pytest.fixture(scope="module")
+def crawl(spark):
+    """Deduped synthetic crawl + its urlmap (dense doc_ids)."""
+    from search_engine_spark.operators.dedup import latest_snapshot
+    from search_engine_spark.operators.ids import assign_dense_ids
+    from search_engine_spark.sources.pages import generate_pages
+
+    pages = latest_snapshot(
+        generate_pages(spark, 300, partitions=4), "url", "warc_ts"
+    )
+    with_ids = assign_dense_ids(pages, "url").cache()
+    with_ids.count()
+    return with_ids
+
+
+def test_extract_link_edges_real_graph(spark, crawl):
+    """The REAL pipeline: <a href> targets parsed from html, resolved
+    through the urlmap — endpoints in the id space, no self-links,
+    dangling hrefs (targets past the crawl) dropped, deterministic."""
+    from search_engine_spark.operators.graph import extract_link_edges
+
+    urlmap = crawl.select("url", "doc_id")
+    edges = extract_link_edges(crawl, urlmap).cache()
+    n_edges = edges.count()
+    assert n_edges > 200  # ~3 links/page, some dangling
+    n = crawl.count()
+    assert edges.filter(
+        (F.col("src") < 0) | (F.col("src") >= n)
+        | (F.col("dst") < 0) | (F.col("dst") >= n)
+    ).count() == 0
+    assert edges.filter(F.col("src") == F.col("dst")).count() == 0
+    # the generator's link rule: page key k links to keys
+    # {k+1, k//2, 2k+1} - {k} (in-corpus targets only)
+    url10 = "https://src10.example.com/p/10"
+    id_of = {r.url: r.doc_id for r in urlmap.collect()}
+    got = sorted(
+        r.dst for r in edges.join(
+            urlmap.filter(F.col("url") == url10)
+            .select(F.col("doc_id").alias("src")), "src",
+        ).collect()
+    )
+    want = sorted(
+        id_of[f"https://src{t % 20}.example.com/p/{t}"]
+        for t in (11, 5, 21)
+        if f"https://src{t % 20}.example.com/p/{t}" in id_of
+    )
+    assert got == want
+    # pagerank over the real graph is a proper distribution
+    from search_engine_spark.operators.graph import pagerank
+
+    pr = pagerank(crawl.select("doc_id"), edges, n_docs=n, iters=3)
+    total = pr.agg(F.sum("rank")).collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-9)
+    edges.unpersist()
+
+
+def test_extract_link_edges_plan_is_jvm(spark, crawl):
+    """The href parse must stay whole-stage codegen — a Python eval
+    node here would put a UDF on the 10^12-row ingest path."""
+    import io
+    from contextlib import redirect_stdout
+
+    from search_engine_spark.operators.graph import extract_link_edges
+
+    edges = extract_link_edges(crawl, crawl.select("url", "doc_id"))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        edges.explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_pagerank_plan_has_no_cartesian(spark, graph):
     """Plan gate on the UN-checkpointed lineage (checkpoint=False —
     the eager localCheckpoint otherwise truncates what explain can
