@@ -52,6 +52,42 @@ def _read_batch(path: str) -> dict[str, str]:
     return queries
 
 
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)"
+
+
+def _site_doc_ids(index_dir: str, host: str) -> list[int]:
+    """Allowed doc_ids for a site: filter — urlmap rows whose URL
+    authority equals `host` (case-insensitive, port included if the
+    url carries one). Serving-path resolver: pyarrow + a vectorized
+    pandas extract, no Spark job. Superseded re-crawl rows may appear;
+    they are already tombstone-masked by every search path."""
+    import re
+
+    import pyarrow.dataset as ds
+
+    tbl = ds.dataset(f"{index_dir}/urlmap", format="parquet").to_table(
+        columns=["doc_id", "url"]
+    )
+    pdf = tbl.to_pandas()
+    hosts = pdf["url"].str.extract(_HOST_RE, flags=re.ASCII)[0].str.lower()
+    return pdf.loc[hosts == host.lower(), "doc_id"].astype(int).tolist()
+
+
+def _site_docs_df(spark, index_dir: str, host: str):
+    """Distributed twin of _site_doc_ids: the urlmap scan + host
+    filter as a DataFrame for IndexReader's pre-filter semi-join."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(f"{index_dir}/urlmap")
+        .filter(
+            F.lower(F.regexp_extract(F.col("url"), _HOST_RE, 1))
+            == host.lower()
+        )
+        .select("doc_id")
+    )
+
+
 def _url_lookup(index_dir: str, doc_ids: list[int]) -> dict[int, str]:
     import pyarrow.dataset as ds
 
@@ -145,6 +181,12 @@ def main() -> None:
                          "synonyms (Lucene expand=true model), scored "
                          "by the grouped-query semantics; single-query "
                          "modes only")
+    ap.add_argument("--site", metavar="HOST", default=None,
+                    help="site: scoping — only docs whose URL authority "
+                         "equals HOST (e.g. src3.example.com) are "
+                         "eligible; scores of survivors are unchanged. "
+                         "Pre-filters candidate generation on every "
+                         "path (local + distributed, batch included)")
     ap.add_argument("--no-static-boost", action="store_true",
                     help="ignore the index's static boost table "
                          "(<index>/boosts, written by index_admin.py "
@@ -275,13 +317,17 @@ def main() -> None:
         s = LocalSearcher(args.index_dir)
         need = args.k + args.offset
         fetch = max(4 * need * args.collapse_host, 50)
+        c_site = (_site_doc_ids(args.index_dir, args.site)
+                  if args.site else None)
         while True:
             if "|" in qpos or "^" in qpos:
                 hits = s.search_grouped(qpos, k=fetch, stem=stem_q,
-                                        exclude=qneg or None)
+                                        exclude=qneg or None,
+                                        restrict=c_site)
             else:
                 hits = s.search(qpos, k=fetch, stem=stem_q,
-                                mode=args.mode, exclude=qneg or None)
+                                mode=args.mode, exclude=qneg or None,
+                                restrict=c_site)
             urls = (
                 _url_lookup(args.index_dir, sorted({d for d, _ in hits}))
                 if hits else {}
@@ -335,6 +381,15 @@ def main() -> None:
     # (exact — same full ranking, deterministic tie-break). The
     # distributed single-query path pushes the offset into the plan.
     kk = args.k + args.offset
+    if args.site and args.phrase:
+        ap.error("--site is not supported with --phrase (positional "
+                 "serving has no filter clause yet)")
+    # site: filter resolved ONCE per invocation (local list for the
+    # serving paths; the distributed paths build the urlmap-filter
+    # DataFrame lazily inside their session)
+    site_ids = (
+        _site_doc_ids(args.index_dir, args.site) if args.site else None
+    )
     t0 = time.time()
     # per-query ranked results: {qid: [(doc_id, score), ...]}
     results: dict[str, list[tuple[int, float]]] = {}
@@ -376,7 +431,12 @@ def main() -> None:
             rows = (
                 IndexReader(spark, args.index_dir)
                 .search_batch(queries, k=kk, stem=stem, mode=args.mode,
-                              excludes=not_terms or None)
+                              excludes=not_terms or None,
+                              restrict=(
+                                  _site_docs_df(spark, args.index_dir,
+                                                args.site)
+                                  if args.site else None
+                              ))
                 .collect()
             )
             spark.stop()
@@ -395,11 +455,13 @@ def main() -> None:
                     results[qid] = s.search_grouped(
                         text, k=kk, stem=stem,
                         exclude=not_terms.get(qid) or None,
+                        restrict=site_ids,
                     )[args.offset:]
                 else:
                     results[qid] = s.search(
                         text, k=kk, stem=stem, mode=args.mode,
                         exclude=not_terms.get(qid) or None,
+                        restrict=site_ids,
                     )[args.offset:]
     elif args.distributed:
         from search_engine_spark.plans.index_query import IndexReader
@@ -408,6 +470,8 @@ def main() -> None:
         qpos, qneg = split_not_terms(args.qtext)
         spark = get_spark("query")
         reader = IndexReader(spark, args.index_dir)
+        site_df = (_site_docs_df(spark, args.index_dir, args.site)
+                   if args.site else None)
         if args.no_static_boost:
             reader.clear_static_boosts()
         if syn_map is not None:
@@ -420,15 +484,18 @@ def main() -> None:
             res_df = reader.search_grouped(groups, k=args.k, stem=stem,
                                            exclude=qneg or None,
                                            boosts=pboosts or None,
-                                           offset=args.offset)
+                                           offset=args.offset,
+                                           restrict=site_df)
         elif "|" in qpos or "^" in qpos:
             res_df = reader.search_grouped(qpos, k=args.k, stem=stem,
                                            exclude=qneg or None,
-                                           offset=args.offset)
+                                           offset=args.offset,
+                                           restrict=site_df)
         else:
             res_df = reader.search(qpos, k=args.k, stem=stem,
                                    mode=args.mode, exclude=qneg or None,
-                                   offset=args.offset, msm=args.msm)
+                                   offset=args.offset, msm=args.msm,
+                                   restrict=site_df)
         results[""] = [(r.doc_id, r.score) for r in res_df.collect()]
         spark.stop()
     else:
@@ -447,16 +514,17 @@ def main() -> None:
             groups = expand_synonyms(groups, syn_map, stem=stem)
             results[""] = s.search_grouped(
                 groups, k=kk, stem=stem, exclude=qneg or None,
-                boosts=pboosts or None,
+                boosts=pboosts or None, restrict=site_ids,
             )[args.offset:]
         elif "|" in qpos or "^" in qpos:
             results[""] = s.search_grouped(
                 qpos, k=kk, stem=stem, exclude=qneg or None,
+                restrict=site_ids,
             )[args.offset:]
         else:
             results[""] = s.search(
                 qpos, k=kk, stem=stem, mode=args.mode,
-                exclude=qneg or None, msm=args.msm,
+                exclude=qneg or None, msm=args.msm, restrict=site_ids,
             )[args.offset:]
     wall = time.time() - t0
 
@@ -541,7 +609,7 @@ def main() -> None:
                 qneg = split_not_terms(args.qtext)[1]
                 hits = LocalSearcher(args.index_dir).search(
                     corrected, k=args.k, stem=stem, mode=args.mode,
-                    exclude=qneg or None,
+                    exclude=qneg or None, restrict=site_ids,
                 )
                 print(f"# retried with corrections: {' '.join(corrected)}")
                 for rank, (doc_id, score) in enumerate(hits, 1):

@@ -3071,6 +3071,200 @@ FROM per GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# PII redaction, dup-cluster representative selection, site: scoping
+# (round 4, session 2)
+# ---------------------------------------------------------------------------
+
+def q_pii_redaction(spark, sf_dir):
+    """Training-corpus PII scrubbing (operators/pii.redact_pii): the
+    synthetic corpus has no real PII, so deterministic email / IPv4 /
+    phone spans are seeded per doc_id (3 independent residue classes
+    -> per-type counts vary 0/1) and the pure-JVM regexp chain scrubs
+    them. The oracle replays the seeding AND the exact sequential
+    replacement in DuckDB (both regex engines see only shared-syntax
+    patterns — operators/pii.py module docstring), and the value hash
+    covers the md5 of every full redacted string."""
+    from search_engine_spark.operators.pii import redact_pii
+
+    d = F.col("doc_id")
+    seeded = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 != 0,
+                F.concat(F.lit(" contact user"), d.cast("string"),
+                         F.lit("@mail.example.org")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit(" from 10.0."), (d % 256).cast("string"),
+                         F.lit("."), ((d * 7) % 256).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 2 == 0,
+                F.concat(F.lit(" tel 555-"),
+                         F.lpad((d % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(seeded).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+    )
+
+
+SQL_PII_REDACTION = r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 <> 0
+                 THEN ' contact user' || doc_id || '@mail.example.org'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' from 10.0.' || (doc_id % 256) || '.'
+                      || ((doc_id * 7) % 256)
+                 ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' tel 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                 ELSE '' END AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(
+             text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+         ))::BIGINT AS n_email,
+         regexp_replace(
+             text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t
+  FROM seeded
+), s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(
+             t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
+         regexp_replace(
+             t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+             '<IP>', 'g') AS t
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         len(regexp_extract_all(
+             t, '(\(\d{3}\)[ ]?)?\b(\d{3}-)?\d{3}-\d{4}\b'))::BIGINT AS n_phone,
+         regexp_replace(
+             t, '(\(\d{3}\)[ ]?)?\b(\d{3}-)?\d{3}-\d{4}\b',
+             '<PHONE>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, n_email, n_ipv4, n_phone, md5(t) AS redacted_md5 FROM s3
+"""
+
+
+def q_dup_cluster_representatives(spark, sf_dir):
+    """Dedup KEEP-policy: after connected_components assigns duplicate
+    clusters, keep the best copy per cluster (CCNet keeps the highest
+    LM score, C4 the longest) — here weight = token count, ties broken
+    doc_id asc. operators/dedup.cluster_representatives is one groupBy
+    argmax (max over (weight, -doc_id) structs), NOT a ranking window
+    — a single co-partitioned shuffle at 10^12 docs. Oracle: the
+    dedup_clusters recursive CTE + the same argmax as a window."""
+    from search_engine_spark.operators.dedup import (
+        cluster_representatives,
+        connected_components,
+        minhash_lsh_pairs_jvm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs_jvm(docs, bands=4, rows_per_band=4,
+                                  shingle_n=3)
+    clusters = connected_components(pairs, docs.select("doc_id"))
+    weights = split_terms(docs).groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    return cluster_representatives(clusters, weights,
+                                   weight_col="n_tokens")
+
+
+SQL_DUP_CLUSTER_REPRESENTATIVES = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+), sym AS (
+  SELECT a AS x, b AS y FROM pairs
+  UNION ALL
+  SELECT b AS x, a AS y FROM pairs
+), cc AS (
+  SELECT doc_id AS x, doc_id AS label FROM documents
+  UNION
+  SELECT s.x, cc.label FROM cc JOIN sym s ON cc.x = s.y
+), clus AS (
+  SELECT x AS doc_id, min(label)::BIGINT AS cluster_id FROM cc GROUP BY x
+), tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), w AS (
+  SELECT doc_id, count(*)::DOUBLE AS w FROM tok WHERE term <> ''
+  GROUP BY doc_id
+), sel AS (
+  SELECT c.cluster_id, c.doc_id,
+         row_number() OVER (
+           PARTITION BY c.cluster_id
+           ORDER BY coalesce(w.w, 0) DESC, c.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+  FROM clus c LEFT JOIN w USING (doc_id)
+)
+SELECT cluster_id, doc_id AS rep_doc_id, cluster_size::BIGINT AS cluster_size
+FROM sel WHERE rn = 1
+"""
+
+
+def q_bm25_site_topk(spark, sf_dir):
+    """site:-scoped ranking — the filter-clause semantics every web
+    engine serves (Lucene filter clause / elastic bool.filter): only
+    docs from one source are ELIGIBLE, but df/avgdl stay corpus-wide
+    and survivor scores are unchanged. Serving twins (property-tested
+    in tests/test_site_filter.py): LocalSearcher.search(restrict=)
+    — candidate-generation pre-filter on every path, block-max exact
+    — and IndexReader.search(restrict=) — semi-join below the
+    shuffle; CLI `query.py --site HOST`."""
+    docs = _t(spark, sf_dir, "documents")
+    base = bm25_exhaustive(
+        spark, _postings(spark, sf_dir), ["spark", "merge", "index"],
+        k=1 << 30, stem=False, mode="or",
+    )
+    allowed = docs.filter(F.col("source") == "src3").select("doc_id")
+    return (
+        base.join(allowed, "doc_id", "left_semi")
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_BM25_SITE_TOPK = f"""
+WITH {_TOK_CTE},
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(doclen) AS avgdl FROM dl),
+q(term) AS (VALUES ('spark'), ('merge'), ('index')),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf JOIN q USING (term)
+        GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (tf.tf * {K1 + 1.0} / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / s.avgdl)))
+           AS partial
+  FROM tf JOIN q USING (term) JOIN dfs USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN stats s
+)
+SELECT sc.doc_id, round(sum(partial), 6) AS score
+FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id
+WHERE d.source = 'src3'
+GROUP BY sc.doc_id
+ORDER BY score DESC, sc.doc_id ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # QUERIES ordering is part of the deliverable: the driver's correctness
 # harness checks only the FIRST 50 entries (insertion order), so every
 # entry that has never earned a green CORRECTNESS row MUST sit inside
@@ -3107,6 +3301,11 @@ QUERIES = {
     "bm25f_topk": q_bm25f_topk,
     "recency_boosted_topk": q_recency_boosted_topk,
     "top_ngram_mass": q_top_ngram_mass,
+    # -- round-4 session-2 additions (never driver-checked -> in-window):
+    # PII scrubbing, dedup keep-policy, site: filter clause --
+    "pii_redaction": q_pii_redaction,
+    "dup_cluster_representatives": q_dup_cluster_representatives,
+    "bm25_site_topk": q_bm25_site_topk,
     # -- veterans whose last green row is r01/r02: rotated back into the
     # window so no entry's green row is more than two rounds stale --
     "except_regression": q_except_regression,
@@ -3183,6 +3382,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pii_redaction": SQL_PII_REDACTION,
+    "dup_cluster_representatives": SQL_DUP_CLUSTER_REPRESENTATIVES,
+    "bm25_site_topk": SQL_BM25_SITE_TOPK,
     "pagerank_top": SQL_PAGERANK_TOP,
     "bm25_pagerank_blend": SQL_BM25_PAGERANK_BLEND,
     "bm25_msm_topk": SQL_BM25_MSM_TOPK,

@@ -428,3 +428,49 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    weights: DataFrame,
+    *,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Pick ONE surviving document per duplicate cluster — the step a
+    training-data pipeline runs after `connected_components`: dedup
+    keeps the best copy, not an arbitrary one (CCNet keeps the
+    highest-LM-score duplicate; C4 keeps the longest).
+
+    clusters: (doc_id, cluster_id) from connected_components;
+    weights:  (doc_id, <weight_col>) — any per-doc quality signal
+    (token count, LM score, PageRank...). A missing weight row scores
+    0. Representative = argmax(weight), ties broken doc_id ASC.
+
+    One groupBy aggregation — argmax as max(struct(weight, -doc_id)),
+    NO ranking window: at 10^12 docs this is a single co-partitioned
+    shuffle on cluster_id with map-side partials, where a row_number
+    window would sort every partition. Returns
+    (cluster_id, rep_doc_id, cluster_size).
+    """
+    w = weights.select(
+        "doc_id", F.col(weight_col).cast("double").alias("_w")
+    )
+    joined = clusters.join(w, "doc_id", "left").select(
+        "cluster_id",
+        "doc_id",
+        F.coalesce(F.col("_w"), F.lit(0.0)).alias("_w"),
+    )
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(F.col("_w"), (-F.col("doc_id")).alias("_nd"))
+            ).alias("_best"),
+            F.count("*").cast("long").alias("cluster_size"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("_best._nd")).cast("long").alias("rep_doc_id"),
+            "cluster_size",
+        )
+    )

@@ -215,7 +215,7 @@ class IndexReader:
 
     def search(self, qtext_or_terms, *, k: int = 10, stem: bool = True,
                mode: str = "and", exclude=None, offset: int = 0,
-               msm: int = 1) -> DataFrame:
+               msm: int = 1, restrict=None) -> DataFrame:
         """offset: deep-pagination twin of LocalSearcher's `after`
         cursor — skip the first `offset` ranked results. Offset-based
         (not score-cursor-based) on purpose: distributed float sums
@@ -228,19 +228,25 @@ class IndexReader:
         if offset < 0:
             raise ValueError(f"offset must be >= 0, got {offset}")
         agg = self.match_scores(qtext_or_terms, stem=stem, mode=mode,
-                                exclude=exclude, msm=msm)
+                                exclude=exclude, msm=msm, restrict=restrict)
         if agg is None:
             return self.spark.createDataFrame([], "doc_id long, score double")
         return self._topk(agg, k, offset)
 
     def match_scores(self, qtext_or_terms, *, stem: bool = True,
                      mode: str = "and", exclude=None,
-                     msm: int = 1) -> DataFrame | None:
+                     msm: int = 1, restrict=None) -> DataFrame | None:
         """The FULL match set with BM25 scores — (doc_id, score), no
         top-k truncation. The building block search() ranks and the
         distributed multi-field twin (plans/multifield) re-ranks;
         returns None when no query term exists in the index (or a
-        required term is missing under AND semantics)."""
+        required term is missing under AND semantics).
+
+        restrict: filter-clause pre-filter (LocalSearcher.search
+        restrict twin) — a DataFrame with a doc_id column, or an
+        iterable of doc_ids. Semi-joined against the DECODED postings
+        BEFORE scoring/aggregation, so the filter prunes below the
+        shuffle (never a post-filter over the ranked output)."""
         spark = self.spark
         msm = int(msm)
         if msm < 1:
@@ -274,6 +280,14 @@ class IndexReader:
         buckets = sorted({r.bucket for r in dict_rows})
 
         decoded = self.decoded_postings(qterms, buckets)
+        if restrict is not None:
+            if isinstance(restrict, DataFrame):
+                rdf = restrict.select("doc_id").distinct()
+            else:
+                rdf = spark.createDataFrame(
+                    [(int(d),) for d in restrict], "doc_id long"
+                ).distinct()
+            decoded = decoded.join(rdf, "doc_id", "left_semi")
         scored = decoded.join(F.broadcast(idf_df), "term").withColumn(
             "partial",
             F.col("idf")
@@ -329,7 +343,8 @@ class IndexReader:
     def search_grouped(self, qtext_or_groups, *, k: int = 10,
                        stem: bool = True, exclude=None,
                        offset: int = 0,
-                       boosts: dict[str, float] | None = None) -> DataFrame:
+                       boosts: dict[str, float] | None = None,
+                       restrict=None) -> DataFrame:
         """Distributed grouped boolean query (parse_grouped_query
         semantics; result-identical to LocalSearcher.search_grouped):
         scoring runs over the DISTINCT query terms; the
@@ -376,6 +391,16 @@ class IndexReader:
         )
         buckets = sorted({found[t].bucket for t in terms})
         decoded = self.decoded_postings(terms, buckets)
+        if restrict is not None:
+            # filter-clause pre-filter below the shuffle (match_scores
+            # restrict twin)
+            if isinstance(restrict, DataFrame):
+                rdf = restrict.select("doc_id").distinct()
+            else:
+                rdf = spark.createDataFrame(
+                    [(int(d),) for d in restrict], "doc_id long"
+                ).distinct()
+            decoded = decoded.join(rdf, "doc_id", "left_semi")
         scored = decoded.join(F.broadcast(idf_df), "term").withColumn(
             "partial",
             F.col("idf")
@@ -419,6 +444,7 @@ class IndexReader:
     def search_batch(
         self, queries: dict, *, k: int = 10, stem: bool = True,
         mode: str = "and", excludes: dict | None = None,
+        restrict=None,
     ) -> DataFrame:
         """Batch mode (SURVEY.md 3.2/O2): ALL queries in ONE Spark job.
 
@@ -516,6 +542,16 @@ class IndexReader:
         need = sorted({t for g, _ in live.values() for gg in g for t in gg})
         buckets = sorted({found[t].bucket for t in need})
         decoded = self.decoded_postings(need, buckets)
+        if restrict is not None:
+            # batch-wide filter clause (site: scoping) — pre-filter
+            # below the shuffle, shared by every query in the batch
+            if isinstance(restrict, DataFrame):
+                rdf = restrict.select("doc_id").distinct()
+            else:
+                rdf = spark.createDataFrame(
+                    [(int(d),) for d in restrict], "doc_id long"
+                ).distinct()
+            decoded = decoded.join(rdf, "doc_id", "left_semi")
         scored = decoded.join(F.broadcast(qmap), "term").withColumn(
             "partial",
             F.col("widf")

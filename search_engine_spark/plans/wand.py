@@ -340,7 +340,7 @@ class LocalSearcher:
         self, qtext_or_groups, *, k: int = 10, stem: bool = True,
         exclude=None, after: tuple[int, float] | None = None,
         boosts: dict[str, float] | None = None, prune: bool = True,
-        fast: bool = True,
+        fast: bool = True, restrict=None,
     ) -> list[tuple[int, float]]:
         """Grouped boolean query (parse_grouped_query semantics):
         conjunction of OR-groups — 'spark|flink^0.5 join^2 -slow' —
@@ -399,22 +399,26 @@ class LocalSearcher:
         idf = {t: self._idf(t) for t in terms}
         w = {t: float(boosts.get(t, 1.0)) for t in terms}
         excl = self._excluded_docs(exclude) if exclude else None
+        allow = self._norm_restrict(restrict)
+        if allow is not None and allow.size == 0:
+            return []
 
         if not prune:
             # exhaustive reference path for the equivalence properties
             return self._grouped_vec(
-                terms, base_terms, other_groups, idf, w, k, excl, after
+                terms, base_terms, other_groups, idf, w, k, excl, after,
+                allow,
             )
         if fast:
             # repeats warm the decoded cache so the block-max path's
             # contribution lookups skip the varint decode entirely
             self._promote_repeats(terms, idf)
         return self._grouped_blockmax(
-            terms, base_terms, other_groups, idf, w, k, excl, after
+            terms, base_terms, other_groups, idf, w, k, excl, after, allow
         )
 
     def _grouped_vec(self, terms, base_terms, other_groups, idf, w, k,
-                     excl=None, after=None):
+                     excl=None, after=None, allow=None):
         """Vectorized grouped evaluation: scatter-add every term's
         cached full list over the driving group's union, mask group
         membership, top-k. Exact; cost is the query's posting mass."""
@@ -423,8 +427,8 @@ class LocalSearcher:
         if union.size == 0:
             return []
         alive = np.ones(union.size, dtype=bool)
-        if excl is not None:
-            alive &= ~self._in_sorted(excl, union)
+        if excl is not None or allow is not None:
+            alive &= self._eligible(union, excl, allow)
         hits = {t: self._in_sorted(lists[t][0], union) for t in terms}
         for g in other_groups:
             g_mask = np.zeros(union.size, dtype=bool)
@@ -444,7 +448,7 @@ class LocalSearcher:
         return self._vector_topk(ca, self._boosted(ca, sa), k, after)
 
     def _grouped_blockmax(self, terms, base_terms, other_groups, idf, w,
-                          k, excl=None, after=None):
+                          k, excl=None, after=None, allow=None):
         """Cold grouped evaluation: the driving group's segments are
         the only candidate generators (dedup: a doc is generated by
         its FIRST containing driving term), bounded by boosted
@@ -496,7 +500,7 @@ class LocalSearcher:
             t = base_terms[i]
             cand, c_contrib = self._seg_decode(t, row, idf[t])
             scores = c_contrib * w[t]
-            keep = ~self._in_sorted(excl, cand)
+            keep = self._eligible(cand, excl, allow)
             hits = {}
             for j, u in enumerate(terms):
                 if u == t:
@@ -767,6 +771,31 @@ class LocalSearcher:
         pos_c = np.minimum(pos, sorted_arr.size - 1)
         return sorted_arr[pos_c] == docs
 
+    def _eligible(self, docs: np.ndarray, excl, allow) -> np.ndarray:
+        """Candidate-eligibility mask: not NOT-excluded AND (when a
+        restrict set is given) a member of it. Both legs are
+        removal-only, so every block-max segment bound remains a valid
+        upper bound over eligible docs and pruning stays exact — the
+        same argument exclude already rides. `allow` is the site:/
+        filter-clause pre-filter (sorted allowed doc_ids); filtering
+        happens at candidate generation, never as a post-filter over a
+        ranked page, so a highly selective filter costs nothing extra."""
+        m = ~self._in_sorted(excl, docs)
+        if allow is not None:
+            m &= self._in_sorted(allow, docs)
+        return m
+
+    @staticmethod
+    def _norm_restrict(restrict) -> np.ndarray | None:
+        """Normalize a restrict set (any int iterable / ndarray) to the
+        sorted-unique int64 array the masks need; None passes through."""
+        if restrict is None:
+            return None
+        arr = np.unique(np.asarray(list(restrict), dtype=np.int64)) \
+            if not isinstance(restrict, np.ndarray) \
+            else np.unique(restrict.astype(np.int64, copy=False))
+        return arr
+
     def _excluded_docs(self, exclude) -> np.ndarray | None:
         """Sorted union of the excluded terms' doc lists (NOT-term
         support). Exclusion lists must be decoded in FULL — a doc
@@ -836,7 +865,8 @@ class LocalSearcher:
             ):
                 self._load_full(t, idf[t])
 
-    def _search_and_warm(self, qterms, idf, k, excl=None, after=None):
+    def _search_and_warm(self, qterms, idf, k, excl=None, after=None,
+                         allow=None):
         """Serving fast path (AND): every term's merged list is already
         decoded+cached, so the whole intersection runs as a handful of
         numpy ops — no per-segment Python loop. Only routed when warm;
@@ -850,7 +880,7 @@ class LocalSearcher:
         rarest = min(qterms, key=lambda t: self._df[t])
         docs, contrib = self._load_full(rarest, idf[rarest])
         scores = contrib.copy()
-        alive = ~self._in_sorted(excl, docs)
+        alive = self._eligible(docs, excl, allow)
         for t in qterms:
             if t == rarest:
                 continue
@@ -867,7 +897,7 @@ class LocalSearcher:
         return self._vector_topk(ca, self._boosted(ca, sa), k, after)
 
     def _search_or_warm(self, qterms, idf, k, excl=None, after=None,
-                        msm: int = 1):
+                        msm: int = 1, allow=None):
         """Serving fast path (OR): scatter-add each term's cached
         contribution list into the union doc array, in the same sorted
         term order the block-max path uses — per-doc addition sequences
@@ -876,8 +906,8 @@ class LocalSearcher:
         guards membership (an od outside the union is excluded)."""
         parts = [self._load_full(t, idf[t]) for t in qterms]
         union = np.unique(np.concatenate([p[0] for p in parts]))
-        if excl is not None:
-            union = union[~self._in_sorted(excl, union)]
+        if excl is not None or allow is not None:
+            union = union[self._eligible(union, excl, allow)]
         if union.size == 0:
             return []
         scores = np.zeros(union.size, dtype=np.float64)
@@ -902,7 +932,7 @@ class LocalSearcher:
 
     def _search_or(
         self, qterms: list[str], k: int, prune: bool, excl=None, after=None,
-        msm: int = 1,
+        msm: int = 1, allow=None,
     ) -> list[tuple[int, float]]:
         """Disjunctive (OR) top-k: block-max pruned union scoring.
 
@@ -922,7 +952,8 @@ class LocalSearcher:
         if prune and self._fast:
             self._promote_repeats(qterms, idf)
             if self._warm(qterms):
-                return self._search_or_warm(qterms, idf, k, excl, after, msm)
+                return self._search_or_warm(qterms, idf, k, excl, after,
+                                            msm, allow)
         per_term = []  # (term, segs_df) in fixed dedup order
         for t in qterms:
             per_term.append((t, self._segments(t)))
@@ -972,7 +1003,7 @@ class LocalSearcher:
             t = per_term[i][0]
             cand, scores = self._seg_decode(t, row, idf[t])
             scores = scores.copy()
-            keep = ~self._in_sorted(excl, cand)
+            keep = self._eligible(cand, excl, allow)
             n_hit = np.ones(cand.size, dtype=np.int32) if msm > 1 else None
             for j, (u, _) in enumerate(per_term):
                 if j == i:
@@ -1012,7 +1043,7 @@ class LocalSearcher:
         self, qtext_or_terms, *, k: int = 10, stem: bool = True,
         prune: bool = True, mode: str = "and", fast: bool = True,
         exclude=None, after: tuple[int, float] | None = None,
-        msm: int = 1,
+        msm: int = 1, restrict=None,
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), score desc then doc_id asc.
 
@@ -1035,7 +1066,13 @@ class LocalSearcher:
         concatenated pages reproduce the full ranking exactly
         (property-tested on every path). Exact float equality against
         the cursor is safe: serving scores are bit-identical across
-        repeats (warm == cold bit-identity)."""
+        repeats (warm == cold bit-identity).
+        restrict: filter-clause PRE-filter (site: scoping, tenant
+        isolation, date windows...) — an iterable of ALLOWED doc_ids;
+        only members can be returned, survivor scores unchanged.
+        Applied at candidate generation on every path (never a
+        post-filter over a ranked page); removal-only, so block-max
+        pruning stays exact. An empty set returns []."""
         if mode not in ("and", "or"):
             raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
         msm = int(msm)
@@ -1054,6 +1091,9 @@ class LocalSearcher:
             exclude = analyze_query(exclude, stem=stem)
         self._fast = fast
         excl = self._excluded_docs(exclude) if exclude else None
+        allow = self._norm_restrict(restrict)
+        if allow is not None and allow.size == 0:
+            return []
         if after is not None:
             after = (int(after[0]), float(after[1]))
         if mode == "or":
@@ -1063,14 +1103,16 @@ class LocalSearcher:
             # more terms than exist in the index
             if not qterms or msm > len(qterms):
                 return []
-            return self._search_or(qterms, k, prune, excl, after, msm)
+            return self._search_or(qterms, k, prune, excl, after, msm,
+                                   allow)
         if not qterms or any(t not in self._df for t in qterms):
             return []
         idf = {t: self._idf(t) for t in qterms}
         if prune and fast:
             self._promote_repeats(qterms, idf)
             if self._warm(qterms):
-                return self._search_and_warm(qterms, idf, k, excl, after)
+                return self._search_and_warm(qterms, idf, k, excl, after,
+                                             allow)
 
         # rarest term drives the intersection
         rarest = min(qterms, key=lambda t: self._df[t])
@@ -1178,7 +1220,7 @@ class LocalSearcher:
                 break
             cand, c_contrib = self._seg_decode(rarest, row, idf[rarest])
             scores = c_contrib.copy()
-            alive = ~self._in_sorted(excl, cand)
+            alive = self._eligible(cand, excl, allow)
             for t in others:
                 od, oc = load_other(t)
                 if od.size == 0:

@@ -124,6 +124,20 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "top_ngram_mass": (["ReadSchema: struct<doc_id:bigint,text:string>",
                         "HashAggregate"],
                        ["Python", "CartesianProduct"]),
+    # round 4 session 2 — PII scrubbing: pure-JVM regexp chain over a
+    # pruned 2-column scan, zero shuffle, zero Python
+    "pii_redaction": (["ReadSchema: struct<doc_id:bigint,text:string>",
+                       "codegen id"],
+                      ["Python", "Exchange", "CartesianProduct"]),
+    # dedup keep-policy: single groupBy argmax (struct max), keyed
+    # joins only — no ranking window over the corpus, no all-pairs
+    "dup_cluster_representatives": (["HashAggregate"],
+                                    ["CartesianProduct",
+                                     "BroadcastNestedLoopJoin"]),
+    # site: scoping: the source filter is a semi-join/filter on the
+    # scored side, ranked by TakeOrderedAndProject — never a re-scan
+    "bm25_site_topk": (["TakeOrderedAndProject", "BroadcastHashJoin"],
+                       ["CartesianProduct"]),
 }
 
 
