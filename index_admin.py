@@ -172,6 +172,21 @@ def main() -> None:
     pr.add_argument("--weight", type=float, default=2.0,
                     help="boost = weight * ln(1 + n_docs * rank)")
 
+    ba = sub.add_parser("build-anchor",
+                        help="build the inbound-anchor-text field index "
+                             "(fields/anchor) from a pages parquet: "
+                             "<a href> display text, resolved to link "
+                             "TARGETS through the index's urlmap — the "
+                             "third web-ranking field next to body and "
+                             "title (query.py --anchor-weight)")
+    ba.add_argument("--index-dir", required=True)
+    ba.add_argument("--pages", required=True,
+                    help="pages-shaped parquet (url, warc_ts, html)")
+    ba.add_argument("--buckets", type=int, default=8)
+    ba.add_argument("--segment-size", type=int, default=4096)
+    ba.add_argument("--no-stem", action="store_true")
+    ba.add_argument("--max-anchors-per-doc", type=int, default=1024)
+
     sb = sub.add_parser("set-boosts",
                         help="install an arbitrary (doc_id, boost) "
                              "parquet as the index's static boost "
@@ -290,6 +305,24 @@ def main() -> None:
         summary = {"ok": True, "n_docs": n_docs, "iters": args.iters,
                    "weight": args.weight,
                    "boosts": os.path.join(args.index_dir, "boosts")}
+    elif args.cmd == "build-anchor":
+        import os
+
+        from search_engine_spark.plans.multifield import build_anchor_index
+
+        # default the analyzer to the BODY index's stem setting so one
+        # analyze_query term set hits both fields; --no-stem overrides
+        stem = not args.no_stem
+        meta_path = os.path.join(args.index_dir, "index_meta.json")
+        if not args.no_stem and os.path.exists(meta_path):
+            with open(meta_path) as f:
+                stem = bool(json.load(f).get("stem", True))
+        summary = build_anchor_index(
+            spark, spark.read.parquet(args.pages), args.index_dir,
+            n_buckets=args.buckets, segment_size=args.segment_size,
+            stem=stem, max_anchors_per_doc=args.max_anchors_per_doc,
+        )
+        summary["field"] = "anchor"
     elif args.cmd == "set-boosts":
         import os
 

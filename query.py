@@ -151,6 +151,12 @@ def main() -> None:
                          "W * title BM25 (requires an index built "
                          "with build_index.py --title-index; local "
                          "single query)")
+    ap.add_argument("--anchor-weight", type=float, default=None,
+                    metavar="W",
+                    help="add W * anchor-field BM25 to the multi-field "
+                         "score (requires index_admin.py build-anchor; "
+                         "combines with --title-weight; local single "
+                         "query)")
     ap.add_argument("--collapse-host", type=int, metavar="N", default=None,
                     help="result diversification (site collapse): keep "
                          "at most N hits per url host, refetching "
@@ -267,20 +273,30 @@ def main() -> None:
                           "wall_s": round(time.time() - t0, 4)}))
         return
 
-    if args.title_weight is not None:
+    if args.title_weight is not None or args.anchor_weight is not None:
         if args.batch or args.phrase or args.distributed:
-            ap.error("--title-weight is a local single-query mode")
-        if not os.path.isdir(
-            os.path.join(args.index_dir, "fields", "title")
-        ):
-            ap.error("--title-weight needs the title field index — "
-                     "rebuild with build_index.py --title-index")
+            ap.error("--title-weight/--anchor-weight is a local "
+                     "single-query mode")
+        weights = {}
+        if args.title_weight is not None:
+            weights["title"] = args.title_weight
+        if args.anchor_weight is not None:
+            weights["anchor"] = args.anchor_weight
+        for name, flag in (("title", "--title-weight rebuild with "
+                            "build_index.py --title-index"),
+                           ("anchor", "--anchor-weight run "
+                            "index_admin.py build-anchor")):
+            if name in weights and not os.path.isdir(
+                os.path.join(args.index_dir, "fields", name)
+            ):
+                ap.error(f"the {name} field index is missing — for "
+                         f"{flag}")
         from search_engine_spark.plans.multifield import MultiFieldSearcher
 
         t0 = time.time()
         qpos, qneg = split_not_terms(args.qtext)
         hits = MultiFieldSearcher(
-            args.index_dir, title_weight=args.title_weight
+            args.index_dir, field_weights=weights
         ).search(qpos, k=args.k + args.offset, stem=not args.no_stem,
                  mode=args.mode, exclude=qneg or None)[args.offset:]
         for rank, (doc_id, score) in enumerate(hits, 1 + args.offset):

@@ -2653,6 +2653,80 @@ FROM tf WHERE term LIKE '%ark%' GROUP BY term
 # Link graph: PageRank + static-score blending (operators/graph.py)
 # ---------------------------------------------------------------------------
 
+def q_anchor_text_agg(spark, sf_dir):
+    """Inbound-anchor-text aggregation (operators/graph.
+    extract_anchor_texts) — the pipeline behind the fields/anchor
+    index (plans/multifield.build_anchor_index): codegen
+    regexp_extract_all over html, urlmap equi-join to resolve link
+    TARGETS, per-target cap window, deterministic (src_url, slot)
+    ordered concat. The documents table has no html, so the entry
+    synthesizes a deterministic pages table from it in-plan (each doc
+    links to (id+1) % n and (2*id+13) % n with a 2-word arithmetic
+    anchor phrase) — the oracle rebuilds the identical html strings
+    and replays regex → join → row_number cap → ordered string_agg in
+    SQL. cap=2 BINDS for some targets (in-degree reaches 3 when n is
+    even), so the window path is value-checked, not just present."""
+    from search_engine_spark.operators.graph import extract_anchor_texts
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    url = F.concat(F.lit("https://ex.com/d/"), F.col("doc_id"))
+    anchor = F.concat(F.lit("w"), F.col("doc_id") % 89,
+                      F.lit(" w"), F.col("doc_id") % 13)
+
+    def link(dst):
+        return F.concat(F.lit('<a href="https://ex.com/d/'),
+                        dst.cast("long"), F.lit('">'), anchor,
+                        F.lit("</a>"))
+
+    pages = docs.select(
+        url.alias("url"),
+        F.concat(
+            F.lit("<html><body>"),
+            link((F.col("doc_id") + 1) % n), F.lit(" "),
+            link((F.col("doc_id") * 2 + 13) % n),
+            F.lit("</body></html>"),
+        ).cast("binary").alias("html"),
+    )
+    urlmap = docs.select(url.alias("url"), "doc_id")
+    return extract_anchor_texts(pages, urlmap, max_anchors_per_doc=2)
+
+
+SQL_ANCHOR_TEXT_AGG = r"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+um AS (SELECT 'https://ex.com/d/' || doc_id AS url, doc_id
+       FROM documents),
+pages AS (
+  SELECT 'https://ex.com/d/' || doc_id AS src_url,
+         '<html><body><a href="https://ex.com/d/'
+           || ((doc_id + 1) % (SELECT n FROM nn))
+           || '">w' || (doc_id % 89) || ' w' || (doc_id % 13)
+           || '</a> <a href="https://ex.com/d/'
+           || ((doc_id * 2 + 13) % (SELECT n FROM nn))
+           || '">w' || (doc_id % 89) || ' w' || (doc_id % 13)
+           || '</a></body></html>' AS html
+  FROM documents),
+exploded AS (
+  SELECT src_url,
+         unnest(range(len(regexp_extract_all(
+             html, '<a href="([^"]*)"[^>]*>([^<]+)</a>', 1)))) AS slot,
+         unnest(regexp_extract_all(
+             html, '<a href="([^"]*)"[^>]*>([^<]+)</a>', 1)) AS dst_url,
+         trim(unnest(regexp_extract_all(
+             html, '<a href="([^"]*)"[^>]*>([^<]+)</a>', 2))) AS anchor
+  FROM pages),
+resolved AS (
+  SELECT um.doc_id, e.src_url, e.slot, e.anchor
+  FROM exploded e JOIN um ON um.url = e.dst_url
+  WHERE e.anchor <> ''),
+capped AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY src_url, slot) AS rn
+  FROM resolved)
+SELECT doc_id, string_agg(anchor, ' ' ORDER BY src_url, slot) AS text
+FROM capped WHERE rn <= 2 GROUP BY doc_id
+"""
+
 def q_pagerank_top(spark, sf_dir):
     """Damped PageRank (d=0.85, 5 iterations, dangling-mass
     redistribution) over the deterministic synthetic link graph —
@@ -3306,6 +3380,8 @@ QUERIES = {
     "pii_redaction": q_pii_redaction,
     "dup_cluster_representatives": q_dup_cluster_representatives,
     "bm25_site_topk": q_bm25_site_topk,
+    # -- round-4 session-3: the anchor FIELD pipeline --
+    "anchor_text_agg": q_anchor_text_agg,
     # -- veterans whose last green row is r01/r02: rotated back into the
     # window so no entry's green row is more than two rounds stale --
     "except_regression": q_except_regression,
@@ -3385,6 +3461,7 @@ ORACLES = {
     "pii_redaction": SQL_PII_REDACTION,
     "dup_cluster_representatives": SQL_DUP_CLUSTER_REPRESENTATIVES,
     "bm25_site_topk": SQL_BM25_SITE_TOPK,
+    "anchor_text_agg": SQL_ANCHOR_TEXT_AGG,
     "pagerank_top": SQL_PAGERANK_TOP,
     "bm25_pagerank_blend": SQL_BM25_PAGERANK_BLEND,
     "bm25_msm_topk": SQL_BM25_MSM_TOPK,

@@ -100,6 +100,59 @@ def extend_title_index(
     )
 
 
+def build_anchor_index(
+    spark,
+    pages,
+    index_dir: str,
+    *,
+    n_buckets: int = 8,
+    segment_size: int = 4096,
+    stem: bool = True,
+    max_anchors_per_doc: int = 1024,
+    urlmap=None,
+) -> dict:
+    """Index inbound ANCHOR TEXT under <index_dir>/fields/anchor —
+    the third classic web-ranking field (body, title, anchor).
+
+    pages is the raw pages table (url, warc_ts, html, ...); targets
+    resolve through the BODY index's urlmap, so the body index must be
+    built first (pages input → urlmap exists). The pipeline is
+    extract_anchor_texts (operators/graph.py: codegen regex + one
+    urlmap equi-join + capped per-target concat) feeding the ordinary
+    index builder over a (doc_id, text) source — fields/anchor is a
+    full index (fsck, stats, merge all work on it unchanged).
+
+    Rebuilt per crawl snapshot, not extended: anchor text is a GLOBAL
+    property of the graph (new pages add anchors to OLD docs), so the
+    batch rebuild is the correct cadence — the standard approach for
+    anchor fields in batch web indexing. doc_ids are shared with the
+    body index by construction (urlmap resolution), so MultiFieldSearcher
+    / the distributed twin join per-field scores with no id mapping."""
+    import os as _os
+
+    from search_engine_spark.operators.dedup import latest_snapshot
+    from search_engine_spark.operators.graph import extract_anchor_texts
+
+    if urlmap is None:
+        urlmap_dir = _os.path.join(index_dir, "urlmap")
+        if not _os.path.isdir(urlmap_dir):
+            raise FileNotFoundError(
+                f"{urlmap_dir} missing — build the body index from "
+                "pages input first (it writes the urlmap the anchor "
+                "resolution needs), or pass urlmap="
+            )
+        urlmap = spark.read.parquet(urlmap_dir)
+    anchors = extract_anchor_texts(
+        latest_snapshot(pages, "url", "warc_ts"), urlmap,
+        max_anchors_per_doc=max_anchors_per_doc,
+    )
+    return build_index(
+        spark, anchors, _os.path.join(index_dir, "fields", "anchor"),
+        n_buckets=n_buckets, segment_size=segment_size, stem=stem,
+        id_col="doc_id", text_col="text",
+    )
+
+
 def multifield_search_distributed(
     spark,
     index_dir: str,
@@ -111,6 +164,7 @@ def multifield_search_distributed(
     mode: str = "and",
     exclude=None,
     offset: int = 0,
+    field_weights: dict[str, float] | None = None,
 ):
     """Cluster-scale twin of MultiFieldSearcher.search — the same
     weighted two-field score as ONE Spark job (property-tested
@@ -132,12 +186,14 @@ def multifield_search_distributed(
     from search_engine_spark import B as _B, K1 as _K1
     from search_engine_spark.plans.index_query import IndexReader
 
-    tdir = _os.path.join(index_dir, TITLE_DIR)
-    if not _os.path.isdir(tdir):
-        raise FileNotFoundError(
-            f"{tdir} missing — build it with build_index.py "
-            "--title-index (pages input)"
-        )
+    if field_weights is None:
+        field_weights = {"title": float(title_weight)}
+    for name in field_weights:
+        fdir = _os.path.join(index_dir, "fields", name)
+        if not _os.path.isdir(fdir):
+            raise FileNotFoundError(
+                f"{fdir} missing — build the fields/{name} index first"
+            )
     if isinstance(qtext_or_terms, str):
         qterms = analyze_query(qtext_or_terms, stem=stem)
     else:
@@ -149,23 +205,27 @@ def multifield_search_distributed(
     if body_agg is None:
         return empty
 
-    title = IndexReader(spark, tdir)
     import math as _math
 
-    trows = title.lookup_terms(qterms)
-    if trows and title_weight != 0.0:
+    for name, w in field_weights.items():
+        if w == 0.0:
+            continue
+        fld = IndexReader(spark, _os.path.join(index_dir, "fields", name))
+        trows = fld.lookup_terms(qterms)
+        if not trows:
+            continue
         tterms = sorted({r.term for r in trows})
         tbuckets = sorted({r.bucket for r in trows})
         tidf = spark.createDataFrame(
             [
                 (r.term,
-                 _math.log(1.0 + (title.n_docs - r.df + 0.5) / (r.df + 0.5)))
+                 _math.log(1.0 + (fld.n_docs - r.df + 0.5) / (r.df + 0.5)))
                 for r in trows
             ],
             "term string, idf double",
         )
         tscore = (
-            title.decoded_postings(tterms, tbuckets)
+            fld.decoded_postings(tterms, tbuckets)
             .join(F.broadcast(tidf), "term")
             .withColumn(
                 "partial",
@@ -178,21 +238,21 @@ def multifield_search_distributed(
                         * (
                             F.lit(1.0 - _B)
                             + F.lit(_B) * F.col("doclen").cast("double")
-                            / F.lit(title.avgdl)
+                            / F.lit(fld.avgdl)
                         )
                     )
                 ),
             )
             .groupBy("doc_id")
-            .agg(F.sum("partial").alias("_tscore"))
+            .agg(F.sum("partial").alias("_fscore"))
         )
         body_agg = (
             body_agg.join(tscore, "doc_id", "left")
             .withColumn(
                 "score",
                 F.col("score")
-                + F.lit(float(title_weight))
-                * F.coalesce(F.col("_tscore"), F.lit(0.0)),
+                + F.lit(float(w))
+                * F.coalesce(F.col("_fscore"), F.lit(0.0)),
             )
             .select("doc_id", "score")
         )
@@ -200,35 +260,60 @@ def multifield_search_distributed(
 
 
 class MultiFieldSearcher:
-    """Serving-side weighted multi-field ranking over two
-    LocalSearchers (body = the main index, title = fields/title)."""
+    """Serving-side weighted multi-field ranking over per-field
+    LocalSearchers (body = the main index, plus any set of
+    ``fields/<name>`` indexes — title, anchor, ...).
 
-    def __init__(self, index_dir: str, *, title_weight: float = 2.0):
-        tdir = os.path.join(index_dir, TITLE_DIR)
-        if not os.path.isdir(tdir):
-            raise FileNotFoundError(
-                f"{tdir} missing — build it with build_index.py "
-                "--title-index (pages input)"
-            )
+    field_weights generalizes the original body+title pair to the full
+    web-ranking field set (body, title, anchor — BM25F's canonical
+    trio, scored here most-fields-style): score(q, d) =
+    BM25_body(q, d) + sum over fields f of w_f * BM25_f(q, d), each
+    field against its own collection stats. The iterative-deepening
+    exactness argument is unchanged — the per-field boost bound is the
+    SUM of each field's bound."""
+
+    def __init__(self, index_dir: str, *, title_weight: float = 2.0,
+                 field_weights: dict[str, float] | None = None):
+        if field_weights is None:
+            field_weights = {"title": float(title_weight)}
+        self.fields: dict[str, tuple[LocalSearcher, float]] = {}
+        for name, w in field_weights.items():
+            fdir = os.path.join(index_dir, "fields", name)
+            if not os.path.isdir(fdir):
+                hint = ("build_index.py --title-index (pages input)"
+                        if name == "title"
+                        else "index_admin.py build-anchor"
+                        if name == "anchor"
+                        else f"a fields/{name} build")
+                raise FileNotFoundError(
+                    f"{fdir} missing — build it with {hint}"
+                )
+            self.fields[name] = (LocalSearcher(fdir), float(w))
         self.body = LocalSearcher(index_dir)
-        self.title = LocalSearcher(tdir)
-        self.w = float(title_weight)
+        # back-compat aliases (original body+title API)
+        self.title = (self.fields["title"][0]
+                      if "title" in self.fields else None)
+        self.w = (self.fields["title"][1]
+                  if "title" in self.fields else 0.0)
 
-    def _title_bound(self, qterms) -> float:
-        """Upper bound on the total title boost any single doc can
-        collect: w * sum over title-field terms of idf * max segment
-        max_tfnorm (0 contribution floor handles w < 0)."""
+    def _fields_bound(self, qterms) -> float:
+        """Upper bound on the total field boost any single doc can
+        collect: sum over fields of w_f * sum over that field's terms
+        of idf * max segment max_tfnorm (0 floor handles w < 0)."""
         bound = 0.0
-        for t in qterms:
-            if t in self.title._df:
-                segs = self.title._segments(t)
-                if len(segs):
-                    bound += max(
-                        0.0,
-                        self.w * self.title._idf(t)
-                        * float(segs.max_tfnorm.max()),
-                    )
+        for fs, w in self.fields.values():
+            for t in qterms:
+                if t in fs._df:
+                    segs = fs._segments(t)
+                    if len(segs):
+                        bound += max(
+                            0.0,
+                            w * fs._idf(t) * float(segs.max_tfnorm.max()),
+                        )
         return bound
+
+    # original name kept for callers/tests of the two-field shape
+    _title_bound = _fields_bound
 
     def _rescore(self, cands, qterms, k):
         docs = np.fromiter((d for d, _ in cands), dtype=np.int64,
@@ -237,15 +322,16 @@ class MultiFieldSearcher:
                              count=len(cands))
         order = np.argsort(docs)
         docs, scores = docs[order], scores[order]
-        for t in qterms:
-            if t in self.title._df:
-                od, oc = self.title._load_full(t, self.title._idf(t))
-                if od.size == 0:
-                    continue
-                pos = np.searchsorted(docs, od)
-                pos_c = np.minimum(pos, docs.size - 1)
-                hit = docs[pos_c] == od
-                scores[pos_c[hit]] += self.w * oc[hit]
+        for fs, w in self.fields.values():
+            for t in qterms:
+                if t in fs._df:
+                    od, oc = fs._load_full(t, fs._idf(t))
+                    if od.size == 0:
+                        continue
+                    pos = np.searchsorted(docs, od)
+                    pos_c = np.minimum(pos, docs.size - 1)
+                    hit = docs[pos_c] == od
+                    scores[pos_c[hit]] += w * oc[hit]
         order_k = np.lexsort((docs, -scores))[:k]
         return [(int(docs[i]), float(scores[i])) for i in order_k]
 
@@ -259,7 +345,7 @@ class MultiFieldSearcher:
             qterms = analyze_query(qtext_or_terms, stem=stem)
         else:
             qterms = list(dict.fromkeys(qtext_or_terms))
-        bound = self._title_bound(qterms)
+        bound = self._fields_bound(qterms)
         m = max(4 * k, 32)
         while True:
             cands = self.body.search(qterms, k=m, stem=stem,

@@ -93,18 +93,29 @@ def _row(i: int, vocab: list[str], cdf: np.ndarray) -> tuple:
     # deterministic out-links (the web-graph fixture): page `key`
     # links to keys key+1, key//2, 2*key+1 — in-degree then varies
     # 1..4 across nodes and some targets fall past any finite corpus
-    # (realistic dangling hrefs, dropped at urlmap resolution). The
-    # anchors carry NO display text, so the frozen extractor's
-    # extract_text(html) == text invariant is untouched; empty-body
-    # pages link nowhere (empty-doc fixture intact).
+    # (realistic dangling hrefs, dropped at urlmap resolution). Each
+    # anchor carries 2 words of display text drawn from a TARGET-keyed
+    # stream — every page linking to target t shows the same anchor
+    # text f(t), the anchor-agreement property real crawls exhibit and
+    # the anchor-field fixture tests rely on. Anchor text is part of
+    # the linking page's extracted body (literal whitespace separates
+    # adjacent anchors), so `expected` appends it below and the frozen
+    # extract_text(html) == text invariant holds; empty-body pages
+    # link nowhere (empty-doc fixture intact).
     if text:
         targets = sorted({key + 1, key // 2, 2 * key + 1} - {key})
-        links = "".join(
-            f'<a href="https://src{t % 20}.example.com/p/{t}"></a>'
-            for t in targets
+        atexts = []
+        for t in targets:
+            rng_a = np.random.default_rng(SEED * 1_000_003 + t + 3333)
+            a_idx = np.searchsorted(cdf, rng_a.random(2))
+            atexts.append(f"{vocab[a_idx[0]]} {vocab[a_idx[1]]}")
+        links = "\n" + " ".join(
+            f'<a href="https://src{t % 20}.example.com/p/{t}">{at}</a>'
+            for t, at in zip(targets, atexts)
         )
     else:
         links = ""
+        atexts = []
     # the literal newline between </head> and <p> matters: the frozen
     # extractor joins data chunks verbatim (no implicit block
     # separators), so the title needs real whitespace before the body
@@ -116,11 +127,13 @@ def _row(i: int, vocab: list[str], cdf: np.ndarray) -> tuple:
         + "</p><!-- comment -->" + links + "</body></html>"
     )
     # undo the marker words in expected text too: extraction of the html
-    # above yields text with the injected tokens, so recompute expected
+    # above yields text with the injected tokens (and the trailing
+    # anchor display words), so recompute expected
     expected = " ".join(
         (title + " "
          + text.replace("and", "and & x", 1)
-               .replace(" the ", " the bold ", 1)).split()
+               .replace(" the ", " the bold ", 1)
+         + " " + " ".join(atexts)).split()
     )
     return url, ts, html.encode("utf-8"), expected, LANGS[key % len(LANGS)]
 

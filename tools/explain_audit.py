@@ -138,6 +138,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # scored side, ranked by TakeOrderedAndProject — never a re-scan
     "bm25_site_topk": (["TakeOrderedAndProject", "BroadcastHashJoin"],
                        ["CartesianProduct"]),
+    # round 4 session 3 — anchor-text field pipeline: codegen regex
+    # explode, url-keyed equi-join resolution, capped window + ordered
+    # concat; no Python, no all-pairs (a celebrity page's in-link mass
+    # is bounded by the row_number cap BEFORE aggregation)
+    "anchor_text_agg": (["HashAggregate", "codegen id"],
+                        ["Python", "CartesianProduct",
+                         "BroadcastNestedLoopJoin"]),
 }
 
 
