@@ -231,6 +231,18 @@ def main() -> None:
         n_buckets=64, stem=True, html_col="html",
     )
     extra["positions_build_s"] = round(time.time() - t0, 3)
+
+    # phrase-acceleration bigram table (nextword index) — built AFTER
+    # the throughput metrics so index_build_*c stays comparable across
+    # rounds; measured separately
+    from search_engine_spark.plans.bigrams import build_bigrams
+
+    t0 = time.time()
+    build_bigrams(
+        spark, spark.read.parquet(corpus), idx_big,
+        n_buckets=64, stem=True, html_col="html", top_terms=32,
+    )
+    extra["bigrams_build_s"] = round(time.time() - t0, 3)
     spark.stop()
 
     from search_engine_spark.plans.wand import LocalSearcher
@@ -330,13 +342,35 @@ def main() -> None:
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            PhraseSearcher(idx_big).search_phrase(q, k=10)
+            s_cold = PhraseSearcher(idx_big)
+            # historical metric: the PURE positional path (the bigram
+            # table now sits in the index dir — disable it here so
+            # phrase_cold_s stays comparable across rounds)
+            s_cold._bigrams_loaded = True
+            s_cold._bigrams = None
+            s_cold.search_phrase(q, k=10)
             runs.append(time.perf_counter() - t0)
         cold[q] = round(statistics.median(runs), 3)
     extra["phrase_cold_s"] = cold
     extra["phrase_cold_max_s"] = max(cold.values())
 
+    # ACCELERATED cold path: same fresh-searcher protocol, bigram
+    # table live (the production configuration once built) — the
+    # stopword bigram becomes a direct posting read
+    cold_a = {}
+    for q in PHRASE_QUERIES:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            PhraseSearcher(idx_big).search_phrase(q, k=10)
+            runs.append(time.perf_counter() - t0)
+        cold_a[q] = round(statistics.median(runs), 3)
+    extra["phrase_cold_accel_s"] = cold_a
+    extra["phrase_cold_accel_max_s"] = max(cold_a.values())
+
     ps = PhraseSearcher(idx_big)
+    ps._bigrams_loaded = True  # historical warm metric: positional path
+    ps._bigrams = None
     t0 = time.perf_counter()
     for q in PHRASE_QUERIES:
         ps.search_phrase(q, k=10)  # warm (reads + caches term rows)
@@ -351,6 +385,19 @@ def main() -> None:
             ps.search_phrase(q, k=10)
             lat_ph.append(time.perf_counter() - t0)
     extra["phrase_p50_ms"] = round(statistics.median(lat_ph) * 1000, 3)
+
+    psa = PhraseSearcher(idx_big)  # accelerated warm p50
+    for q in PHRASE_QUERIES:
+        psa.search_phrase(q, k=10)
+    lat_pa = []
+    for _ in range(reps):
+        for q in PHRASE_QUERIES:
+            t0 = time.perf_counter()
+            psa.search_phrase(q, k=10)
+            lat_pa.append(time.perf_counter() - t0)
+    extra["phrase_accel_p50_ms"] = round(
+        statistics.median(lat_pa) * 1000, 3
+    )
 
     shutil.rmtree(work, ignore_errors=True)
     out = {

@@ -20,6 +20,14 @@ import json
 import time
 
 
+def _bigram_meta(index_dir: str) -> dict:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(index_dir, "bigrams_meta.json")) as f:
+        return _json.load(f)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="parquet path (pages or documents shape)")
@@ -47,6 +55,13 @@ def main() -> None:
                          "(enables exact-phrase queries: query.py "
                          "--phrase). Roughly doubles index size — the "
                          "canonical positional-index cost")
+    ap.add_argument("--bigrams", type=int, default=None, metavar="B",
+                    help="also build the phrase-acceleration bigram "
+                         "table (nextword index): adjacency-count "
+                         "postings for every token pair touching one "
+                         "of the top-B df terms — the worst-case "
+                         "stopword phrase becomes a direct posting "
+                         "read instead of a positional verify scan")
     ap.add_argument("--title-index", action="store_true",
                     help="also index the <title> field as a second "
                          "index under fields/title (pages input; "
@@ -225,6 +240,41 @@ def main() -> None:
                 stem=not args.no_stem, html_col=html_col,
             )
         summary["positions_built"] = True
+    if args.bigrams is not None or (
+        args.extend
+        and os.path.exists(
+            os.path.join(args.index_dir, "bigrams_meta.json")
+        )
+    ):
+        from search_engine_spark.plans.bigrams import build_bigrams
+
+        if args.extend:
+            # append-in-kind, same contract as the positional table:
+            # src is the genuinely-new docs with fresh ids; the frozen
+            # hot list / n_buckets / stem come from bigrams_meta (the
+            # indexed-pair set is a physical invariant). Auto-extends
+            # whenever the table exists, even without --bigrams — a
+            # stale acceleration table would silently miss new docs'
+            # phrases.
+            bmeta_path = os.path.join(args.index_dir, "bigrams_meta.json")
+            if not os.path.exists(bmeta_path):
+                ap.error("--bigrams --extend needs an existing bigram "
+                         "table — run a full build with --bigrams first")
+            build_bigrams(
+                spark, src, args.index_dir, html_col=html_col,
+                mode="append",
+                # n_buckets/stem/hot are read from the meta in append
+                # mode; pass the meta's values to satisfy validation
+                **{k: v for k, v in _bigram_meta(args.index_dir).items()
+                   if k in ("n_buckets", "stem")},
+            )
+        else:
+            build_bigrams(
+                spark, src, args.index_dir, n_buckets=args.n_buckets,
+                stem=not args.no_stem, top_terms=args.bigrams,
+                html_col=html_col,
+            )
+        summary["bigrams_built"] = True
     if args.title_index:
         if args.input_format != "pages":
             ap.error("--title-index needs pages input (html column)")

@@ -187,6 +187,21 @@ def main() -> None:
     ba.add_argument("--no-stem", action="store_true")
     ba.add_argument("--max-anchors-per-doc", type=int, default=1024)
 
+    bb = sub.add_parser("build-bigrams",
+                        help="build the phrase-acceleration bigram "
+                             "table (nextword index) for an EXISTING "
+                             "index: adjacency-count postings for "
+                             "token pairs touching a top-B df term — "
+                             "query.py --phrase picks it up "
+                             "automatically (stopword phrases become "
+                             "direct posting reads)")
+    bb.add_argument("--index-dir", required=True)
+    bb.add_argument("--input", required=True,
+                    help="the indexed corpus parquet (pages shape; "
+                         "doc_ids resolve through the index's urlmap)")
+    bb.add_argument("--buckets", type=int, default=8)
+    bb.add_argument("--top-terms", type=int, default=32)
+
     sb = sub.add_parser("set-boosts",
                         help="install an arbitrary (doc_id, boost) "
                              "parquet as the index's static boost "
@@ -323,6 +338,34 @@ def main() -> None:
             stem=stem, max_anchors_per_doc=args.max_anchors_per_doc,
         )
         summary["field"] = "anchor"
+    elif args.cmd == "build-bigrams":
+        import os
+
+        from search_engine_spark.operators.dedup import latest_snapshot
+        from search_engine_spark.plans.bigrams import build_bigrams
+
+        urlmap_dir = os.path.join(args.index_dir, "urlmap")
+        if not os.path.isdir(urlmap_dir):
+            raise SystemExit(
+                "build-bigrams needs the index's urlmap table (index "
+                "built from pages input)"
+            )
+        with open(os.path.join(args.index_dir, "index_meta.json")) as f:
+            stem = bool(json.load(f).get("stem", True))
+        pages = latest_snapshot(
+            spark.read.parquet(args.input), "url", "warc_ts"
+        )
+        # doc_ids come from the urlmap join — identical id space to
+        # the index; urls crawled after the build simply drop out
+        src = pages.join(
+            spark.read.parquet(urlmap_dir).select("url", "doc_id"), "url"
+        ).select("doc_id", "text", "html")
+        out = build_bigrams(
+            spark, src, args.index_dir, n_buckets=args.buckets,
+            stem=stem, top_terms=args.top_terms, html_col="html",
+        )
+        summary = {"ok": True, "bigrams": out,
+                   "top_terms": args.top_terms}
     elif args.cmd == "set-boosts":
         import os
 

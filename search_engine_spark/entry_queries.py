@@ -2653,6 +2653,45 @@ FROM tf WHERE term LIKE '%ark%' GROUP BY term
 # Link graph: PageRank + static-score blending (operators/graph.py)
 # ---------------------------------------------------------------------------
 
+def q_bigram_postings(spark, sf_dir):
+    """The phrase-acceleration bigram table's BUILD aggregation
+    (plans/bigrams.py — the nextword index of Williams/Zobel/Bahle
+    2004): per-doc adjacency counts for every token pair touching a
+    hot term, exactly the rows build_bigrams writes. Runs the REAL
+    Arrow-batched kernel with a fixed hot set {'the', 'a'} (the
+    documents fixture's stopword head) so DuckDB can replay it:
+    unnest token pairs, filter on either endpoint hot, count per
+    (pair, doc). The documents table is markup-free lowercase, where
+    the engine analyzer equals whitespace split — the same surrogate
+    convention the other text entries use."""
+    from search_engine_spark.plans.bigrams import (
+        BIGRAMS_SCHEMA, _bigrams_kernel,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = docs.mapInPandas(
+        _bigrams_kernel(False, "text", "doc_id", None, ["the", "a"]),
+        BIGRAMS_SCHEMA,
+    )
+    return rows.select(
+        "term", "doc_id", F.col("tf").cast("long").alias("tf")
+    )
+
+
+SQL_BIGRAM_POSTINGS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(w) - 1)) AS s(i)
+  WHERE len(w) >= 2
+)
+SELECT w1 || ' ' || w2 AS term, doc_id, count(*)::BIGINT AS tf
+FROM g
+WHERE w1 IN ('the', 'a') OR w2 IN ('the', 'a')
+GROUP BY term, doc_id
+"""
+
+
 def q_anchor_text_agg(spark, sf_dir):
     """Inbound-anchor-text aggregation (operators/graph.
     extract_anchor_texts) — the pipeline behind the fields/anchor
@@ -3380,8 +3419,10 @@ QUERIES = {
     "pii_redaction": q_pii_redaction,
     "dup_cluster_representatives": q_dup_cluster_representatives,
     "bm25_site_topk": q_bm25_site_topk,
-    # -- round-4 session-3: the anchor FIELD pipeline --
+    # -- round-4 session-3: the anchor FIELD pipeline + the bigram
+    # phrase-acceleration table's build aggregation --
     "anchor_text_agg": q_anchor_text_agg,
+    "bigram_postings": q_bigram_postings,
     # -- veterans whose last green row is r01/r02: rotated back into the
     # window so no entry's green row is more than two rounds stale --
     "except_regression": q_except_regression,
@@ -3462,6 +3503,7 @@ ORACLES = {
     "dup_cluster_representatives": SQL_DUP_CLUSTER_REPRESENTATIVES,
     "bm25_site_topk": SQL_BM25_SITE_TOPK,
     "anchor_text_agg": SQL_ANCHOR_TEXT_AGG,
+    "bigram_postings": SQL_BIGRAM_POSTINGS,
     "pagerank_top": SQL_PAGERANK_TOP,
     "bm25_pagerank_blend": SQL_BM25_PAGERANK_BLEND,
     "bm25_msm_topk": SQL_BM25_MSM_TOPK,

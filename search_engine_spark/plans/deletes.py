@@ -276,6 +276,31 @@ def compact_index(
         with open(os.path.join(index_dir, "positions_meta.json"), "w") as f:
             json.dump(pmeta, f)
 
+    bigrams = os.path.join(index_dir, "bigrams")
+    if os.path.isdir(bigrams):
+        import json
+
+        with open(os.path.join(index_dir, "bigrams_meta.json")) as f:
+            bmeta = json.load(f)
+        kept = (
+            spark.read.parquet(bigrams)
+            .join(tomb, "doc_id", "left_anti")
+        )
+        _swap_rewrite(
+            bigrams,
+            # same bucket-led sorted layout as the positional table
+            lambda tmp: kept.repartition("bucket")
+            .sortWithinPartitions("bucket", "term", "doc_id")
+            .write.mode("overwrite")
+            .option("parquet.block.size", str(1024 * 1024))
+            .partitionBy("bucket")
+            .parquet(tmp),
+        )
+        # the frozen hot list stays: which PAIRS are indexed is a
+        # physical invariant; only rows of deleted docs leave
+        with open(os.path.join(index_dir, "bigrams_meta.json"), "w") as f:
+            json.dump(bmeta, f)
+
     # field indexes (fields/<name>) share the doc_id space and the
     # ordinary index format — recurse so their postings AND collection
     # stats converge to a fresh two-index build over the survivors

@@ -128,6 +128,9 @@ def _check_compat(spark: SparkSession, a_dir: str, b_dir: str) -> None:
                      "docs"),
         ("positions", "phrase/NEAR search would silently miss one "
                       "side's docs"),
+        ("bigrams", "accelerated phrase search would silently miss "
+                    "one side's docs (the direct bigram path answers "
+                    "without consulting positions)"),
     ):
         ha, hb = _sides(rel)
         if ha != hb:
@@ -156,6 +159,18 @@ def _check_compat(spark: SparkSession, a_dir: str, b_dir: str) -> None:
                 "positions tables disagree on n_buckets/stem — "
                 "term routing / analysis are physical invariants"
             )
+    if _sides("bigrams") == (True, True):
+        ba = _bigrams_meta(a_dir)
+        bb = _bigrams_meta(b_dir)
+        if (int(ba["n_buckets"]) != int(bb["n_buckets"])
+                or bool(ba["stem"]) != bool(bb["stem"])
+                or sorted(ba["hot"]) != sorted(bb["hot"])):
+            raise ValueError(
+                "bigram tables disagree on n_buckets/stem/hot-term "
+                "set — which pairs are indexed is a physical "
+                "invariant; rebuild one side's table "
+                "(index_admin.py build-bigrams) before merging"
+            )
 
 
 def _field_names(index_dir: str) -> set[str]:
@@ -171,6 +186,46 @@ def _field_names(index_dir: str) -> set[str]:
 def _positions_meta(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "positions_meta.json")) as f:
         return json.load(f)
+
+
+def _bigrams_meta(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "bigrams_meta.json")) as f:
+        return json.load(f)
+
+
+def _merge_bigrams_into(spark, target_dir: str, src_dir: str,
+                        offset: int, *, union: bool = False,
+                        out_dir: str | None = None) -> bool:
+    """Fold src's bigram table into target's (doc_ids offset), either
+    appending in place (merge_into) or writing a fresh union
+    (rebuild-mode merge, out_dir). Layout identical to the positional
+    table: bucket-led sorted partitioned write."""
+    t_bg = os.path.join(target_dir, "bigrams")
+    if not os.path.isdir(t_bg):
+        return False
+    rows_b = (
+        spark.read.parquet(os.path.join(src_dir, "bigrams"))
+        .withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+    )
+    if union:
+        rows = spark.read.parquet(t_bg).unionByName(rows_b)
+        dest, mode = os.path.join(out_dir, "bigrams"), "overwrite"
+        meta_dir = out_dir
+    else:
+        rows, dest, mode = rows_b, t_bg, "append"
+        meta_dir = target_dir
+    (
+        rows.repartition("bucket")
+        .sortWithinPartitions("bucket", "term", "doc_id")
+        .write.mode(mode)
+        .option("parquet.block.size", str(1024 * 1024))
+        .partitionBy("bucket")
+        .parquet(dest)
+    )
+    meta = _bigrams_meta(target_dir)  # read BEFORE the truncating open
+    with open(os.path.join(meta_dir, "bigrams_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return True
 
 
 def _make_rebase(offset: int, salt_shift: int):
@@ -413,6 +468,9 @@ def merge_into(
         with open(os.path.join(target_dir, "positions_meta.json"), "w") as f:
             json.dump(pmeta, f)
         merged_positions = True
+    merged_bigrams = _merge_bigrams_into(
+        spark, target_dir, incoming_dir, offset
+    )
 
     def _append_side_table(name: str) -> bool:
         dst = os.path.join(target_dir, name)
@@ -458,6 +516,7 @@ def merge_into(
         "urlmap_merged": merged_urlmap,
         "docstore_merged": merged_docstore,
         "positions_merged": merged_positions,
+        "bigrams_merged": merged_bigrams,
         "boosts_merged": merged_boosts,
         "title_merged": "title" in merged_fields,
         "fields_merged": merged_fields,
@@ -548,6 +607,9 @@ def _merge_rebuild(
         with open(os.path.join(out_dir, "positions_meta.json"), "w") as f:
             json.dump(_positions_meta(a_dir), f)
         merged_positions = True
+    merged_bigrams = _merge_bigrams_into(
+        spark, a_dir, b_dir, offset, union=True, out_dir=out_dir
+    )
 
     def _union_side_table(name: str) -> bool:
         ta, tb = (os.path.join(d, name) for d in (a_dir, b_dir))
@@ -594,6 +656,7 @@ def _merge_rebuild(
         "urlmap_merged": _union_side_table("urlmap"),
         "docstore_merged": _union_side_table("docstore"),
         "positions_merged": merged_positions,
+        "bigrams_merged": merged_bigrams,
         "boosts_merged": merged_boosts,
         "title_merged": "title" in merged_fields,
         "fields_merged": merged_fields,

@@ -332,6 +332,24 @@ class PhraseSearcher:
         self._pos_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._pos_cache_values = 0
         self._POS_CACHE_MAX = 32_000_000
+        # phrase-acceleration bigram table (plans/bigrams.py): picked
+        # up automatically when present AND built with the same
+        # analyzer; reader construction (fragment metadata walk) is
+        # deferred so non-accelerated indexes pay nothing
+        self._bigrams_path = os.path.join(index_dir, "bigrams_meta.json")
+        self._bigrams = None
+        self._bigrams_loaded = False
+
+    def _bigram_reader(self):
+        if not self._bigrams_loaded:
+            self._bigrams_loaded = True
+            if os.path.exists(self._bigrams_path):
+                from search_engine_spark.plans.bigrams import BigramReader
+
+                br = BigramReader(self.root)
+                if br.stem == self.stem:
+                    self._bigrams = br
+        return self._bigrams
 
     @staticmethod
     def _binary_np(arr) -> tuple[np.ndarray, np.ndarray]:
@@ -522,17 +540,43 @@ class PhraseSearcher:
 
         return analyze(query, stem=self.stem)
 
-    def _candidates(self, phrase: list[str]):
+    @staticmethod
+    def _isect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Sorted-unique intersection; when one side is much smaller,
+        a searchsorted membership test (O(small log big)) replaces
+        np.intersect1d's concatenate-and-sort (O((n+m) log(n+m)) —
+        the measured cost of stopword ∩ rare-term phrases)."""
+        if a.size > b.size:
+            a, b = b, a
+        if b.size == 0 or a.size == 0:
+            return a[:0]
+        if a.size * 16 < b.size:
+            pos = np.searchsorted(b, a)
+            pos_c = np.minimum(pos, b.size - 1)
+            return a[b[pos_c] == a]
+        return np.intersect1d(a, b, assume_unique=True)
+
+    def _candidates(self, phrase: list[str], extra=None):
         """Conjunctive doc intersection + per-term row indices.
-        Returns (cand doc_ids, per_term rows, idx arrays) or None."""
+        Returns (cand doc_ids, per_term rows, idx arrays) or None.
+        `extra`: additional sorted-unique doc arrays to intersect
+        FIRST (bigram-table candidate bases — subsets of their
+        endpoint terms' doc lists, so they can only narrow)."""
         distinct = list(dict.fromkeys(phrase))
         per_term = {t: self._term_rows(t) for t in distinct}
         if any(per_term[t][0].size == 0 for t in distinct):
             return None
+        cand = None
+        for arr in extra or ():
+            cand = arr if cand is None else self._isect(cand, arr)
+            if cand.size == 0:
+                return None
         order = sorted(distinct, key=lambda t: per_term[t][0].size)
-        cand = per_term[order[0]][0]
-        for t in order[1:]:
-            cand = np.intersect1d(cand, per_term[t][0], assume_unique=True)
+        if cand is None:
+            cand = per_term[order[0]][0]
+            order = order[1:]
+        for t in order:
+            cand = self._isect(cand, per_term[t][0])
             if cand.size == 0:
                 return None
         if self._deleted.size:
@@ -678,7 +722,36 @@ class PhraseSearcher:
         )
         if not phrase:
             return []
-        found = self._candidates(phrase)
+        br = self._bigram_reader()
+        if br is not None and len(phrase) == 2 and br.covers(*phrase):
+            # DIRECT path: the bigram row's tf IS the exact phrase tf
+            # (adjacency count, overlaps included — property-tested
+            # equal to the positional scan). Zero positional decode:
+            # the stopword-bigram worst case becomes a single pruned
+            # posting-list read + partial sort.
+            docs, tfs = br.rows(*phrase)
+            if self._deleted.size:
+                from search_engine_spark.plans.deletes import mask_deleted
+
+                docs, tfs = mask_deleted(self._deleted, docs, tfs)
+            if docs.size == 0:
+                return []
+            order_k = np.lexsort((docs, -tfs))[:k]
+            return [(int(docs[i]), int(tfs[i])) for i in order_k]
+        pair_rows: list[tuple[np.ndarray, np.ndarray]] = []
+        extras: list[np.ndarray] = []
+        if br is not None and len(phrase) >= 3:
+            # covered adjacent pairs: candidate bases (a matching doc
+            # must contain every adjacent pair) + TIGHT tf bounds
+            # (phrase tf <= adjacency count of each sub-pair)
+            for a, b in zip(phrase, phrase[1:]):
+                if br.covers(a, b):
+                    d_, t_ = br.rows(a, b)
+                    if d_.size == 0:
+                        return []  # covered-and-absent: no match
+                    extras.append(d_)
+                    pair_rows.append((d_, t_))
+        found = self._candidates(phrase, extra=extras)
         if found is None:
             return []
         cand, per_term, idx = found
@@ -686,6 +759,10 @@ class PhraseSearcher:
         ub = per_term[distinct[0]][1][idx[distinct[0]]].copy()
         for t in distinct[1:]:
             np.minimum(ub, per_term[t][1][idx[t]], out=ub)
+        for d_, t_ in pair_rows:
+            # cand ⊆ d_ by the extra-intersection above: align by
+            # searchsorted and clamp the bound with the pair's tf
+            np.minimum(ub, t_[np.searchsorted(d_, cand)], out=ub)
         # descending bound, doc_id-ascending within equal bounds
         order = np.lexsort((cand, -ub))
         import heapq
