@@ -435,6 +435,9 @@ def main() -> None:
             ][args.offset:]
     elif args.batch:
         raw = _read_batch(args.batch)
+        if any('"' in t for t in raw.values()):
+            ap.error("quoted phrase clauses are single-query only for "
+                     "now — run them without --batch")
         _validate_boosts(*raw.values())
         split = {qid: split_not_terms(text) for qid, text in raw.items()}
         queries = {qid: pos for qid, (pos, _) in split.items()}
@@ -483,6 +486,10 @@ def main() -> None:
         from search_engine_spark.plans.index_query import IndexReader
         from search_engine_spark.session import get_spark
 
+        if '"' in args.qtext:
+            ap.error("quoted phrase clauses are served by the local "
+                     "path — drop --distributed (a single bare phrase "
+                     "has a Spark twin via --phrase --distributed)")
         qpos, qneg = split_not_terms(args.qtext)
         spark = get_spark("query")
         reader = IndexReader(spark, args.index_dir)
@@ -521,7 +528,31 @@ def main() -> None:
         s = LocalSearcher(args.index_dir)
         if args.no_static_boost:
             s.clear_static_boosts()
-        if syn_map is not None:
+        if '"' in args.qtext:
+            # mixed phrase+boolean query (plans/phraseq): quoted
+            # segments are exact-phrase clauses scored Lucene-style
+            import os
+
+            from search_engine_spark.plans.phraseq import search_mixed
+            from search_engine_spark.plans.positions import PhraseSearcher
+
+            if args.mode != "and" or args.msm > 1:
+                ap.error("quoted phrase clauses use conjunctive clause "
+                         "semantics — --mode or / --msm do not apply")
+            phraser = (
+                PhraseSearcher(args.index_dir)
+                if os.path.exists(os.path.join(args.index_dir,
+                                               "positions_meta.json"))
+                else None
+            )
+            try:
+                results[""] = search_mixed(
+                    s, phraser, args.qtext, k=kk, stem=stem,
+                    synonyms=syn_map, restrict=site_ids,
+                )[args.offset:]
+            except ValueError as e:
+                ap.error(str(e))
+        elif syn_map is not None:
             from search_engine_spark.plans.scoring import (
                 expand_synonyms, parse_grouped_query,
             )

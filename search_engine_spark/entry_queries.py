@@ -2692,6 +2692,106 @@ GROUP BY term, doc_id
 """
 
 
+def q_phrase_boolean_topk(spark, sf_dir):
+    """Mixed phrase+boolean query scoring (plans/phraseq.py —
+    Lucene-style quoted clause inside the boolean grammar):
+    '"table hash"^2 the -window' = docs containing the exact phrase
+    AND the term 'the', minus docs containing window; score =
+    idf(the)*tfnorm(tf_the) + 2*idf_p*tfnorm(phrase_tf) where the
+    phrase scores as a virtual term (df_p = docs containing it —
+    Lucene PhraseQuery's model). Everything JVM-side: the sliding-
+    window phrase tf is operators/phrases.phrase_tf_col (sequence +
+    slice + aggregate in codegen), stats and idf are broadcast 1-row
+    frames, NOT is an anti-join."""
+    from search_engine_spark.operators.phrases import (
+        phrase_tf_col,
+        tokens_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens_col("text")
+    ph = docs.select(
+        "doc_id",
+        phrase_tf_col(toks, ["table", "hash"]).alias("ptf"),
+        F.size(toks).cast("long").alias("doclen"),
+    ).filter(F.col("ptf") > 0)
+    post = _postings(spark, sf_dir)
+    stats = (
+        post.select("doc_id", "doclen").distinct()
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.avg("doclen").alias("avgdl"))
+    )
+    dfp = ph.agg(F.count("*").cast("long").alias("dfp"))
+    df_spark = (
+        post.filter(F.col("term") == "the")
+        .agg(F.count("*").cast("long").alias("dfs"))
+    )
+    spark_tf = post.filter(F.col("term") == "the").select(
+        "doc_id", F.col("tf").alias("tfs")
+    )
+    win = post.filter(F.col("term") == "window").select("doc_id")
+    cand = (
+        ph.join(spark_tf, "doc_id")
+        .join(win, "doc_id", "left_anti")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfp))
+        .crossJoin(F.broadcast(df_spark))
+    )
+
+    def _idf(df_col):
+        return F.log(
+            1.0 + (F.col("n_docs") - df_col + 0.5) / (df_col + 0.5)
+        )
+
+    def _tfnorm(tf_col):
+        return (tf_col * F.lit(K1 + 1.0)) / (
+            tf_col + F.lit(K1) * (F.lit(1.0 - B)
+                                  + F.lit(B) * F.col("doclen")
+                                  / F.col("avgdl"))
+        )
+
+    score = (
+        _idf(F.col("dfs")) * _tfnorm(F.col("tfs"))
+        + F.lit(2.0) * _idf(F.col("dfp")) * _tfnorm(F.col("ptf"))
+    )
+    return (
+        cand.select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )
+
+
+SQL_PHRASE_BOOLEAN_TOPK = f"""
+WITH {_TOK_CTE},
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(doclen) AS avgdl FROM dl),
+t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pt AS (
+  SELECT doc_id, count(*)::BIGINT AS ptf
+  FROM t, unnest(generate_series(1, len(w) - 1)) AS s(i)
+  WHERE len(w) >= 2 AND w[i] = 'table' AND w[i + 1] = 'hash'
+  GROUP BY doc_id
+),
+pstats AS (SELECT count(*)::BIGINT AS dfp FROM pt),
+dspark AS (SELECT count(*)::BIGINT AS dfs FROM tf WHERE term = 'the'),
+cand AS (
+  SELECT pt.doc_id, pt.ptf, st.tf AS tfs, dl.doclen
+  FROM pt
+  JOIN (SELECT doc_id, tf FROM tf WHERE term = 'the') st USING (doc_id)
+  JOIN dl USING (doc_id)
+  WHERE pt.doc_id NOT IN
+    (SELECT doc_id FROM tf WHERE term = 'window')
+)
+SELECT doc_id, round(
+    ln(1.0 + (s.n_docs - d.dfs + 0.5) / (d.dfs + 0.5))
+      * (tfs * {K1 + 1.0} / (tfs + {K1} * ({1.0 - B} + {B} * doclen / s.avgdl)))
+  + 2.0 * ln(1.0 + (s.n_docs - p.dfp + 0.5) / (p.dfp + 0.5))
+      * (ptf * {K1 + 1.0} / (ptf + {K1} * ({1.0 - B} + {B} * doclen / s.avgdl))),
+  6) AS score
+FROM cand CROSS JOIN stats s CROSS JOIN pstats p CROSS JOIN dspark d
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def q_anchor_text_agg(spark, sf_dir):
     """Inbound-anchor-text aggregation (operators/graph.
     extract_anchor_texts) — the pipeline behind the fields/anchor
@@ -3423,6 +3523,8 @@ QUERIES = {
     # phrase-acceleration table's build aggregation --
     "anchor_text_agg": q_anchor_text_agg,
     "bigram_postings": q_bigram_postings,
+    # -- round-4 session-4: mixed phrase+boolean scoring (phraseq) --
+    "phrase_boolean_topk": q_phrase_boolean_topk,
     # -- veterans whose last green row is r01/r02: rotated back into the
     # window so no entry's green row is more than two rounds stale --
     "except_regression": q_except_regression,
@@ -3504,6 +3606,7 @@ ORACLES = {
     "bm25_site_topk": SQL_BM25_SITE_TOPK,
     "anchor_text_agg": SQL_ANCHOR_TEXT_AGG,
     "bigram_postings": SQL_BIGRAM_POSTINGS,
+    "phrase_boolean_topk": SQL_PHRASE_BOOLEAN_TOPK,
     "pagerank_top": SQL_PAGERANK_TOP,
     "bm25_pagerank_blend": SQL_BM25_PAGERANK_BLEND,
     "bm25_msm_topk": SQL_BM25_MSM_TOPK,

@@ -26,6 +26,18 @@ Checks (each failure is one entry in the returned ``errors`` list):
      built with the same analyzer (stem flag) as the index, the
      position count ``npos`` for a sampled (term, doc) equals the
      postings ``tf`` (positions are one offset per occurrence).
+  I9 bigram agreement — when the phrase-acceleration bigram table
+     (plans/bigrams.py) exists: every sampled bigram row's tf equals
+     a positional adjacency recount, terms route to their stored
+     bucket, and every pair touches a hot endpoint (the meta's frozen
+     hot list). The DIRECT serving path answers 2-token phrases from
+     these rows without consulting positions, so silent drift here
+     mis-ranks phrases invisibly — exactly the corruption class fsck
+     exists for. The distributed audit recounts adjacency for EVERY
+     (pair, doc) by reconstructing token sequences from the
+     positional table (offsets are a permutation of 0..doclen-1), so
+     it also catches MISSING rows — a hot-adjacent pair absent from
+     the table silently empties covered phrase queries.
 
 Sampling: ``sample_terms`` terms are chosen deterministically
 (seeded) from the dictionary, always including the highest-df terms
@@ -282,6 +294,134 @@ def fsck_distributed(spark, index_dir: str) -> dict:
     decoded.unpersist()
     per_term.unpersist()
 
+    # I9 full coverage: recount adjacency for EVERY (pair, doc) from
+    # the positional table and full-outer join against the bigram
+    # table — catches drifted tfs AND missing/phantom rows. The
+    # groupBy(doc_id) shuffles the positional volume once; this is
+    # the audit pass, same O(total positions) budget as I7.
+    bigram_postings_checked = 0
+    bg_dir = os.path.join(index_dir, "bigrams")
+    bg_meta_path = os.path.join(index_dir, "bigrams_meta.json")
+    if os.path.isdir(bg_dir) and os.path.exists(bg_meta_path):
+        with open(bg_meta_path) as f:
+            bmeta = json.load(f)
+        hot = sorted(bmeta.get("hot", ()))
+        bgn = int(bmeta["n_buckets"])
+        big = spark.read.parquet(bg_dir).select(
+            "term", "doc_id", F.col("tf").cast("long").alias("tf"),
+            "bucket",
+        )
+        n_route = big.filter(
+            F.pmod(F.xxhash64(F.col("term")), F.lit(bgn)).cast("int")
+            != F.col("bucket")
+        ).count()
+        if n_route:
+            errors.append(f"I9: {n_route} bigram rows mis-bucketed")
+        w = F.split(F.col("term"), " ")
+        n_malformed = big.filter(F.size(w) != 2).count()
+        if n_malformed:
+            errors.append(f"I9: {n_malformed} malformed bigram terms")
+        if hot:
+            n_uncov = big.filter(
+                (F.size(w) == 2)
+                & ~w.getItem(0).isin(hot)
+                & ~w.getItem(1).isin(hot)
+            ).count()
+            if n_uncov:
+                errors.append(
+                    f"I9: {n_uncov} bigram rows with no hot endpoint"
+                )
+        bgagg = big.groupBy("term", "doc_id").agg(
+            F.sum("tf").alias("tf"), F.count("*").alias("nrows")
+        ).persist()
+        n_dup = bgagg.filter(F.col("nrows") > 1).count()
+        if n_dup:
+            errors.append(
+                f"I9: {n_dup} duplicate bigram (term, doc_id) rows"
+            )
+        bigram_postings_checked = bgagg.count()
+        if os.path.isdir(pos_dir) and os.path.exists(pos_meta):
+            with open(pos_meta) as f:
+                pstem = json.load(f).get("stem")
+            if bool(bmeta.get("stem")) == bool(pstem):
+                from search_engine_spark.plans.positions import (
+                    decode_positions,
+                )
+
+                hot_arr = np.asarray(hot, dtype=object)
+
+                def recount(pdf: pd.DataFrame) -> pd.DataFrame:
+                    res_t: list[str] = []
+                    res_d: list[int] = []
+                    res_c: list[int] = []
+                    for did, grp in pdf.groupby("doc_id", sort=False):
+                        pos_arrays = [
+                            decode_positions(b) for b in grp["positions"]
+                        ]
+                        lens = [len(p) for p in pos_arrays]
+                        total = int(sum(lens))
+                        if total < 2:
+                            continue
+                        offsets = np.concatenate(pos_arrays)
+                        # offsets are a permutation of 0..doclen-1, so
+                        # scattering term names by offset reconstructs
+                        # the token sequence exactly
+                        seq = np.empty(int(offsets.max()) + 1,
+                                       dtype=object)
+                        seq[offsets] = np.repeat(
+                            grp["term"].to_numpy(), lens
+                        )
+                        w1, w2 = seq[:-1], seq[1:]
+                        mask = np.isin(w1, hot_arr) | np.isin(w2, hot_arr)
+                        if not mask.any():
+                            continue
+                        vc = (
+                            pd.Series(w1[mask]).str.cat(
+                                pd.Series(w2[mask]), sep=" "
+                            )
+                        ).value_counts()
+                        res_t.extend(vc.index.tolist())
+                        res_d.extend([int(did)] * len(vc))
+                        res_c.extend(vc.to_numpy().tolist())
+                    return pd.DataFrame(
+                        {
+                            "term": pd.Series(res_t, dtype="object"),
+                            "doc_id": np.asarray(res_d, dtype=np.int64),
+                            "adj": np.asarray(res_c, dtype=np.int64),
+                        }
+                    )
+
+                adj = (
+                    spark.read.parquet(pos_dir)
+                    .select("term", "doc_id", "positions")
+                    .groupBy("doc_id")
+                    .applyInPandas(
+                        recount, "term string, doc_id long, adj long"
+                    )
+                )
+                mism = (
+                    bgagg.select("term", "doc_id", "tf")
+                    .join(adj, ["term", "doc_id"], "full_outer")
+                    .filter(
+                        F.col("tf").isNull()
+                        | F.col("adj").isNull()
+                        | (F.col("tf") != F.col("adj"))
+                    )
+                )
+                n_m = mism.count()
+                if n_m:
+                    for r in mism.limit(20).collect():
+                        errors.append(
+                            f"I9 bigram adjacency: {r.term!r} doc "
+                            f"{r.doc_id} tf={r.tf} recount={r.adj}"
+                        )
+                    if n_m > 20:
+                        errors.append(
+                            f"I9 bigram adjacency: {n_m} "
+                            "(pair, doc) mismatches total"
+                        )
+        bgagg.unpersist()
+
     # field indexes use the ordinary layout — full-coverage recursion
     field_reports = {}
     fields_dir = os.path.join(index_dir, "fields")
@@ -303,6 +443,7 @@ def fsck_distributed(spark, index_dir: str) -> dict:
         "terms_checked": int(totals["terms"] or 0),
         "postings_checked": int(totals["postings"] or 0),
         "positions_checked": positions_checked,
+        "bigram_postings_checked": bigram_postings_checked,
         "fields_checked": sorted(field_reports),
         "bad_terms": int(n_bad_terms),
         "n_errors": len(errors),
@@ -400,6 +541,96 @@ def fsck(index_dir: str, *, sample_terms: int = 200, seed: int = 7) -> dict:
                 )
         boosts_checked = True
 
+    # phrase-acceleration bigram table (I9): sampled rows must agree
+    # with a positional adjacency recount — the direct phrase path
+    # serves straight from these rows
+    bigrams_checked = 0
+    bg_dir = os.path.join(index_dir, "bigrams")
+    bg_meta_path = os.path.join(index_dir, "bigrams_meta.json")
+    if os.path.isdir(bg_dir) and os.path.exists(bg_meta_path):
+        import pyarrow.dataset as pds
+
+        with open(bg_meta_path) as f:
+            bmeta = json.load(f)
+        hot = frozenset(bmeta.get("hot", ()))
+        bg_buckets = int(bmeta["n_buckets"])
+        # candidate terms: first/middle/last of up to three row groups
+        # per fragment — exact values (footer stats can truncate
+        # strings), ~1 MiB row groups so the probe stays cheap
+        cand: dict[str, int] = {}
+        for frag in pds.dataset(
+            bg_dir, format="parquet", partitioning="hive"
+        ).get_fragments():
+            bucket = int(frag.path.split("bucket=")[1].split("/")[0])
+            pf = pq.ParquetFile(frag.path)
+            n_rg = pf.metadata.num_row_groups
+            for rg in sorted({0, n_rg // 2, n_rg - 1}):
+                vals = pf.read_row_group(rg, columns=["term"])[
+                    "term"
+                ].to_pylist()
+                if vals:
+                    for t in (vals[0], vals[len(vals) // 2], vals[-1]):
+                        cand.setdefault(t, bucket)
+        terms_sorted = sorted(cand)
+        rng_bg = np.random.default_rng(seed + 1)
+        n_pick = min(20, len(terms_sorted))
+        picked_bg = [
+            terms_sorted[i]
+            for i in rng_bg.choice(
+                len(terms_sorted), size=n_pick, replace=False
+            )
+        ]
+        from search_engine_spark.plans.bigrams import BigramReader
+        from search_engine_spark.plans.deletes import mask_deleted
+        from search_engine_spark.plans.positions import PhraseSearcher
+
+        br = BigramReader(index_dir)
+        plain = None
+        if os.path.isdir(os.path.join(index_dir, "positions")) and \
+                os.path.exists(pos_meta):
+            with open(pos_meta) as f:
+                pstem = json.load(f).get("stem")
+            if bool(bmeta.get("stem")) == bool(pstem):
+                # positional recount twin with the bigram table OFF
+                plain = PhraseSearcher(index_dir)
+                plain._bigrams_loaded = True
+                plain._bigrams = None
+        for term in picked_bg:
+            routed = term_bucket(term, bg_buckets)
+            if routed != cand[term]:
+                errors.append(
+                    f"I9 bigram routing: {term!r} stored in bucket "
+                    f"{cand[term]} but routes to {routed}"
+                )
+            parts = term.split(" ")
+            if len(parts) != 2:
+                errors.append(f"I9 bigram: malformed term {term!r}")
+                continue
+            if hot and parts[0] not in hot and parts[1] not in hot:
+                errors.append(
+                    f"I9 bigram coverage: {term!r} has no hot endpoint"
+                )
+            docs, tfs = br.rows(*parts)
+            if docs.size > 1 and np.any(np.diff(docs) <= 0):
+                errors.append(
+                    f"I9 bigram order: {term!r} doc_ids not strictly "
+                    "increasing"
+                )
+            if tfs.size and np.any(tfs <= 0):
+                errors.append(f"I9 bigram: {term!r} non-positive tf")
+            if plain is not None:
+                if tombs.size:
+                    docs, tfs = mask_deleted(tombs, docs, tfs)
+                got = dict(zip(docs.tolist(), tfs.tolist()))
+                want = dict(plain.phrase_counts(parts))
+                if got != want:
+                    errors.append(
+                        f"I9 bigram adjacency: {term!r} table rows "
+                        f"disagree with positional recount "
+                        f"({len(got)} vs {len(want)} docs)"
+                    )
+            bigrams_checked += 1
+
     # field indexes (fields/<name>) use the ordinary layout — recurse
     # with a proportionally smaller sample so a corrupted title field
     # fails the same audit the body does
@@ -424,6 +655,7 @@ def fsck(index_dir: str, *, sample_terms: int = 200, seed: int = 7) -> dict:
         "positions_terms_checked": positions_checked,
         "tombstones_checked": tombstones_checked,
         "boosts_checked": boosts_checked,
+        "bigrams_checked": bigrams_checked,
         "fields_checked": sorted(field_reports),
         "n_errors": len(errors),
         "errors": errors[:50],

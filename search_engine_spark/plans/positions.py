@@ -216,6 +216,12 @@ def phrase_search_distributed(
     kernel per surviving doc group (K rows each — bounded memory
     regardless of corpus size), TakeOrderedAndProject top-k. Shuffle
     is one exchange of the phrase terms' rows only.
+
+    When the phrase-acceleration bigram table exists (plans/
+    bigrams.py) and covers a 2-token phrase, the plan collapses to a
+    partition-pruned scan of that single bigram posting list with the
+    term filter pushed to parquet — no Python stage at all, the same
+    direct path the local PhraseSearcher takes.
     """
     with open(os.path.join(index_dir, "positions_meta.json")) as f:
         meta = json.load(f)
@@ -229,6 +235,39 @@ def phrase_search_distributed(
         return spark.createDataFrame([], "doc_id long, phrase_tf long")
     distinct = list(dict.fromkeys(phrase))
     from search_engine_spark.functions.hashing import term_bucket
+    from search_engine_spark.plans.deletes import tombstones_df
+
+    # covered 2-token phrase + bigram table present: the cluster twin
+    # of the local DIRECT path — a partition-pruned scan of ONE bigram
+    # posting list with the term filter pushed to parquet, then
+    # TakeOrderedAndProject. Zero Python, zero positional decode.
+    bg_meta_path = os.path.join(index_dir, "bigrams_meta.json")
+    if len(phrase) == 2 and os.path.exists(bg_meta_path):
+        with open(bg_meta_path) as f:
+            bmeta = json.load(f)
+        hot = frozenset(bmeta.get("hot", ()))
+        if bool(bmeta.get("stem")) == bool(meta["stem"]) and (
+            phrase[0] in hot or phrase[1] in hot
+        ):
+            bterm = phrase[0] + " " + phrase[1]
+            bb = term_bucket(bterm, int(bmeta["n_buckets"]))
+            counts = (
+                spark.read.parquet(os.path.join(index_dir, "bigrams"))
+                .filter((F.col("bucket") == bb)
+                        & (F.col("term") == F.lit(bterm)))
+                .select(
+                    "doc_id",
+                    F.col("tf").cast("long").alias("phrase_tf"),
+                )
+            )
+            tomb = tombstones_df(spark, index_dir)
+            if tomb is not None:
+                counts = counts.join(
+                    F.broadcast(tomb), "doc_id", "left_anti"
+                )
+            return counts.orderBy(
+                F.desc("phrase_tf"), F.asc("doc_id")
+            ).limit(k)
 
     buckets = sorted({term_bucket(t, int(meta["n_buckets"])) for t in distinct})
     rows = (
@@ -270,8 +309,6 @@ def phrase_search_distributed(
     )
     # tombstone filter (plans/deletes) — identical semantics to the
     # local PhraseSearcher's candidate mask
-    from search_engine_spark.plans.deletes import tombstones_df
-
     tomb = tombstones_df(spark, index_dir)
     if tomb is not None:
         counts = counts.join(F.broadcast(tomb), "doc_id", "left_anti")
@@ -641,9 +678,21 @@ class PhraseSearcher:
 
     def phrase_counts(self, phrase: list[str]) -> list[tuple[int, int]]:
         """All (doc_id, phrase_tf) with tf > 0, doc_id-ascending
-        (exhaustive — the equivalence-test surface)."""
+        (exhaustive — the equivalence-test surface). A covered 2-token
+        phrase reads straight from the bigram table (tf IS the
+        adjacency count, property-tested equal to the positional
+        scan), so phrase CLAUSES over stopword pairs (plans/phraseq)
+        ride the acceleration too."""
         if not phrase:
             return []
+        br = self._bigram_reader()
+        if br is not None and len(phrase) == 2 and br.covers(*phrase):
+            docs, tfs = br.rows(*phrase)
+            if self._deleted.size:
+                from search_engine_spark.plans.deletes import mask_deleted
+
+                docs, tfs = mask_deleted(self._deleted, docs, tfs)
+            return list(zip(docs.tolist(), tfs.tolist()))
         found = self._candidates(phrase)
         if found is None:
             return []

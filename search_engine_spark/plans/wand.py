@@ -340,7 +340,7 @@ class LocalSearcher:
         self, qtext_or_groups, *, k: int = 10, stem: bool = True,
         exclude=None, after: tuple[int, float] | None = None,
         boosts: dict[str, float] | None = None, prune: bool = True,
-        fast: bool = True, restrict=None,
+        fast: bool = True, restrict=None, exclude_docs=None,
     ) -> list[tuple[int, float]]:
         """Grouped boolean query (parse_grouped_query semantics):
         conjunction of OR-groups — 'spark|flink^0.5 join^2 -slow' —
@@ -399,6 +399,7 @@ class LocalSearcher:
         idf = {t: self._idf(t) for t in terms}
         w = {t: float(boosts.get(t, 1.0)) for t in terms}
         excl = self._excluded_docs(exclude) if exclude else None
+        excl = self._merge_excl(excl, exclude_docs)
         allow = self._norm_restrict(restrict)
         if allow is not None and allow.size == 0:
             return []
@@ -811,6 +812,18 @@ class LocalSearcher:
         return np.unique(np.concatenate(arrs))
 
     @staticmethod
+    def _merge_excl(excl: np.ndarray | None, exclude_docs) -> np.ndarray | None:
+        """Union the NOT-term doc set with an explicit excluded-doc-id
+        set (NOT-phrase support, plans/phraseq.py) — exclusion stays
+        removal-only, so every pruning bound remains valid."""
+        if exclude_docs is None:
+            return excl
+        ed = np.unique(np.asarray(exclude_docs, dtype=np.int64))
+        if ed.size == 0:
+            return excl
+        return ed if excl is None else np.union1d(excl, ed)
+
+    @staticmethod
     def _after_mask(docs: np.ndarray, scores: np.ndarray, after):
         """Eligibility mask for cursor pagination: keep docs strictly
         AFTER the (doc_id, score) cursor — the previous page's last
@@ -1043,7 +1056,7 @@ class LocalSearcher:
         self, qtext_or_terms, *, k: int = 10, stem: bool = True,
         prune: bool = True, mode: str = "and", fast: bool = True,
         exclude=None, after: tuple[int, float] | None = None,
-        msm: int = 1, restrict=None,
+        msm: int = 1, restrict=None, exclude_docs=None,
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), score desc then doc_id asc.
 
@@ -1091,6 +1104,7 @@ class LocalSearcher:
             exclude = analyze_query(exclude, stem=stem)
         self._fast = fast
         excl = self._excluded_docs(exclude) if exclude else None
+        excl = self._merge_excl(excl, exclude_docs)
         allow = self._norm_restrict(restrict)
         if allow is not None and allow.size == 0:
             return []

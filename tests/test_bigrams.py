@@ -319,3 +319,62 @@ def test_cli_build_flag_and_phrase_parity(spark, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     for q in ("spark hash", "spark hash table"):
         assert phrase(acc, q) == phrase(ref, q), q
+
+
+def test_distributed_direct_path_parity(spark, accel_idx, tmp_path):
+    """The cluster twin: phrase_search_distributed over an accelerated
+    index (direct bigram scan, no Python stage) returns the same rows
+    as the positional Spark plan AND the local searcher — before and
+    after a delete."""
+    from search_engine_spark.plans.deletes import delete_docs
+    from search_engine_spark.plans.positions import (
+        phrase_search_distributed,
+    )
+
+    src, _ = accel_idx
+    d = os.path.join(str(tmp_path), "idx_dist")
+    shutil.copytree(src, d)
+
+    def dist(idx, phrase, k=20):
+        return [
+            (r.doc_id, r.phrase_tf)
+            for r in phrase_search_distributed(spark, idx, phrase, k=k)
+            .collect()
+        ]
+
+    # positional twin: same index with the bigram table hidden
+    ref = os.path.join(str(tmp_path), "idx_ref")
+    shutil.copytree(src, ref)
+    os.remove(os.path.join(ref, "bigrams_meta.json"))
+    shutil.rmtree(os.path.join(ref, "bigrams"))
+
+    for phrase in (["spark", "hash"], ["hash", "join"], ["spark", "qqqzzz"]):
+        got = dist(d, phrase)
+        assert got == dist(ref, phrase), phrase
+        local = PhraseSearcher(d).search_phrase(phrase, k=20)
+        assert got == local, phrase
+
+    top = dist(d, ["spark", "hash"], k=1)
+    assert top
+    delete_docs(spark, d, [top[0][0]])
+    delete_docs(spark, ref, [top[0][0]])
+    got = dist(d, ["spark", "hash"])
+    assert top[0][0] not in [x for x, _ in got]
+    assert got == dist(ref, ["spark", "hash"])
+
+
+def test_distributed_direct_path_plan_is_pure_jvm(spark, accel_idx):
+    """Plan gate: the covered-bigram distributed phrase plan must show
+    NO Python evaluation (the whole point — a pruned posting scan),
+    and must push the bigram term filter into the parquet scan."""
+    from search_engine_spark.plans.positions import (
+        phrase_search_distributed,
+    )
+
+    src, _ = accel_idx
+    df = phrase_search_distributed(spark, src, ["spark", "hash"], k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan \
+        and "FlatMapGroupsInPandas" not in plan, plan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "spark hash" in optimized, optimized

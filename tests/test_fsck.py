@@ -270,3 +270,98 @@ def test_distributed_recurses_into_title_field(spark, tmp_path_factory):
     assert not out["ok"]
     assert any("field index 'title'" in e for e in out["errors"]), \
         out["errors"][:5]
+
+
+@pytest.fixture()
+def accel_index_dir(spark, documents, index_dir):
+    """index_dir (postings + positions, stem=False) plus the
+    phrase-acceleration bigram table (plans/bigrams.py)."""
+    from search_engine_spark.plans.bigrams import build_bigrams
+
+    build_bigrams(spark, documents, index_dir, n_buckets=4, stem=False,
+                  top_terms=4)
+    return index_dir
+
+
+def test_bigrams_clean_both_modes(spark, accel_index_dir):
+    """I9: a healthy accelerated index passes the sampled probe and
+    the full distributed audit, and both report coverage."""
+    from search_engine_spark.plans.fsck import fsck_distributed
+
+    out = fsck(accel_index_dir, sample_terms=30)
+    assert out["ok"], out["errors"]
+    assert out["bigrams_checked"] > 0
+
+    out = fsck_distributed(spark, accel_index_dir)
+    assert out["ok"], out["errors"]
+    assert out["bigram_postings_checked"] > 0
+
+
+def test_detects_bigram_tf_drift(spark, accel_index_dir):
+    """I9: drifted adjacency counts (the direct phrase path would
+    silently mis-rank) fail BOTH audit modes — the recount against
+    the positional table is the ground truth."""
+    from search_engine_spark.plans.fsck import fsck_distributed
+
+    for frag in glob.glob(os.path.join(
+        accel_index_dir, "bigrams", "bucket=*", "*.parquet"
+    )):
+        tbl = pq.read_table(frag)
+        tfs = [t + 1 for t in tbl["tf"].to_pylist()]
+        pq.write_table(
+            tbl.set_column(tbl.schema.get_field_index("tf"), "tf",
+                           pa.array(tfs, type=tbl["tf"].type)),
+            frag,
+        )
+        _drop_crc(frag)
+
+    out = fsck(accel_index_dir, sample_terms=10)
+    assert not out["ok"]
+    assert any("I9 bigram adjacency" in e for e in out["errors"]), \
+        out["errors"][:5]
+
+    out = fsck_distributed(spark, accel_index_dir)
+    assert not out["ok"]
+    assert any("I9 bigram adjacency" in e for e in out["errors"]), \
+        out["errors"][:5]
+
+
+def test_distributed_detects_missing_and_uncovered_rows(
+    spark, accel_index_dir
+):
+    """I9 full coverage: a hot-adjacent pair DELETED from the table
+    (covered phrase queries silently empty) and a smuggled row with no
+    hot endpoint both fail the distributed audit."""
+    from search_engine_spark.functions.hashing import term_bucket
+    from search_engine_spark.plans.fsck import fsck_distributed
+
+    frags = sorted(glob.glob(os.path.join(
+        accel_index_dir, "bigrams", "bucket=*", "*.parquet"
+    )))
+    frag = max(frags, key=lambda p: pq.read_metadata(p).num_rows)
+    tbl = pq.read_table(frag)
+    victim = tbl["term"][0].as_py()
+    import pyarrow.compute as pc
+
+    pq.write_table(tbl.filter(pc.not_equal(tbl["term"], victim)), frag)
+    _drop_crc(frag)
+
+    fake = "zzqq yyxx"  # neither endpoint hot
+    bdir = os.path.join(accel_index_dir, "bigrams",
+                        f"bucket={term_bucket(fake, 4)}")
+    os.makedirs(bdir, exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "term": pa.array([fake]),
+            "doc_id": pa.array([0], type=pa.int64()),
+            "tf": pa.array([1], type=pa.int32()),
+        }),
+        os.path.join(bdir, "smuggled.parquet"),
+    )
+
+    out = fsck_distributed(spark, accel_index_dir)
+    assert not out["ok"]
+    assert any("I9 bigram adjacency" in e for e in out["errors"]), \
+        out["errors"][:5]
+    assert any("no hot endpoint" in e for e in out["errors"]), \
+        out["errors"][:5]

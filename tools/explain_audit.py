@@ -145,6 +145,13 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "anchor_text_agg": (["HashAggregate", "codegen id"],
                         ["Python", "CartesianProduct",
                          "BroadcastNestedLoopJoin"]),
+    # round 4 session 4 — mixed phrase+boolean scoring: sliding-window
+    # phrase tf in codegen (sequence+slice+aggregate), NOT as an
+    # anti-join, 1-row stat frames broadcast, top-k via
+    # TakeOrderedAndProject; no Python anywhere
+    "phrase_boolean_topk": (["TakeOrderedAndProject", "LeftAnti",
+                             "codegen id"],
+                            ["Python", "CartesianProduct"]),
 }
 
 
