@@ -399,6 +399,23 @@ def main() -> None:
         statistics.median(lat_pa) * 1000, 3
     )
 
+    # mixed phrase+boolean serving (plans/phraseq): quoted clause +
+    # boolean remainder, production config (bigram table live)
+    from search_engine_spark.plans.phraseq import search_mixed
+    from search_engine_spark.plans.wand import LocalSearcher as _LS
+
+    MIXED_QUERIES = ['"of the" data^2 -scan', '"the bold" data|filter']
+    sm, pm = _LS(idx_big), PhraseSearcher(idx_big)
+    for q in MIXED_QUERIES:
+        search_mixed(sm, pm, q, k=10)  # warm
+    lat_mx = []
+    for _ in range(reps):
+        for q in MIXED_QUERIES:
+            t0 = time.perf_counter()
+            search_mixed(sm, pm, q, k=10)
+            lat_mx.append(time.perf_counter() - t0)
+    extra["mixed_p50_ms"] = round(statistics.median(lat_mx) * 1000, 3)
+
     shutil.rmtree(work, ignore_errors=True)
     out = {
         "metric": "index_build_seconds",

@@ -369,6 +369,25 @@ def main() -> None:
             ap.error("--explain-doc is a local single-query mode")
         from search_engine_spark.plans.wand import LocalSearcher
 
+        if '"' in args.qtext:
+            # mixed phrase+boolean explain: per-clause breakdown
+            import os
+
+            from search_engine_spark.plans.phraseq import explain_mixed
+            from search_engine_spark.plans.positions import PhraseSearcher
+
+            phraser = (
+                PhraseSearcher(args.index_dir)
+                if os.path.exists(os.path.join(args.index_dir,
+                                               "positions_meta.json"))
+                else None
+            )
+            out = explain_mixed(
+                LocalSearcher(args.index_dir), phraser, args.qtext,
+                args.explain_doc, stem=not args.no_stem,
+            )
+            print(json.dumps(out, indent=2))
+            return
         qpos, _ = split_not_terms(args.qtext)
         out = LocalSearcher(args.index_dir).explain_score(
             qpos, args.explain_doc, stem=not args.no_stem
@@ -435,10 +454,11 @@ def main() -> None:
             ][args.offset:]
     elif args.batch:
         raw = _read_batch(args.batch)
-        if any('"' in t for t in raw.values()):
-            ap.error("quoted phrase clauses are single-query only for "
-                     "now — run them without --batch")
-        _validate_boosts(*raw.values())
+        if args.distributed and any('"' in t for t in raw.values()):
+            ap.error("quoted phrase clauses inside a batch are served "
+                     "locally — drop --distributed (single quoted "
+                     "queries do have a --distributed twin)")
+        _validate_boosts(*(t for t in raw.values() if '"' not in t))
         split = {qid: split_not_terms(text) for qid, text in raw.items()}
         queries = {qid: pos for qid, (pos, _) in split.items()}
         not_terms = {qid: neg for qid, (_, neg) in split.items() if neg}
@@ -469,8 +489,34 @@ def main() -> None:
             from search_engine_spark.plans.wand import LocalSearcher
 
             s = LocalSearcher(args.index_dir)
+            phraser = None
             for qid, text in queries.items():
-                if "|" in text or "^" in text:
+                if '"' in raw[qid]:
+                    # quoted phrase clauses: route the RAW line (the
+                    # NOT split must not break -"...") through the
+                    # mixed phrase+boolean path
+                    import os
+
+                    from search_engine_spark.plans.phraseq import (
+                        search_mixed,
+                    )
+
+                    if phraser is None and os.path.exists(os.path.join(
+                        args.index_dir, "positions_meta.json"
+                    )):
+                        from search_engine_spark.plans.positions import (
+                            PhraseSearcher,
+                        )
+
+                        phraser = PhraseSearcher(args.index_dir)
+                    try:
+                        results[qid] = search_mixed(
+                            s, phraser, raw[qid], k=kk, stem=stem,
+                            restrict=site_ids,
+                        )[args.offset:]
+                    except ValueError as e:
+                        ap.error(str(e))
+                elif "|" in text or "^" in text:
                     results[qid] = s.search_grouped(
                         text, k=kk, stem=stem,
                         exclude=not_terms.get(qid) or None,
@@ -487,40 +533,63 @@ def main() -> None:
         from search_engine_spark.session import get_spark
 
         if '"' in args.qtext:
-            ap.error("quoted phrase clauses are served by the local "
-                     "path — drop --distributed (a single bare phrase "
-                     "has a Spark twin via --phrase --distributed)")
-        qpos, qneg = split_not_terms(args.qtext)
-        spark = get_spark("query")
-        reader = IndexReader(spark, args.index_dir)
-        site_df = (_site_docs_df(spark, args.index_dir, args.site)
-                   if args.site else None)
-        if args.no_static_boost:
-            reader.clear_static_boosts()
-        if syn_map is not None:
-            from search_engine_spark.plans.scoring import (
-                expand_synonyms, parse_grouped_query,
+            # mixed phrase+boolean cluster twin (plans/phraseq) — one
+            # declarative Spark plan, result-identical to local
+            from search_engine_spark.plans.phraseq import (
+                search_mixed_distributed,
             )
 
-            groups, _, pboosts = parse_grouped_query(qpos, stem=stem)
-            groups = expand_synonyms(groups, syn_map, stem=stem)
-            res_df = reader.search_grouped(groups, k=args.k, stem=stem,
-                                           exclude=qneg or None,
-                                           boosts=pboosts or None,
-                                           offset=args.offset,
-                                           restrict=site_df)
-        elif "|" in qpos or "^" in qpos:
-            res_df = reader.search_grouped(qpos, k=args.k, stem=stem,
-                                           exclude=qneg or None,
-                                           offset=args.offset,
-                                           restrict=site_df)
+            if args.mode != "and" or args.msm > 1:
+                ap.error("quoted phrase clauses use conjunctive clause "
+                         "semantics — --mode or / --msm do not apply")
+            spark = get_spark("query")
+            site_df = (_site_docs_df(spark, args.index_dir, args.site)
+                       if args.site else None)
+            try:
+                res_df = search_mixed_distributed(
+                    spark, args.index_dir, args.qtext, k=args.k,
+                    stem=stem, offset=args.offset, synonyms=syn_map,
+                    restrict=site_df,
+                    static_boosts=not args.no_static_boost,
+                )
+            except ValueError as e:
+                ap.error(str(e))
+            results[""] = [(r.doc_id, r.score) for r in res_df.collect()]
+            spark.stop()
         else:
-            res_df = reader.search(qpos, k=args.k, stem=stem,
-                                   mode=args.mode, exclude=qneg or None,
-                                   offset=args.offset, msm=args.msm,
-                                   restrict=site_df)
-        results[""] = [(r.doc_id, r.score) for r in res_df.collect()]
-        spark.stop()
+            qpos, qneg = split_not_terms(args.qtext)
+            spark = get_spark("query")
+            reader = IndexReader(spark, args.index_dir)
+            site_df = (_site_docs_df(spark, args.index_dir, args.site)
+                       if args.site else None)
+            if args.no_static_boost:
+                reader.clear_static_boosts()
+            if syn_map is not None:
+                from search_engine_spark.plans.scoring import (
+                    expand_synonyms, parse_grouped_query,
+                )
+
+                groups, _, pboosts = parse_grouped_query(qpos, stem=stem)
+                groups = expand_synonyms(groups, syn_map, stem=stem)
+                res_df = reader.search_grouped(groups, k=args.k,
+                                               stem=stem,
+                                               exclude=qneg or None,
+                                               boosts=pboosts or None,
+                                               offset=args.offset,
+                                               restrict=site_df)
+            elif "|" in qpos or "^" in qpos:
+                res_df = reader.search_grouped(qpos, k=args.k, stem=stem,
+                                               exclude=qneg or None,
+                                               offset=args.offset,
+                                               restrict=site_df)
+            else:
+                res_df = reader.search(qpos, k=args.k, stem=stem,
+                                       mode=args.mode,
+                                       exclude=qneg or None,
+                                       offset=args.offset, msm=args.msm,
+                                       restrict=site_df)
+            results[""] = [(r.doc_id, r.score) for r in res_df.collect()]
+            spark.stop()
     else:
         from search_engine_spark.plans.wand import LocalSearcher
 

@@ -352,6 +352,24 @@ class IndexReader:
         join filtered on count(DISTINCT grp) == n_groups and
         semi-joined back. A group whose terms are all absent is
         naturally unsatisfiable."""
+        agg = self.match_scores_grouped(
+            qtext_or_groups, stem=stem, exclude=exclude, boosts=boosts,
+            restrict=restrict,
+        )
+        if agg is None:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        return self._topk(agg, k, offset)
+
+    def match_scores_grouped(self, qtext_or_groups, *,
+                             stem: bool = True, exclude=None,
+                             boosts: dict[str, float] | None = None,
+                             restrict=None) -> DataFrame | None:
+        """The FULL grouped match set with boosted scores — the
+        grouped twin of match_scores (no top-k truncation; the mixed
+        phrase+boolean distributed plan re-ranks over it). Returns
+        None for an empty/unsatisfiable query."""
         from search_engine_spark.plans.scoring import parse_grouped_query
 
         spark = self.spark
@@ -368,15 +386,14 @@ class IndexReader:
         boosts = boosts or {}
         if isinstance(exclude, str):
             exclude = analyze_query(exclude, stem=stem)
-        empty = spark.createDataFrame([], "doc_id long, score double")
         if not groups:
-            return empty
+            return None
         all_terms = list(dict.fromkeys(t for g in groups for t in g))
         dict_rows = self.lookup_terms(all_terms)
         found = {r.term: r for r in dict_rows}
         groups = [[t for t in g if t in found] for g in groups]
         if any(not g for g in groups):
-            return empty
+            return None
         terms = list(dict.fromkeys(t for g in groups for t in g))
         # query-time boost folded into the broadcast idf value
         # (score = boost * idf * tfnorm); * 1.0 is bit-exact
@@ -437,9 +454,7 @@ class IndexReader:
             edocs = self._excluded_docs_df(list(dict.fromkeys(exclude)))
             if edocs is not None:
                 agg = agg.join(edocs, "doc_id", "left_anti")
-        return self._topk(
-            self._boosted_df(agg.select("doc_id", "score")), k, offset
-        )
+        return self._boosted_df(agg.select("doc_id", "score"))
 
     def search_batch(
         self, queries: dict, *, k: int = 10, stem: bool = True,

@@ -107,23 +107,39 @@ def parse_mixed_query(
     return phrases, rest
 
 
+_DL_CACHE_MAX = 64
+
+
 def _doclens(searcher, term: str, docs: np.ndarray) -> np.ndarray:
     """Per-doc lengths for `docs` from `term`'s body postings
     (docs ⊆ term's doc list by construction — every phrase match
-    contains every phrase token)."""
-    segs = searcher._segments(term)
-    parts_d: list[np.ndarray] = []
-    parts_l: list[np.ndarray] = []
-    for row in segs.itertuples(index=False):
-        d, _ = decode_postings(row.doc_ids, row.tfs)
-        parts_d.append(d)
-        parts_l.append(decode_varints(row.doclens).astype(np.int64))
-    if not parts_d:
-        return np.zeros(docs.size, dtype=np.int64)
-    ad = np.concatenate(parts_d)
-    al = np.concatenate(parts_l)
-    order = np.argsort(ad, kind="stable")
-    ad, al = ad[order], al[order]
+    contains every phrase token). The merged (doc_ids, doclens)
+    arrays are memoized per searcher — decoding a stopword anchor's
+    postings was the measured cost of warm repeated phrase-clause
+    queries (doclens are build-time constants, so the cache never
+    stales; deletes don't change survivors' lengths)."""
+    cache = searcher.__dict__.setdefault("_phraseq_dl_cache", {})
+    hit = cache.get(term)
+    if hit is not None:
+        cache[term] = cache.pop(term)  # LRU refresh
+        ad, al = hit
+    else:
+        segs = searcher._segments(term)
+        parts_d: list[np.ndarray] = []
+        parts_l: list[np.ndarray] = []
+        for row in segs.itertuples(index=False):
+            d, _ = decode_postings(row.doc_ids, row.tfs)
+            parts_d.append(d)
+            parts_l.append(decode_varints(row.doclens).astype(np.int64))
+        if not parts_d:
+            return np.zeros(docs.size, dtype=np.int64)
+        ad = np.concatenate(parts_d)
+        al = np.concatenate(parts_l)
+        order = np.argsort(ad, kind="stable")
+        ad, al = ad[order], al[order]
+        if len(cache) >= _DL_CACHE_MAX:
+            cache.pop(next(iter(cache)))
+        cache[term] = (ad, al)
     pos = np.searchsorted(ad, docs)
     pos = np.minimum(pos, ad.size - 1)
     return al[pos]
@@ -184,9 +200,7 @@ def search_mixed(
     neg_arrs: list[np.ndarray] = []
     allow: np.ndarray | None = None
     for toks, boost, neg in phrases:
-        counts = phraser.phrase_counts(list(toks))
-        d = np.asarray([c[0] for c in counts], dtype=np.int64)
-        t = np.asarray([c[1] for c in counts], dtype=np.int64)
+        d, t = phraser.phrase_counts_arrays(list(toks))
         if neg:
             if d.size:
                 neg_arrs.append(d)
@@ -240,12 +254,15 @@ def search_mixed(
         return out
 
     if groups:
-        # the allow-list bounds the candidate space, so asking the
-        # boolean engine for ALL of it is exact and cheap relative to
-        # the phrase evaluation that produced it
+        # the boolean engine must score EVERY allow-member (the final
+        # rank adds phrase contributions), so k = |allow| — at that k
+        # block-max can never skip a segment (the heap must hold every
+        # candidate), making the exhaustive vectorized scatter path
+        # the strictly cheaper exact plan: no per-candidate heap,
+        # pure numpy over the query terms' cached lists
         base = searcher.search_grouped(
             groups, k=int(allow.size), boosts=boosts, exclude=excl_terms,
-            exclude_docs=neg_docs, restrict=allow, prune=prune, fast=fast,
+            exclude_docs=neg_docs, restrict=allow, prune=False, fast=fast,
         )
         if not base:
             return []
@@ -270,3 +287,315 @@ def search_mixed(
         return []
     scores = searcher._boosted(cand, phrase_contrib(cand))
     return searcher._vector_topk(cand, scores, k, after)
+
+
+def explain_mixed(
+    searcher,
+    phraser,
+    qtext: str,
+    doc_id: int,
+    *,
+    stem: bool = True,
+) -> dict:
+    """Lucene-explain-style breakdown for a mixed phrase+boolean
+    query: one row per clause (phrase clauses carry phrase_tf /
+    phrase_df / idf / tfnorm / contribution; term clauses boost * idf
+    * tfnorm; NOT clauses report whether they suppress the doc), plus
+    `total` — equal to search_mixed's score for the doc up to float
+    summation order (<= 1e-12 relative), `matched` (would the doc be
+    returned), and the static boost when the index carries one."""
+    from search_engine_spark.plans.scoring import parse_grouped_query
+
+    doc_id = int(doc_id)
+    phrases, rest = parse_mixed_query(qtext, stem=stem)
+    groups, excl_terms, boosts = parse_grouped_query(rest, stem=stem)
+    darr = np.asarray([doc_id], dtype=np.int64)
+    deleted = bool(
+        searcher._deleted.size
+        and searcher._in_sorted(searcher._deleted, darr)[0]
+    )
+    n = searcher.n_docs
+    clauses: list[dict] = []
+    matched = not deleted
+    total = 0.0
+    dl_val: int | None = None
+
+    def _doc_tf(term: str) -> tuple[int, int]:
+        """(tf, doclen) of the doc in a term's postings (0, 0) if
+        absent — also memoizes doclen for the phrase rows."""
+        nonlocal dl_val
+        if term not in searcher._df:
+            return 0, 0
+        segs = searcher._segments(term)
+        for row in segs.itertuples(index=False):
+            if row.first_doc <= doc_id <= row.last_doc:
+                docs, tfs = decode_postings(row.doc_ids, row.tfs)
+                pos = np.searchsorted(docs, doc_id)
+                if pos < docs.size and docs[pos] == doc_id:
+                    dls = decode_varints(row.doclens).astype(np.int64)
+                    dl_val = int(dls[pos])
+                    return int(tfs[pos]), dl_val
+        return 0, 0
+
+    # term clauses first (they establish doclen for the phrase rows
+    # of docs that match any group term)
+    term_rows = []
+    seen_terms: set[str] = set()
+    for gi, g in enumerate(groups):
+        g_hit = False
+        for t in g:
+            tf, dl = _doc_tf(t)
+            row = {"clause": "term", "group": gi, "term": t,
+                   "matched": tf > 0 and not deleted,
+                   "tf": tf or None, "df": None, "idf": None,
+                   "tfnorm": None, "boost": float(boosts.get(t, 1.0)),
+                   "contribution": 0.0}
+            if t in searcher._df:
+                row["df"] = int(searcher._df[t])
+            if tf > 0 and not deleted:
+                g_hit = True
+                if t not in seen_terms:
+                    seen_terms.add(t)
+                    idf = searcher._idf(t)
+                    tfn = float(searcher._tfnorm(
+                        np.asarray([tf], dtype=np.int64),
+                        np.asarray([dl], dtype=np.int64),
+                    )[0])
+                    row.update(idf=idf, tfnorm=tfn,
+                               contribution=row["boost"] * idf * tfn)
+                    total += row["contribution"]
+            term_rows.append(row)
+        if groups and not g_hit:
+            matched = False
+    clauses.extend(term_rows)
+
+    for t in excl_terms:
+        tf, _ = _doc_tf(t)
+        sup = tf > 0 and not deleted
+        clauses.append({"clause": "not_term", "term": t,
+                        "suppresses": sup})
+        if sup:
+            matched = False
+
+    for toks, boost, neg in phrases:
+        counts = phraser.phrase_counts(list(toks)) if phraser else []
+        dfp = len(counts)
+        tfp = dict(counts).get(doc_id, 0)
+        if neg:
+            sup = tfp > 0 and not deleted
+            clauses.append({"clause": "not_phrase",
+                            "phrase": " ".join(toks),
+                            "phrase_tf": tfp, "suppresses": sup})
+            if sup:
+                matched = False
+            continue
+        row = {"clause": "phrase", "phrase": " ".join(toks),
+               "matched": tfp > 0 and not deleted, "phrase_tf": tfp,
+               "phrase_df": dfp, "idf": None, "tfnorm": None,
+               "boost": float(boost), "contribution": 0.0}
+        if tfp > 0 and not deleted:
+            if dl_val is None:
+                known = [t for t in toks if t in searcher._df]
+                if known:
+                    _doc_tf(min(known, key=lambda t: searcher._df[t]))
+            dl = dl_val if dl_val is not None else searcher.avgdl
+            idf_p = math.log(1.0 + (n - dfp + 0.5) / (dfp + 0.5))
+            tfn = float(searcher._tfnorm(
+                np.asarray([tfp], dtype=np.int64),
+                np.asarray([dl], dtype=np.float64),
+            )[0])
+            row.update(idf=idf_p, tfnorm=tfn,
+                       contribution=boost * idf_p * tfn)
+            total += row["contribution"]
+        else:
+            matched = False
+        clauses.append(row)
+
+    sb = 0.0
+    if matched and getattr(searcher, "_boost", None) is not None:
+        boosted = searcher._boosted(
+            darr, np.asarray([total], dtype=np.float64)
+        )
+        sb = float(boosted[0]) - total
+        total = float(boosted[0])
+    return {
+        "doc_id": doc_id,
+        "deleted": deleted,
+        "matched": matched,
+        "clauses": clauses,
+        "static_boost": sb,
+        "n_docs": n,
+        "avgdl": searcher.avgdl,
+        "total": total if matched else 0.0,
+    }
+
+
+def search_mixed_distributed(
+    spark,
+    index_dir: str,
+    qtext: str,
+    *,
+    k: int = 10,
+    stem: bool = True,
+    offset: int = 0,
+    synonyms: dict[str, list[str]] | None = None,
+    restrict=None,
+    static_boosts: bool = True,
+):
+    """The cluster twin of search_mixed — one declarative Spark plan,
+    result-identical to the local path (property-tested, scores to
+    1e-9: distributed sums associate differently).
+
+    Plan shape, 100 TB-safe: each positive phrase's full match list
+    comes from phrase_counts_distributed (partition-pruned positional
+    scan, or a pure-JVM bigram-table scan when covered); the
+    conjunction is a chain of doc_id equi-joins over those
+    (phrase-selective) frames; document lengths ride the rarest
+    phrase token's decoded postings (bucket-pruned); per-phrase df
+    becomes a broadcast 1-row aggregate — no collect on any
+    corpus-sized data. The boolean remainder reuses
+    IndexReader.match_scores_grouped with the phrase doc-set as the
+    pre-shuffle `restrict` semi-join; NOT-phrases are anti-joins.
+    Final rank = one TakeOrderedAndProject over the combined score."""
+    from pyspark.sql import DataFrame, functions as F
+
+    from search_engine_spark.plans.index_query import IndexReader
+    from search_engine_spark.plans.positions import (
+        phrase_counts_distributed,
+    )
+    from search_engine_spark.plans.scoring import (
+        B,
+        K1,
+        expand_synonyms,
+        parse_grouped_query,
+    )
+
+    phrases, rest = parse_mixed_query(qtext, stem=stem)
+    groups, excl_terms, boosts = parse_grouped_query(rest, stem=stem)
+    if synonyms:
+        groups = expand_synonyms(groups, synonyms, stem=stem)
+    reader = IndexReader(spark, index_dir)
+    if not static_boosts:
+        reader.clear_static_boosts()
+    empty = spark.createDataFrame([], "doc_id long, score double")
+
+    def _with_restrict(df):
+        if restrict is None:
+            return df
+        rdf = (
+            restrict.select("doc_id").distinct()
+            if isinstance(restrict, DataFrame)
+            else spark.createDataFrame(
+                [(int(d),) for d in restrict], "doc_id long"
+            ).distinct()
+        )
+        return df.join(rdf, "doc_id", "left_semi")
+
+    if not phrases:
+        if not groups:
+            return empty
+        return reader.search_grouped(
+            groups, k=k, boosts=boosts, exclude=excl_terms,
+            offset=offset, restrict=restrict,
+        )
+
+    pos = [(toks, boost) for toks, boost, neg in phrases if not neg]
+    negs = [toks for toks, _b, neg in phrases if neg]
+
+    if not pos:
+        if not groups:
+            return empty
+        agg = reader.match_scores_grouped(
+            groups, boosts=boosts, exclude=excl_terms, restrict=restrict,
+        )
+        if agg is None:
+            return empty
+        for toks in negs:
+            agg = agg.join(
+                phrase_counts_distributed(
+                    spark, index_dir, list(toks)
+                ).select("doc_id"),
+                "doc_id", "left_anti",
+            )
+        return IndexReader._topk(agg, k, offset)
+
+    # positive phrases: conjunction via doc_id equi-joins, per-phrase
+    # tf kept as a column
+    pc = [
+        phrase_counts_distributed(spark, index_dir, list(toks))
+        for toks, _b in pos
+    ]
+    allow = None
+    for i, cdf in enumerate(pc):
+        cur = cdf.select(
+            "doc_id", F.col("phrase_tf").alias(f"ptf_{i}")
+        )
+        allow = cur if allow is None else allow.join(cur, "doc_id")
+    allow = _with_restrict(allow)
+
+    # doclen from the rarest phrase token's postings (every match
+    # contains every phrase token)
+    anchor_rows = reader.lookup_terms(list(dict.fromkeys(pos[0][0])))
+    if not anchor_rows:
+        return empty
+    anchor = min(anchor_rows, key=lambda r: r.df)
+    dl = (
+        reader.decoded_postings([anchor.term], [anchor.bucket])
+        .select("doc_id", "doclen")
+    )
+    allow = allow.join(dl, "doc_id")
+    # per-phrase df as broadcast 1-row aggregates (declarative idf)
+    for i, cdf in enumerate(pc):
+        allow = allow.crossJoin(
+            F.broadcast(
+                cdf.agg(F.count("*").cast("double").alias(f"dfp_{i}"))
+            )
+        )
+    n = float(reader.n_docs)
+
+    def _tfnorm(tf_col):
+        return (tf_col.cast("double") * F.lit(K1 + 1.0)) / (
+            tf_col.cast("double")
+            + F.lit(K1) * (F.lit(1.0 - B)
+                           + F.lit(B) * F.col("doclen").cast("double")
+                           / F.lit(reader.avgdl))
+        )
+
+    pscore = None
+    for i, (_toks, boost) in enumerate(pos):
+        dfp = F.col(f"dfp_{i}")
+        idf_p = F.log(
+            F.lit(1.0) + (F.lit(n) - dfp + 0.5) / (dfp + 0.5)
+        )
+        term_i = F.lit(float(boost)) * idf_p * _tfnorm(F.col(f"ptf_{i}"))
+        pscore = term_i if pscore is None else pscore + term_i
+    pframe = allow.select("doc_id", pscore.alias("pscore"))
+
+    if groups:
+        agg = reader.match_scores_grouped(
+            groups, boosts=boosts, exclude=excl_terms,
+            restrict=pframe.select("doc_id"),
+        )
+        if agg is None:
+            return empty
+        combined = agg.join(pframe, "doc_id").select(
+            "doc_id", (F.col("score") + F.col("pscore")).alias("score")
+        )
+    else:
+        combined = reader._boosted_df(
+            pframe.select("doc_id", F.col("pscore").alias("score"))
+        )
+        if excl_terms:
+            edocs = reader._excluded_docs_df(
+                list(dict.fromkeys(excl_terms))
+            )
+            if edocs is not None:
+                combined = combined.join(edocs, "doc_id", "left_anti")
+    for toks in negs:
+        combined = combined.join(
+            phrase_counts_distributed(
+                spark, index_dir, list(toks)
+            ).select("doc_id"),
+            "doc_id", "left_anti",
+        )
+    return IndexReader._topk(combined, k, offset)

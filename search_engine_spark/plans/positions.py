@@ -206,8 +206,23 @@ def phrase_search_distributed(
     query: str | list[str],
     k: int = 10,
 ) -> DataFrame:
+    """Top-k cluster-scale phrase evaluation — ranks
+    phrase_counts_distributed by (phrase_tf desc, doc_id asc)."""
+    return phrase_counts_distributed(spark, index_dir, query).orderBy(
+        F.desc("phrase_tf"), F.asc("doc_id")
+    ).limit(k)
+
+
+def phrase_counts_distributed(
+    spark: SparkSession,
+    index_dir: str,
+    query: str | list[str],
+) -> DataFrame:
     """Cluster-scale phrase evaluation over the positional table —
     the Spark twin of PhraseSearcher (property-tested identical).
+    Returns the FULL tombstone-masked (doc_id, phrase_tf) match set;
+    phrase_search_distributed ranks it, the mixed phrase+boolean
+    distributed plan (plans/phraseq) joins against it.
 
     Plan: scan ONLY the phrase terms' bucket partitions (static
     partition pruning on the hive `bucket` column + a pushed `term
@@ -265,9 +280,7 @@ def phrase_search_distributed(
                 counts = counts.join(
                     F.broadcast(tomb), "doc_id", "left_anti"
                 )
-            return counts.orderBy(
-                F.desc("phrase_tf"), F.asc("doc_id")
-            ).limit(k)
+            return counts
 
     buckets = sorted({term_bucket(t, int(meta["n_buckets"])) for t in distinct})
     rows = (
@@ -312,7 +325,7 @@ def phrase_search_distributed(
     tomb = tombstones_df(spark, index_dir)
     if tomb is not None:
         counts = counts.join(F.broadcast(tomb), "doc_id", "left_anti")
-    return counts.orderBy(F.desc("phrase_tf"), F.asc("doc_id")).limit(k)
+    return counts
 
 
 class PhraseSearcher:
@@ -683,8 +696,19 @@ class PhraseSearcher:
         adjacency count, property-tested equal to the positional
         scan), so phrase CLAUSES over stopword pairs (plans/phraseq)
         ride the acceleration too."""
+        docs, tfs = self.phrase_counts_arrays(phrase)
+        return list(zip(docs.tolist(), tfs.tolist()))
+
+    def phrase_counts_arrays(
+        self, phrase: list[str]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """phrase_counts without the python-tuple materialization:
+        (sorted doc_ids, aligned phrase tfs) as int64 arrays — the
+        hot-path surface for phrase CLAUSES (plans/phraseq), where a
+        stopword pair's match list is corpus-scale."""
+        empty = np.empty(0, dtype=np.int64)
         if not phrase:
-            return []
+            return empty, empty
         br = self._bigram_reader()
         if br is not None and len(phrase) == 2 and br.covers(*phrase):
             docs, tfs = br.rows(*phrase)
@@ -692,16 +716,18 @@ class PhraseSearcher:
                 from search_engine_spark.plans.deletes import mask_deleted
 
                 docs, tfs = mask_deleted(self._deleted, docs, tfs)
-            return list(zip(docs.tolist(), tfs.tolist()))
+            return docs.astype(np.int64, copy=False), \
+                tfs.astype(np.int64, copy=False)
         found = self._candidates(phrase)
         if found is None:
-            return []
+            return empty, empty
         cand, per_term, idx = found
         tfs = self._batch_tfs(
             phrase, per_term, idx, np.arange(cand.size, dtype=np.int64)
         )
         nz = np.flatnonzero(tfs)
-        return [(int(cand[i]), int(tfs[i])) for i in nz]
+        return cand[nz].astype(np.int64, copy=False), \
+            tfs[nz].astype(np.int64, copy=False)
 
     def near_counts(
         self, term_a: str, term_b: str, slop: int

@@ -7,6 +7,7 @@ The engine must agree WITH and WITHOUT the bigram acceleration table
 pagination property must hold on the combined score.
 """
 
+import json
 import math
 import os
 import random
@@ -248,3 +249,105 @@ def test_cli_quoted_query(accel_dir):
     got = [(int(x.split("\t")[1]), float(x.split("\t")[2]))
            for x in lines]
     assert [d for d, _ in got] == [d for d, _ in api]
+
+
+def test_distributed_mixed_parity(spark, accel_dir, plain_dir):
+    """search_mixed_distributed (one declarative Spark plan) must
+    return the same ranking as the local path — with and without the
+    bigram acceleration table."""
+    from search_engine_spark.plans.phraseq import search_mixed_distributed
+
+    for q in ('"spark hash" table', '"spark hash"^2 table|row -sort',
+              '"spark hash" "table row"', '-"spark hash" table',
+              '"join scan" merge', '"spark hash"',
+              '"spark qqqzzz" table'):
+        want = search_mixed(
+            LocalSearcher(accel_dir), PhraseSearcher(accel_dir),
+            q, k=20, stem=False,
+        )
+        for d in (accel_dir, plain_dir):
+            got = [
+                (r.doc_id, r.score)
+                for r in search_mixed_distributed(
+                    spark, d, q, k=20, stem=False
+                ).collect()
+            ]
+            assert [x for x, _ in got] == [x for x, _ in want], (q, d)
+            for (_, gs), (_, ws) in zip(got, want):
+                assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_cli_batch_with_quoted_line(accel_dir, tmp_path):
+    """A --batch file mixing a quoted line with a plain line: the
+    quoted line routes through search_mixed with the RAW text (the
+    NOT split must not break -\"...\")."""
+    bf = os.path.join(str(tmp_path), "qb.txt")
+    with open(bf, "w") as f:
+        f.write('q1\t"spark hash" table -"table row"\nq2\tmerge\n')
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "query.py"), "--index-dir",
+         accel_dir, "--batch", bf, "-k", "3", "--no-stem"],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = r.stdout.strip().splitlines()[:-1]
+    got = {}
+    for x in lines:
+        qid, _rank, doc, score = x.split("\t")
+        got.setdefault(qid, []).append((int(doc), float(score)))
+    api = search_mixed(
+        LocalSearcher(accel_dir), PhraseSearcher(accel_dir),
+        '"spark hash" table -"table row"', k=3, stem=False,
+    )
+    assert [d for d, _ in got["q1"]] == [d for d, _ in api]
+    assert got.get("q2"), "plain line must still answer"
+
+
+def test_explain_mixed_total_equals_serving_score(accel_dir):
+    """explain_mixed's total must equal search_mixed's score for each
+    returned doc (float summation order aside), and a doc killed by a
+    NOT-phrase must report matched=False with the suppressing
+    clause."""
+    from search_engine_spark.plans.phraseq import explain_mixed
+
+    s = LocalSearcher(accel_dir)
+    p = PhraseSearcher(accel_dir)
+    for q in ('"spark hash" table', '"spark hash"^2 table|row -sort',
+              '"spark hash" "table row"', '"join scan"'):
+        hits = search_mixed(s, p, q, k=5, stem=False)
+        assert hits, q
+        for doc, score in hits:
+            out = explain_mixed(s, p, q, doc, stem=False)
+            assert out["matched"], (q, doc)
+            assert out["total"] == pytest.approx(score, abs=1e-9)
+
+    hits = search_mixed(s, p, '"spark hash" -"table row"', k=100,
+                        stem=False)
+    excluded = [
+        d for d, _ in search_mixed(s, p, '"spark hash" "table row"',
+                                   k=100, stem=False)
+    ]
+    assert excluded
+    out = explain_mixed(s, p, '"spark hash" -"table row"', excluded[0],
+                        stem=False)
+    assert not out["matched"]
+    assert any(c.get("clause") == "not_phrase" and c.get("suppresses")
+               for c in out["clauses"])
+    assert excluded[0] not in [d for d, _ in hits]
+
+
+def test_explain_mixed_cli(accel_dir):
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "query.py"), "--index-dir",
+         accel_dir, '"spark hash" table', "--explain-doc",
+         str(search_mixed(LocalSearcher(accel_dir),
+                          PhraseSearcher(accel_dir),
+                          '"spark hash" table', k=1, stem=False)[0][0]),
+         "--no-stem"],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout)
+    assert out["matched"] and out["total"] > 0
+    kinds = {c["clause"] for c in out["clauses"]}
+    assert "phrase" in kinds and "term" in kinds
