@@ -16,6 +16,13 @@ Syntax (query.py routes any query containing a double quote here):
   phrases);
 * a single-token quoted segment degrades to a plain term clause with
   its boost (Lucene's behavior — there is no 1-gram phrase);
+* `"a b"~N` is a PROXIMITY FILTER clause: the two tokens must
+  co-occur within N positions (min |pos_a - pos_b| <= N — the
+  near_counts semantics). It constrains candidates and contributes
+  NOTHING to the score (Elasticsearch filter-context semantics;
+  Lucene's sloppy-phrase tf approximation is deliberately not
+  reproduced — a filter composes exactly, an approximation doesn't).
+  `-"a b"~N` suppresses near-co-occurring docs;
 * the unquoted remainder keeps the full existing grammar (OR-groups,
   ^boosts, NOT-terms, synonym expansion) with unchanged semantics.
 
@@ -56,30 +63,46 @@ import numpy as np
 from search_engine_spark.functions.codec import decode_postings, decode_varints
 from search_engine_spark.functions.text import analyze
 
-_PHRASE_RE = re.compile(r'(-?)"([^"]*)"(\^\S+)?')
+_PHRASE_RE = re.compile(r'(-?)"([^"]*)"(~\d+)?(\^\S+)?')
 
 
 def parse_mixed_query(
     qtext: str, *, stem: bool = True,
-) -> tuple[list[tuple[tuple[str, ...], float, bool]], str]:
+) -> tuple[list[tuple[tuple[str, ...], float, bool, int | None]], str]:
     """Split quoted phrase clauses out of a query string.
 
     Returns (phrases, rest): phrases is a list of
-    (tokens, boost, negated) with tokens analyzed by the SAME kernel
-    as documents; rest is the unquoted remainder (single-token quotes
-    already folded back in as plain clauses). Duplicate positive
-    phrases collapse, first boost wins — mirroring the grouped
-    parser's term-boost rule. Malformed/negative boosts raise, like
-    _split_boost. An unbalanced quote is lenient: the stray mark is
-    punctuation and vanishes in analysis."""
-    phrases: list[tuple[tuple[str, ...], float, bool]] = []
-    seen: set[tuple[tuple[str, ...], bool]] = set()
+    (tokens, boost, negated, slop) with tokens analyzed by the SAME
+    kernel as documents; rest is the unquoted remainder (single-token
+    quotes already folded back in as plain clauses).
+
+    slop is None for an exact phrase; `"a b"~N` is a PROXIMITY FILTER
+    clause (the two tokens must co-occur within N positions —
+    PhraseSearcher.near_counts semantics), which constrains candidates
+    but contributes NOTHING to the score (Elasticsearch filter-context
+    semantics; Lucene's sloppy-phrase tf approximation is deliberately
+    not reproduced). A boost on a slop clause therefore raises, as do
+    slop clauses without exactly two distinct tokens.
+
+    Duplicate positive phrases collapse, first boost wins — mirroring
+    the grouped parser's term-boost rule. Malformed/negative boosts
+    raise, like _split_boost. An unbalanced quote is lenient: the
+    stray mark is punctuation and vanishes in analysis."""
+    phrases: list[tuple[tuple[str, ...], float, bool, int | None]] = []
+    seen: set[tuple[tuple[str, ...], bool, int | None]] = set()
 
     def repl(m: re.Match) -> str:
         neg = m.group(1) == "-"
-        raw_boost = m.group(3)
+        raw_slop = m.group(3)
+        raw_boost = m.group(4)
+        slop = int(raw_slop[1:]) if raw_slop is not None else None
         boost = 1.0
         if raw_boost is not None:
+            if slop is not None:
+                raise ValueError(
+                    f"slop clause {m.group(0)!r} cannot carry a boost "
+                    "— proximity clauses are filters (score-neutral)"
+                )
             try:
                 boost = float(raw_boost[1:])
             except ValueError:
@@ -91,16 +114,22 @@ def parse_mixed_query(
                     f"negative boost in phrase clause {m.group(0)!r}"
                 )
         toks = analyze(m.group(2), stem=stem)
-        if not toks:
+        if slop is not None:
+            if len(toks) != 2 or toks[0] == toks[1]:
+                raise ValueError(
+                    f"slop clause {m.group(0)!r} needs exactly two "
+                    "distinct tokens"
+                )
+        elif not toks:
             return " "
-        if len(toks) == 1:
+        elif len(toks) == 1:
             # degrade to a plain clause in the remainder grammar
             suffix = raw_boost if (raw_boost and not neg) else ""
             return f" {'-' if neg else ''}{toks[0]}{suffix} "
-        key = (tuple(toks), neg)
+        key = (tuple(toks), neg, slop)
         if key not in seen:
             seen.add(key)
-            phrases.append((tuple(toks), boost, neg))
+            phrases.append((tuple(toks), boost, neg, slop))
         return " "
 
     rest = _PHRASE_RE.sub(repl, qtext)
@@ -199,7 +228,27 @@ def search_mixed(
     pos_lists: list[tuple[np.ndarray, np.ndarray, float, tuple[str, ...]]] = []
     neg_arrs: list[np.ndarray] = []
     allow: np.ndarray | None = None
-    for toks, boost, neg in phrases:
+    for toks, boost, neg, slop in phrases:
+        if slop is not None:
+            # proximity FILTER clause: constrains candidates, scores 0
+            nd = np.asarray(
+                [dd for dd, _ in phraser.near_counts(
+                    toks[0], toks[1], slop
+                )],
+                dtype=np.int64,
+            )
+            if neg:
+                if nd.size:
+                    neg_arrs.append(nd)
+                continue
+            if nd.size == 0:
+                return []
+            allow = nd if allow is None else np.intersect1d(
+                allow, nd, assume_unique=True
+            )
+            if allow.size == 0:
+                return []
+            continue
         d, t = phraser.phrase_counts_arrays(list(toks))
         if neg:
             if d.size:
@@ -222,6 +271,31 @@ def search_mixed(
     )
 
     if not pos_lists:
+        if allow is not None:
+            # proximity-filter clauses only: a plain boolean query
+            # over the restricted candidate set (fully pruned — no
+            # phrase score to add), or a pure filter match
+            if groups:
+                return searcher.search_grouped(
+                    groups, k=k, boosts=boosts, exclude=excl_terms,
+                    exclude_docs=neg_docs, after=after, prune=prune,
+                    fast=fast, restrict=allow,
+                )
+            cand = allow
+            mask = np.ones(cand.size, dtype=bool)
+            if excl_terms:
+                excl = searcher._excluded_docs(excl_terms)
+                if excl is not None:
+                    mask &= ~searcher._in_sorted(excl, cand)
+            if neg_docs is not None:
+                mask &= ~searcher._in_sorted(neg_docs, cand)
+            cand = cand[mask]
+            if cand.size == 0:
+                return []
+            scores = searcher._boosted(
+                cand, np.zeros(cand.size, dtype=np.float64)
+            )
+            return searcher._vector_topk(cand, scores, k, after)
         # NOT-phrases only: ordinary boolean query minus their docs
         if not groups:
             return []
@@ -377,7 +451,28 @@ def explain_mixed(
         if sup:
             matched = False
 
-    for toks, boost, neg in phrases:
+    for toks, boost, neg, slop in phrases:
+        if slop is not None:
+            nd = (
+                dict(phraser.near_counts(toks[0], toks[1], slop))
+                if phraser else {}
+            )
+            hit = doc_id in nd and not deleted
+            if neg:
+                clauses.append({"clause": "not_near",
+                                "phrase": " ".join(toks), "slop": slop,
+                                "suppresses": hit})
+                if hit:
+                    matched = False
+            else:
+                clauses.append({"clause": "near",
+                                "phrase": " ".join(toks), "slop": slop,
+                                "matched": hit,
+                                "min_dist": nd.get(doc_id),
+                                "contribution": 0.0})
+                if not hit:
+                    matched = False
+            continue
         counts = phraser.phrase_counts(list(toks)) if phraser else []
         dfp = len(counts)
         tfp = dict(counts).get(doc_id, 0)
@@ -499,10 +594,62 @@ def search_mixed_distributed(
             offset=offset, restrict=restrict,
         )
 
-    pos = [(toks, boost) for toks, boost, neg in phrases if not neg]
-    negs = [toks for toks, _b, neg in phrases if neg]
+    from search_engine_spark.plans.positions import near_docs_distributed
+
+    pos = []
+    negs = []
+    slop_pos = []  # proximity FILTER frames (score-neutral)
+    slop_neg = []
+    for toks, boost, neg, slop in phrases:
+        if slop is not None:
+            f = near_docs_distributed(
+                spark, index_dir, toks[0], toks[1], slop
+            ).select("doc_id")
+            (slop_neg if neg else slop_pos).append(f)
+        elif neg:
+            negs.append(toks)
+        else:
+            pos.append((toks, boost))
+
+    def _anti_negs(df):
+        for toks in negs:
+            df = df.join(
+                phrase_counts_distributed(
+                    spark, index_dir, list(toks)
+                ).select("doc_id"),
+                "doc_id", "left_anti",
+            )
+        for f in slop_neg:
+            df = df.join(f, "doc_id", "left_anti")
+        return df
 
     if not pos:
+        if slop_pos:
+            # proximity filters only: semi-join chain as the restrict
+            near = slop_pos[0]
+            for f in slop_pos[1:]:
+                near = near.join(f, "doc_id", "left_semi")
+            near = _with_restrict(near)
+            if groups:
+                agg = reader.match_scores_grouped(
+                    groups, boosts=boosts, exclude=excl_terms,
+                    restrict=near,
+                )
+                if agg is None:
+                    return empty
+            else:
+                agg = reader._boosted_df(
+                    near.select(
+                        "doc_id", F.lit(0.0).alias("score")
+                    ).distinct()
+                )
+                if excl_terms:
+                    edocs = reader._excluded_docs_df(
+                        list(dict.fromkeys(excl_terms))
+                    )
+                    if edocs is not None:
+                        agg = agg.join(edocs, "doc_id", "left_anti")
+            return IndexReader._topk(_anti_negs(agg), k, offset)
         if not groups:
             return empty
         agg = reader.match_scores_grouped(
@@ -510,14 +657,7 @@ def search_mixed_distributed(
         )
         if agg is None:
             return empty
-        for toks in negs:
-            agg = agg.join(
-                phrase_counts_distributed(
-                    spark, index_dir, list(toks)
-                ).select("doc_id"),
-                "doc_id", "left_anti",
-            )
-        return IndexReader._topk(agg, k, offset)
+        return IndexReader._topk(_anti_negs(agg), k, offset)
 
     # positive phrases: conjunction via doc_id equi-joins, per-phrase
     # tf kept as a column
@@ -531,6 +671,8 @@ def search_mixed_distributed(
             "doc_id", F.col("phrase_tf").alias(f"ptf_{i}")
         )
         allow = cur if allow is None else allow.join(cur, "doc_id")
+    for f in slop_pos:  # proximity filters constrain, score nothing
+        allow = allow.join(f, "doc_id", "left_semi")
     allow = _with_restrict(allow)
 
     # doclen from the rarest phrase token's postings (every match
@@ -591,11 +733,4 @@ def search_mixed_distributed(
             )
             if edocs is not None:
                 combined = combined.join(edocs, "doc_id", "left_anti")
-    for toks in negs:
-        combined = combined.join(
-            phrase_counts_distributed(
-                spark, index_dir, list(toks)
-            ).select("doc_id"),
-            "doc_id", "left_anti",
-        )
-    return IndexReader._topk(combined, k, offset)
+    return IndexReader._topk(_anti_negs(combined), k, offset)

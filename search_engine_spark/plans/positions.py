@@ -328,6 +328,68 @@ def phrase_counts_distributed(
     return counts
 
 
+def near_docs_distributed(
+    spark: SparkSession,
+    index_dir: str,
+    term_a: str,
+    term_b: str,
+    slop: int,
+) -> DataFrame:
+    """Docs where the two DISTINCT (already-analyzed) terms co-occur
+    within `slop` positions — PhraseSearcher.near_counts semantics as
+    a cluster plan: the proximity FILTER frame for the mixed-query
+    distributed path (plans/phraseq). Same bucket-pruned scan shape
+    as phrase_counts_distributed; output is tombstone-masked."""
+    if term_a == term_b:
+        raise ValueError("near query needs two distinct terms")
+    with open(os.path.join(index_dir, "positions_meta.json")) as f:
+        meta = json.load(f)
+    from search_engine_spark.functions.hashing import term_bucket
+    from search_engine_spark.plans.deletes import tombstones_df
+
+    pair = [term_a, term_b]
+    buckets = sorted(
+        {term_bucket(t, int(meta["n_buckets"])) for t in pair}
+    )
+    rows = (
+        spark.read.parquet(os.path.join(index_dir, "positions"))
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(pair))
+        .select("term", "doc_id", "positions")
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        nothing = pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
+        pos = {
+            t: decode_positions(b)
+            for t, b in zip(pdf["term"], pdf["positions"])
+        }
+        if len(pos) < 2:
+            return nothing
+        pa_, pb_ = pos[term_a], pos[term_b]
+        right = np.searchsorted(pb_, pa_)
+        best = np.iinfo(np.int64).max
+        has_r = right < pb_.size
+        if has_r.any():
+            best = min(best, int((pb_[right[has_r]] - pa_[has_r]).min()))
+        has_l = right > 0
+        if has_l.any():
+            best = min(
+                best, int((pa_[has_l] - pb_[right[has_l] - 1]).min())
+            )
+        if best > slop:
+            return nothing
+        return pd.DataFrame(
+            {"doc_id": np.asarray([pdf["doc_id"].iat[0]],
+                                  dtype=np.int64)}
+        )
+
+    docs = rows.groupBy("doc_id").applyInPandas(kernel, "doc_id long")
+    tomb = tombstones_df(spark, index_dir)
+    if tomb is not None:
+        docs = docs.join(F.broadcast(tomb), "doc_id", "left_anti")
+    return docs
+
+
 class PhraseSearcher:
     """Local serving path for exact-phrase queries over the positional
     table — pyarrow row-group-pruned reads, no Spark job, mirroring

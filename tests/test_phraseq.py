@@ -46,6 +46,10 @@ MIXED_QUERIES = [
     '"spark" table',                   # single-token quote degrades
     '"spark hash" -"table row"',       # phrase + NOT-phrase
     '"hash spark"^0.5 merge',          # reversed pair + boost
+    '"spark join"~3',                  # proximity filter alone
+    '"spark join"~3 table',            # proximity filter + scored term
+    '"spark hash" "join scan"~5',      # exact phrase + proximity
+    '-"spark join"~2 table',           # NOT-proximity + term
 ]
 
 
@@ -86,6 +90,14 @@ def _ptf(toks: list[str], phrase: tuple[str, ...]) -> int:
     )
 
 
+def _mindist(toks: list[str], a: str, b: str) -> int:
+    pa = [i for i, t in enumerate(toks) if t == a]
+    pb = [i for i, t in enumerate(toks) if t == b]
+    if not pa or not pb:
+        return 10**9
+    return min(abs(i - j) for i in pa for j in pb)
+
+
 def _brute_mixed(corpus_pdf, qtext, k=400):
     phrases, rest = parse_mixed_query(qtext, stem=False)
     groups, exclude, boosts = parse_grouped_query(rest, stem=False)
@@ -98,9 +110,15 @@ def _brute_mixed(corpus_pdf, qtext, k=400):
     groups = [[t for t in g if df[t]] for g in groups]
     if groups and any(not g for g in groups):
         return []
-    pos_ph = [(ts, b) for ts, b, neg in phrases if not neg]
-    neg_ph = [ts for ts, _b, neg in phrases if neg]
-    if not pos_ph and not groups:
+    pos_ph = [(ts, b) for ts, b, neg, slop in phrases
+              if not neg and slop is None]
+    neg_ph = [ts for ts, _b, neg, slop in phrases
+              if neg and slop is None]
+    near_pos = [(ts, slop) for ts, _b, neg, slop in phrases
+                if not neg and slop is not None]
+    near_neg = [(ts, slop) for ts, _b, neg, slop in phrases
+                if neg and slop is not None]
+    if not pos_ph and not groups and not near_pos:
         return []
     pc = {
         ts: {d: _ptf(t, ts) for d, t in toks.items()}
@@ -125,6 +143,10 @@ def _brute_mixed(corpus_pdf, qtext, k=400):
         if any(pc[ts][d] == 0 for ts, _ in pos_ph):
             continue
         if any(pc[ts][d] > 0 for ts in neg_ph):
+            continue
+        if any(_mindist(toks[d], ts[0], ts[1]) > s for ts, s in near_pos):
+            continue
+        if any(_mindist(toks[d], ts[0], ts[1]) <= s for ts, s in near_neg):
             continue
         if any(c[t] for t in exclude):
             continue
@@ -168,7 +190,7 @@ def test_fuzz_random_mixed_queries(corpus_pdf, accel_dir, plain_dir):
         parts = []
         for _ in range(rng.randint(1, 3)):
             kind = rng.random()
-            if kind < 0.5:
+            if kind < 0.45:
                 ph = " ".join(
                     rng.choice(VOCAB) for _ in range(rng.randint(2, 3))
                 )
@@ -176,7 +198,11 @@ def test_fuzz_random_mixed_queries(corpus_pdf, accel_dir, plain_dir):
                 boost = f"^{rng.choice([0.5, 2])}" \
                     if (not neg and rng.random() < 0.3) else ""
                 parts.append(f'{neg}"{ph}"{boost}')
-            elif kind < 0.8:
+            elif kind < 0.6:
+                a, b = rng.sample(VOCAB, 2)
+                neg = "-" if rng.random() < 0.2 else ""
+                parts.append(f'{neg}"{a} {b}"~{rng.randint(1, 6)}')
+            elif kind < 0.85:
                 parts.append(rng.choice(VOCAB))
             else:
                 parts.append("-" + rng.choice(VOCAB))
@@ -208,8 +234,20 @@ def test_pagination_on_combined_score(corpus_pdf, accel_dir):
 def test_parser_rules():
     ph, rest = parse_mixed_query('"a b"^2 c -"d e" "a b"^9', stem=False)
     # duplicate positive phrase collapses, first boost wins
-    assert ph == [(("a", "b"), 2.0, False), (("d", "e"), 1.0, True)]
+    assert ph == [(("a", "b"), 2.0, False, None),
+                  (("d", "e"), 1.0, True, None)]
     assert rest.split() == ["c"]
+    # slop clauses: filters with exactly two distinct tokens, no boost
+    ph, rest = parse_mixed_query('"a b"~3 -"c d"~1 e', stem=False)
+    assert ph == [(("a", "b"), 1.0, False, 3),
+                  (("c", "d"), 1.0, True, 1)]
+    assert rest.split() == ["e"]
+    with pytest.raises(ValueError, match="cannot carry a boost"):
+        parse_mixed_query('"a b"~2^3', stem=False)
+    with pytest.raises(ValueError, match="two distinct tokens"):
+        parse_mixed_query('"a b c"~2', stem=False)
+    with pytest.raises(ValueError, match="two distinct tokens"):
+        parse_mixed_query('"a a"~2', stem=False)
     with pytest.raises(ValueError, match="malformed boost"):
         parse_mixed_query('"a b"^x', stem=False)
     with pytest.raises(ValueError, match="negative boost"):
@@ -260,7 +298,10 @@ def test_distributed_mixed_parity(spark, accel_dir, plain_dir):
     for q in ('"spark hash" table', '"spark hash"^2 table|row -sort',
               '"spark hash" "table row"', '-"spark hash" table',
               '"join scan" merge', '"spark hash"',
-              '"spark qqqzzz" table'):
+              '"spark qqqzzz" table',
+              '"spark join"~3 table', '"spark join"~3',
+              '"spark hash" "join scan"~5',
+              '-"spark join"~2 table'):
         want = search_mixed(
             LocalSearcher(accel_dir), PhraseSearcher(accel_dir),
             q, k=20, stem=False,
@@ -313,7 +354,8 @@ def test_explain_mixed_total_equals_serving_score(accel_dir):
     s = LocalSearcher(accel_dir)
     p = PhraseSearcher(accel_dir)
     for q in ('"spark hash" table', '"spark hash"^2 table|row -sort',
-              '"spark hash" "table row"', '"join scan"'):
+              '"spark hash" "table row"', '"join scan"',
+              '"spark join"~4 table'):
         hits = search_mixed(s, p, q, k=5, stem=False)
         assert hits, q
         for doc, score in hits:
