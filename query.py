@@ -240,6 +240,32 @@ def main() -> None:
         if args.qtext and ("|" in args.qtext or "^" in args.qtext):
             ap.error("--msm applies to plain term queries (grouped "
                      "syntax has its own per-group semantics)")
+    # Lucene-style fuzzy clauses (term~N on BARE terms; quoted
+    # clauses own ~N for slop): a pure text rewrite into OR-groups of
+    # near-dictionary terms BEFORE any routing, so every path —
+    # local, distributed, batch, the mixed phrase grammar — serves
+    # them through the ordinary grouped machinery
+    from search_engine_spark.plans.scoring import _FUZZY_RE, expand_fuzzy
+
+    _sug_cache = []
+
+    def _fuzzify(text: str) -> str:
+        if not _FUZZY_RE.search(text):
+            return text
+        if not _sug_cache:
+            from search_engine_spark.plans.suggest import Suggester
+
+            try:
+                _sug_cache.append(Suggester(args.index_dir))
+            except FileNotFoundError:
+                ap.error("fuzzy clauses (term~N) need the suggestion "
+                         "table — build it with `python index_admin.py "
+                         "build-suggest --index-dir ...`")
+        return expand_fuzzy(text, _sug_cache[0],
+                            stem=not args.no_stem)
+
+    if args.qtext and not (args.phrase or args.suggest or args.complete):
+        args.qtext = _fuzzify(args.qtext)
     syn_map = None
     if args.synonyms:
         if args.batch or args.phrase or args.complete:
@@ -453,7 +479,8 @@ def main() -> None:
                 )
             ][args.offset:]
     elif args.batch:
-        raw = _read_batch(args.batch)
+        raw = {qid: _fuzzify(t)
+               for qid, t in _read_batch(args.batch).items()}
         if args.distributed and any('"' in t for t in raw.values()):
             ap.error("quoted phrase clauses inside a batch are served "
                      "locally — drop --distributed (single quoted "

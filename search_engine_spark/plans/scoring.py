@@ -18,6 +18,8 @@ index + WAND paths must reproduce exactly (equivalence tests).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from search_engine_spark import B, K1
@@ -148,6 +150,67 @@ def expand_synonyms(
                     ng.append(s)
         expanded.append(ng)
     return expanded
+
+
+_FUZZY_RE = re.compile(
+    r"(^|\s)(-?)([A-Za-z0-9]+)~(\d?)(\^[\d.]+)?(?=\s|$)"
+)
+
+
+def expand_fuzzy(
+    qtext: str,
+    suggester,
+    *,
+    stem: bool = True,
+    max_candidates: int = 16,
+) -> str:
+    """Rewrite Lucene-style fuzzy clauses `term~N` (bare terms only —
+    quoted clauses own the `~` suffix for slop) into OR-groups of
+    dictionary terms within Damerau-Levenshtein distance N (default 2
+    when the digit is omitted, Lucene's default), ranked by the
+    SymSpell table's (distance asc, df desc) order and capped at
+    `max_candidates` (Lucene's rewrite cap). A PURE TEXT rewrite, like
+    expand_synonyms: the result feeds every existing path — local,
+    distributed, batch, and the phrase grammar's unquoted remainder —
+    with the grouped machinery's scoring (each variant against its own
+    df). Semantics pinned here:
+
+    * positive `roam~1` with no dictionary term in range keeps the
+      original (absent) term, so the clause is unsatisfiable and the
+      query returns [] — dropping it would silently WIDEN the query;
+    * `-roam~1` expands to one NOT-term per variant (no matches: the
+      clause vanishes — excluding nothing is a no-op);
+    * a boost distributes over the variants (`a^2|b^2`);
+    * `term~0` and `term~` on a quoted segment are left untouched.
+
+    `suggester` is plans/suggest.Suggester — fuzzy clauses need the
+    deletion table (index_admin.py build-suggest), the same dependency
+    `--suggest` has."""
+    def repl(m: re.Match) -> str:
+        lead, neg, raw_term, nd, boost = (
+            m.group(1), m.group(2), m.group(3), m.group(4),
+            m.group(5) or "",
+        )
+        d = int(nd) if nd else 2
+        if d == 0:
+            return f"{lead}{neg}{raw_term}{boost}"
+        toks = analyze(raw_term, stem=stem)
+        if len(toks) != 1:
+            return f"{lead}{neg}{raw_term}{boost}"
+        cands = [
+            t for t, _df in suggester.suggest(
+                toks[0], k=max_candidates, max_distance=d
+            )
+        ]
+        if not cands:
+            # keep the (absent) base term -> clause unsatisfiable;
+            # strip the ~N so analysis doesn't split off the digit
+            return f"{lead}{raw_term}{boost}" if not neg else lead
+        if neg:
+            return lead + " ".join(f"-{t}" for t in cands)
+        return lead + "|".join(f"{t}{boost}" for t in cands)
+
+    return _FUZZY_RE.sub(repl, qtext)
 
 
 def bm25_exhaustive_grouped(

@@ -393,3 +393,66 @@ def test_explain_mixed_cli(accel_dir):
     assert out["matched"] and out["total"] > 0
     kinds = {c["clause"] for c in out["clauses"]}
     assert "phrase" in kinds and "term" in kinds
+
+
+def test_fuzzy_clause_rewrite(spark, accel_dir):
+    """Lucene-style fuzzy clauses (scoring.expand_fuzzy): term~N
+    rewrites to an OR-group of near-dictionary terms via the SymSpell
+    table; negation distributes; a no-match positive keeps the absent
+    term (unsatisfiable — dropping it would widen the query); quoted
+    slop clauses are untouched. Serving the rewrite equals serving
+    the hand-expanded query."""
+    from search_engine_spark.plans.scoring import expand_fuzzy
+    from search_engine_spark.plans.suggest import Suggester, build_suggest
+
+    build_suggest(spark, accel_dir)
+    sug = Suggester(accel_dir)
+
+    q = expand_fuzzy("sparc~1 join", sug, stem=False)
+    assert "spark" in q and "~" not in q
+    qn = expand_fuzzy("join -sparc~1", sug, stem=False)
+    assert "-spark" in qn
+    qz = expand_fuzzy("qqqqq~1 join", sug, stem=False)
+    assert "qqqqq" in qz and "~" not in qz
+    qs = expand_fuzzy('"spark join"~3 tablx~1', sug, stem=False)
+    assert '"spark join"~3' in qs and "table" in qs
+
+    s = LocalSearcher(accel_dir)
+    got = s.search_grouped(
+        expand_fuzzy("sparc~1 merge", sug, stem=False), k=10, stem=False
+    )
+    want = s.search_grouped("spark merge", k=10, stem=False)
+    assert got == want
+
+    # boost distributes over variants
+    qb = expand_fuzzy("sparc~1^2 merge", sug, stem=False)
+    assert "spark^2" in qb
+    gotb = s.search_grouped(qb, k=10, stem=False)
+    wantb = s.search_grouped("spark^2 merge", k=10, stem=False)
+    assert gotb == wantb
+
+    # CLI end-to-end (auto-detects the ~ clause, uses the table)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "query.py"), "--index-dir",
+         accel_dir, "sparc~1 merge", "-k", "5", "--no-stem"],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = r.stdout.strip().splitlines()[:-1]
+    assert [int(x.split("\t")[1]) for x in lines] == \
+        [d for d, _ in want[:5]]
+
+
+def test_fuzzy_clause_without_table_is_usage_error(plain_dir, tmp_path):
+    # plain_dir may have inherited a suggest table from accel_dir
+    # (module-fixture ordering) — audit a copy guaranteed without one
+    d = os.path.join(str(tmp_path), "idx_nosug")
+    shutil.copytree(plain_dir, d)
+    shutil.rmtree(os.path.join(d, "suggest"), ignore_errors=True)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "query.py"), "--index-dir",
+         d, "sparc~1 merge", "-k", "5", "--no-stem"],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert r.returncode == 2
+    assert "build-suggest" in r.stderr
