@@ -312,6 +312,39 @@ def main() -> None:
     extra["wand_msm_p50_ms"] = round(statistics.median(lat_m) * 1000, 3)
     s.clear_static_boosts()
 
+    # filter-clause (restrict) p50 (round 4): site:/ts-window shape —
+    # an allow-list of ~50% of docs on the block-max AND path. Expect
+    # ~= wand_p50_ms: the mask is one vectorized searchsorted per
+    # candidate batch at candidate generation.
+    _allow = _np.arange(0, s.n_docs, 2, dtype=_np.int64)
+    for q in WAND_QUERIES:
+        s.search(q, k=10, restrict=_allow)  # warm
+    lat_r = []
+    for _ in range(100):
+        for q in WAND_QUERIES:
+            t0 = time.perf_counter()
+            s.search(q, k=10, restrict=_allow)
+            lat_r.append(time.perf_counter() - t0)
+    extra["wand_restrict_p50_ms"] = round(
+        statistics.median(lat_r) * 1000, 3
+    )
+
+    # LM-Dirichlet p50 (round 4): the second similarity serves
+    # EXHAUSTIVE by design (BM25-baked impacts can't bound it), so
+    # this is the scatter cost over the same adversarial query set
+    t0 = time.perf_counter()
+    for q in WAND_QUERIES:
+        s.search_lmd(q, k=10, mode="or")  # warm
+    _t_pass = time.perf_counter() - t0
+    lat_l = []
+    reps_l = max(3, min(100, int(3.0 / max(_t_pass, 1e-3))))
+    for _ in range(reps_l):
+        for q in WAND_QUERIES:
+            t0 = time.perf_counter()
+            s.search_lmd(q, k=10, mode="or")
+            lat_l.append(time.perf_counter() - t0)
+    extra["lmd_p50_ms"] = round(statistics.median(lat_l) * 1000, 3)
+
     # grouped boolean serving p50 (round 2+): OR-groups built from
     # adjacent WAND query terms — includes the stopword head, so the
     # smallest-group candidate-base optimization is what's measured

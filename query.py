@@ -55,37 +55,95 @@ def _read_batch(path: str) -> dict[str, str]:
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)"
 
 
-def _site_doc_ids(index_dir: str, host: str) -> list[int]:
-    """Allowed doc_ids for a site: filter — urlmap rows whose URL
-    authority equals `host` (case-insensitive, port included if the
-    url carries one). Serving-path resolver: pyarrow + a vectorized
-    pandas extract, no Spark job. Superseded re-crawl rows may appear;
-    they are already tombstone-masked by every search path."""
+def _parse_ts(s: str, flag: str):
+    """Parse an ISO-8601 timestamp or date for --after-ts/--before-ts.
+    Naive values compare against urlmap.warc_ts as stored (the crawl
+    fixture writes naive UTC); raises ValueError with the flag name on
+    garbage so the CLI can turn it into a usage error."""
+    import datetime as dt
+
+    try:
+        return dt.datetime.fromisoformat(s)
+    except ValueError:
+        raise ValueError(
+            f"{flag}: {s!r} is not an ISO-8601 timestamp "
+            "(e.g. 2024-03-01 or 2024-03-01T12:00:00)"
+        ) from None
+
+
+def _restrict_doc_ids(
+    index_dir: str,
+    host: str | None = None,
+    after_ts=None,
+    before_ts=None,
+) -> list[int] | None:
+    """Allowed doc_ids for the filter clauses (site: scoping and the
+    crawl-timestamp window), resolved in ONE urlmap scan — pyarrow +
+    a vectorized pandas extract, no Spark job. Timestamp bounds are
+    inclusive (Lucene `[a TO b]` range semantics) and push down into
+    the parquet scan; the host predicate is a vectorized extract over
+    the survivors. Superseded re-crawl rows may appear; they are
+    already tombstone-masked by every search path. Returns None when
+    no filter is requested (callers pass restrict=None through).
+
+    At 10^12 docs this is a doc-values column scan of (doc_id,
+    warc_ts): the distributed twin (_restrict_docs_df) is the path a
+    cluster uses — a pushed-down parquet filter + semi-join below the
+    shuffle — while this local resolver serves the single-node
+    millisecond path the same way the site: filter always has."""
     import re
 
     import pyarrow.dataset as ds
 
+    if host is None and after_ts is None and before_ts is None:
+        return None
+    cols = ["doc_id"] + (["url"] if host is not None else [])
+    filt = None
+    if after_ts is not None:
+        filt = ds.field("warc_ts") >= after_ts
+    if before_ts is not None:
+        f2 = ds.field("warc_ts") <= before_ts
+        filt = f2 if filt is None else (filt & f2)
     tbl = ds.dataset(f"{index_dir}/urlmap", format="parquet").to_table(
-        columns=["doc_id", "url"]
+        columns=cols, filter=filt
     )
     pdf = tbl.to_pandas()
-    hosts = pdf["url"].str.extract(_HOST_RE, flags=re.ASCII)[0].str.lower()
-    return pdf.loc[hosts == host.lower(), "doc_id"].astype(int).tolist()
+    if host is not None:
+        hosts = pdf["url"].str.extract(
+            _HOST_RE, flags=re.ASCII
+        )[0].str.lower()
+        pdf = pdf.loc[hosts == host.lower()]
+    return pdf["doc_id"].astype(int).tolist()
 
 
-def _site_docs_df(spark, index_dir: str, host: str):
-    """Distributed twin of _site_doc_ids: the urlmap scan + host
-    filter as a DataFrame for IndexReader's pre-filter semi-join."""
+def _restrict_docs_df(spark, index_dir: str, host: str | None = None,
+                      after_ts=None, before_ts=None):
+    """Distributed twin of _restrict_doc_ids: the urlmap scan with the
+    host / timestamp-window predicates as a DataFrame for IndexReader's
+    pre-filter semi-join (filters push down to the parquet scan)."""
     from pyspark.sql import functions as F
 
-    return (
-        spark.read.parquet(f"{index_dir}/urlmap")
-        .filter(
+    df = spark.read.parquet(f"{index_dir}/urlmap")
+    if after_ts is not None:
+        df = df.filter(F.col("warc_ts") >= F.lit(after_ts))
+    if before_ts is not None:
+        df = df.filter(F.col("warc_ts") <= F.lit(before_ts))
+    if host is not None:
+        df = df.filter(
             F.lower(F.regexp_extract(F.col("url"), _HOST_RE, 1))
             == host.lower()
         )
-        .select("doc_id")
-    )
+    return df.select("doc_id")
+
+
+def _site_doc_ids(index_dir: str, host: str) -> list[int]:
+    """Back-compat alias: site-only restrict resolution."""
+    return _restrict_doc_ids(index_dir, host=host)
+
+
+def _site_docs_df(spark, index_dir: str, host: str):
+    """Back-compat alias: site-only restrict DataFrame."""
+    return _restrict_docs_df(spark, index_dir, host=host)
 
 
 def _url_lookup(index_dir: str, doc_ids: list[int]) -> dict[int, str]:
@@ -193,6 +251,34 @@ def main() -> None:
                          "eligible; scores of survivors are unchanged. "
                          "Pre-filters candidate generation on every "
                          "path (local + distributed, batch included)")
+    ap.add_argument("--terms-matching", metavar="PATTERN", default=None,
+                    help="dictionary scan: print the vocabulary terms "
+                         "matching the wildcard PATTERN ('*ark*', "
+                         "'sp*k') with their dfs, df-descending, top "
+                         "-k — the leading-wildcard shapes --complete "
+                         "(prefix) cannot serve; local, no Spark job")
+    ap.add_argument("--after-ts", metavar="TS", default=None,
+                    help="crawl-freshness window: only docs whose "
+                         "urlmap warc_ts >= TS (ISO-8601 date or "
+                         "timestamp, inclusive) are eligible; scores "
+                         "of survivors are unchanged. Combines with "
+                         "--before-ts and --site (one urlmap scan "
+                         "resolves all filter clauses)")
+    ap.add_argument("--before-ts", metavar="TS", default=None,
+                    help="crawl-freshness window: only docs whose "
+                         "urlmap warc_ts <= TS (inclusive) are "
+                         "eligible — Lucene [a TO b] range semantics "
+                         "with --after-ts")
+    ap.add_argument("--similarity", choices=["bm25", "lmd"],
+                    default="bm25",
+                    help="ranking function: bm25 (default, block-max "
+                         "pruned) or lmd — query likelihood with "
+                         "Dirichlet smoothing, mu=2000 (exhaustive "
+                         "scatter; the baked segment bounds are BM25 "
+                         "impacts, so LMD serves unpruned). lmd is a "
+                         "single-query ranked mode over plain term "
+                         "queries (local + --distributed twin) and "
+                         "scores pure LMD (no static boost)")
     ap.add_argument("--no-static-boost", action="store_true",
                     help="ignore the index's static boost table "
                          "(<index>/boosts, written by index_admin.py "
@@ -204,6 +290,26 @@ def main() -> None:
     ):
         ap.error(f"--index-dir {args.index_dir!r} is not a built index "
                  "(no postings/ table) — build one with build_index.py")
+    if args.terms_matching is not None:
+        if args.qtext or args.batch or args.phrase or args.distributed:
+            ap.error("--terms-matching is a standalone local "
+                     "dictionary-scan mode (no query text)")
+        from search_engine_spark.plans.scoring import wildcard_to_regex
+        from search_engine_spark.plans.wand import LocalSearcher
+
+        t0 = time.time()
+        try:
+            rx = wildcard_to_regex(args.terms_matching.strip().lower())
+        except ValueError as e:
+            ap.error(str(e))
+        terms = LocalSearcher(args.index_dir).vocab_terms(
+            regex=rx, limit=args.k, by_df=True
+        )
+        for rank, (term, df) in enumerate(terms, 1):
+            print(f"{rank}\t{term}\t{df}")
+        print(json.dumps({"n": len(terms), "n_queries": 1,
+                          "wall_s": round(time.time() - t0, 4)}))
+        return
     if bool(args.qtext) == bool(args.batch):
         ap.error("provide exactly one of: a query string, or --batch FILE")
     if args.urls and not os.path.isdir(os.path.join(args.index_dir, "urlmap")):
@@ -229,8 +335,37 @@ def main() -> None:
         ap.error("--phrase answers a single phrase query")
     if args.offset < 0:
         ap.error("--offset must be >= 0")
+    # crawl-timestamp window (filter clause, same restrict semantics
+    # as --site): parse once, resolve once, every path rides it
+    ts_after = ts_before = None
+    if args.after_ts is not None or args.before_ts is not None:
+        try:
+            if args.after_ts is not None:
+                ts_after = _parse_ts(args.after_ts, "--after-ts")
+            if args.before_ts is not None:
+                ts_before = _parse_ts(args.before_ts, "--before-ts")
+        except ValueError as e:
+            ap.error(str(e))
+        if ts_after is not None and ts_before is not None \
+                and ts_after > ts_before:
+            ap.error("--after-ts is later than --before-ts — the "
+                     "window is empty")
+        if not os.path.isdir(os.path.join(args.index_dir, "urlmap")):
+            ap.error("--after-ts/--before-ts need the urlmap table "
+                     "(index built from pages input)")
+    has_filter = bool(args.site) or ts_after is not None \
+        or ts_before is not None
     if args.msm < 1:
         ap.error("--msm must be >= 1")
+    if args.similarity == "lmd":
+        if args.batch or args.phrase:
+            ap.error("--similarity lmd is a single-query ranked mode")
+        if args.msm > 1 or args.synonyms:
+            ap.error("--similarity lmd serves plain term queries "
+                     "(no --msm/--synonyms)")
+        if args.qtext and any(c in args.qtext for c in '|^"'):
+            ap.error("--similarity lmd serves plain term queries "
+                     "(grouped/boosted/phrase syntax is BM25-only)")
     if args.msm > 1:
         if args.mode != "or":
             ap.error("--msm applies to --mode or (AND already requires "
@@ -264,8 +399,39 @@ def main() -> None:
         return expand_fuzzy(text, _sug_cache[0],
                             stem=not args.no_stem)
 
+    # Lucene-style wildcard clauses (bare terms with a `*`): a pure
+    # text rewrite into OR-groups of df-ranked dictionary matches
+    # (scoring.expand_wildcard), applied in the same places the fuzzy
+    # rewrite is so every path serves them through the grouped
+    # machinery. Any `*` left outside quotes after the rewrite is an
+    # unsupported shape (e.g. a star inside an OR-group literal) — a
+    # usage error, never a silently-widened query (the analyzer would
+    # otherwise drop the star).
+    _wc_cache = []
+
+    def _wildcardify(text: str) -> str:
+        if "*" not in text:
+            return text
+        import re as _re
+
+        from search_engine_spark.plans.scoring import expand_wildcard
+
+        if not _wc_cache:
+            from search_engine_spark.plans.wand import LocalSearcher
+
+            _wc_cache.append(LocalSearcher(args.index_dir))
+        try:
+            out = expand_wildcard(text, _wc_cache[0])
+        except ValueError as e:
+            ap.error(str(e))
+        if "*" in _re.sub(r'"[^"]*"', "", out):
+            ap.error("unsupported wildcard shape — wildcards apply to "
+                     "bare clauses (ab*, *ab*, -ab*, ab*^2), not "
+                     "inside OR-groups or quoted phrases")
+        return out
+
     if args.qtext and not (args.phrase or args.suggest or args.complete):
-        args.qtext = _fuzzify(args.qtext)
+        args.qtext = _wildcardify(_fuzzify(args.qtext))
     syn_map = None
     if args.synonyms:
         if args.batch or args.phrase or args.complete:
@@ -359,8 +525,11 @@ def main() -> None:
         s = LocalSearcher(args.index_dir)
         need = args.k + args.offset
         fetch = max(4 * need * args.collapse_host, 50)
-        c_site = (_site_doc_ids(args.index_dir, args.site)
-                  if args.site else None)
+        c_site = (
+            _restrict_doc_ids(args.index_dir, args.site, ts_after,
+                              ts_before)
+            if has_filter else None
+        )
         while True:
             if "|" in qpos or "^" in qpos:
                 hits = s.search_grouped(qpos, k=fetch, stem=stem_q,
@@ -442,15 +611,52 @@ def main() -> None:
     # (exact — same full ranking, deterministic tie-break). The
     # distributed single-query path pushes the offset into the plan.
     kk = args.k + args.offset
-    if args.site and args.phrase:
-        ap.error("--site is not supported with --phrase (positional "
-                 "serving has no filter clause yet)")
-    # site: filter resolved ONCE per invocation (local list for the
-    # serving paths; the distributed paths build the urlmap-filter
-    # DataFrame lazily inside their session)
+    # filter clauses (site: + ts window) resolved ONCE per invocation
+    # (local list for the serving paths; the distributed paths build
+    # the urlmap-filter DataFrame lazily inside their session)
     site_ids = (
-        _site_doc_ids(args.index_dir, args.site) if args.site else None
+        _restrict_doc_ids(args.index_dir, args.site, ts_after, ts_before)
+        if has_filter else None
     )
+    # field-scoped clauses (Lucene `title:spark join`): routed to the
+    # fielded conjunction engine (plans/multifield.search_fielded).
+    # Only KNOWN field prefixes route — unknown prefixes stay plain
+    # text, so existing queries keep their semantics.
+    _kf_cache = []
+
+    def _has_fielded(text: str) -> bool:
+        if ":" not in text or '"' in text:
+            return False
+        from search_engine_spark.plans.multifield import (
+            has_fielded_clause, known_fields,
+        )
+
+        if not _kf_cache:
+            _kf_cache.append(known_fields(args.index_dir))
+        return has_fielded_clause(text, _kf_cache[0])
+
+    fielded = (bool(args.qtext) and not args.phrase
+               and _has_fielded(args.qtext))
+    if fielded:
+        if args.mode != "and" or args.msm > 1 or args.synonyms:
+            ap.error("field-scoped clauses use conjunctive clause "
+                     "semantics — --mode or / --msm / --synonyms do "
+                     "not apply")
+        if args.similarity != "bm25":
+            ap.error("field-scoped clauses are BM25-only")
+    if args.qtext and '"' in args.qtext and ":" in args.qtext:
+        # a known-field clause in the UNQUOTED remainder of a phrase
+        # query would silently re-tokenize as plain terms — error out
+        import re as _re
+
+        from search_engine_spark.plans.multifield import (
+            has_fielded_clause, known_fields,
+        )
+
+        unq = _re.sub(r'"[^"]*"', " ", args.qtext)
+        if has_fielded_clause(unq, known_fields(args.index_dir)):
+            ap.error("field-scoped clauses do not mix with quoted "
+                     "phrase clauses (orthogonal grammars)")
     t0 = time.time()
     # per-query ranked results: {qid: [(doc_id, score), ...]}
     results: dict[str, list[tuple[int, float]]] = {}
@@ -465,7 +671,12 @@ def main() -> None:
             results[""] = [
                 (r.doc_id, float(r.phrase_tf))
                 for r in phrase_search_distributed(
-                    spark, args.index_dir, args.qtext, k=kk
+                    spark, args.index_dir, args.qtext, k=kk,
+                    restrict=(
+                        _restrict_docs_df(spark, args.index_dir,
+                                          args.site, ts_after, ts_before)
+                        if has_filter else None
+                    ),
                 ).collect()
             ][args.offset:]
             spark.stop()
@@ -475,15 +686,19 @@ def main() -> None:
             results[""] = [
                 (d, float(tf))
                 for d, tf in PhraseSearcher(args.index_dir).search_phrase(
-                    args.qtext, k=kk
+                    args.qtext, k=kk, restrict=site_ids
                 )
             ][args.offset:]
     elif args.batch:
-        raw = {qid: _fuzzify(t)
+        raw = {qid: _wildcardify(_fuzzify(t))
                for qid, t in _read_batch(args.batch).items()}
         if args.distributed and any('"' in t for t in raw.values()):
             ap.error("quoted phrase clauses inside a batch are served "
                      "locally — drop --distributed (single quoted "
+                     "queries do have a --distributed twin)")
+        if args.distributed and any(_has_fielded(t) for t in raw.values()):
+            ap.error("field-scoped clauses inside a batch are served "
+                     "locally — drop --distributed (single fielded "
                      "queries do have a --distributed twin)")
         _validate_boosts(*(t for t in raw.values() if '"' not in t))
         split = {qid: split_not_terms(text) for qid, text in raw.items()}
@@ -499,9 +714,10 @@ def main() -> None:
                 .search_batch(queries, k=kk, stem=stem, mode=args.mode,
                               excludes=not_terms or None,
                               restrict=(
-                                  _site_docs_df(spark, args.index_dir,
-                                                args.site)
-                                  if args.site else None
+                                  _restrict_docs_df(
+                                      spark, args.index_dir, args.site,
+                                      ts_after, ts_before)
+                                  if has_filter else None
                               ))
                 .collect()
             )
@@ -543,6 +759,21 @@ def main() -> None:
                         )[args.offset:]
                     except ValueError as e:
                         ap.error(str(e))
+                elif _has_fielded(raw[qid]):
+                    # fielded clauses own the RAW line (NOT split
+                    # must not break -title:term)
+                    from search_engine_spark.plans.multifield import (
+                        search_fielded,
+                    )
+
+                    try:
+                        results[qid] = search_fielded(
+                            args.index_dir, raw[qid], k=kk, stem=stem,
+                            restrict=site_ids,
+                            static_boosts=not args.no_static_boost,
+                        )[args.offset:]
+                    except ValueError as e:
+                        ap.error(str(e))
                 elif "|" in text or "^" in text:
                     results[qid] = s.search_grouped(
                         text, k=kk, stem=stem,
@@ -559,7 +790,43 @@ def main() -> None:
         from search_engine_spark.plans.index_query import IndexReader
         from search_engine_spark.session import get_spark
 
-        if '"' in args.qtext:
+        if args.similarity == "lmd":
+            qpos, qneg = split_not_terms(args.qtext)
+            spark = get_spark("query")
+            site_df = (
+                _restrict_docs_df(spark, args.index_dir, args.site,
+                                  ts_after, ts_before)
+                if has_filter else None
+            )
+            res_df = IndexReader(spark, args.index_dir).search_lmd(
+                qpos, k=args.k, stem=stem, mode=args.mode,
+                exclude=qneg or None, offset=args.offset,
+                restrict=site_df,
+            )
+            results[""] = [(r.doc_id, r.score) for r in res_df.collect()]
+            spark.stop()
+        elif fielded:
+            from search_engine_spark.plans.multifield import (
+                search_fielded_distributed,
+            )
+
+            spark = get_spark("query")
+            site_df = (
+                _restrict_docs_df(spark, args.index_dir, args.site,
+                                  ts_after, ts_before)
+                if has_filter else None
+            )
+            try:
+                res_df = search_fielded_distributed(
+                    spark, args.index_dir, args.qtext, k=args.k,
+                    stem=stem, offset=args.offset, restrict=site_df,
+                    static_boosts=not args.no_static_boost,
+                )
+            except ValueError as e:
+                ap.error(str(e))
+            results[""] = [(r.doc_id, r.score) for r in res_df.collect()]
+            spark.stop()
+        elif '"' in args.qtext:
             # mixed phrase+boolean cluster twin (plans/phraseq) — one
             # declarative Spark plan, result-identical to local
             from search_engine_spark.plans.phraseq import (
@@ -570,8 +837,11 @@ def main() -> None:
                 ap.error("quoted phrase clauses use conjunctive clause "
                          "semantics — --mode or / --msm do not apply")
             spark = get_spark("query")
-            site_df = (_site_docs_df(spark, args.index_dir, args.site)
-                       if args.site else None)
+            site_df = (
+                _restrict_docs_df(spark, args.index_dir, args.site,
+                                  ts_after, ts_before)
+                if has_filter else None
+            )
             try:
                 res_df = search_mixed_distributed(
                     spark, args.index_dir, args.qtext, k=args.k,
@@ -587,8 +857,11 @@ def main() -> None:
             qpos, qneg = split_not_terms(args.qtext)
             spark = get_spark("query")
             reader = IndexReader(spark, args.index_dir)
-            site_df = (_site_docs_df(spark, args.index_dir, args.site)
-                       if args.site else None)
+            site_df = (
+                _restrict_docs_df(spark, args.index_dir, args.site,
+                                  ts_after, ts_before)
+                if has_filter else None
+            )
             if args.no_static_boost:
                 reader.clear_static_boosts()
             if syn_map is not None:
@@ -624,7 +897,25 @@ def main() -> None:
         s = LocalSearcher(args.index_dir)
         if args.no_static_boost:
             s.clear_static_boosts()
-        if '"' in args.qtext:
+        if args.similarity == "lmd":
+            results[""] = s.search_lmd(
+                qpos, k=kk, stem=stem, mode=args.mode,
+                exclude=qneg or None, restrict=site_ids,
+            )[args.offset:]
+        elif fielded:
+            from search_engine_spark.plans.multifield import (
+                search_fielded,
+            )
+
+            try:
+                results[""] = search_fielded(
+                    args.index_dir, args.qtext, k=kk, stem=stem,
+                    restrict=site_ids,
+                    static_boosts=not args.no_static_boost,
+                )[args.offset:]
+            except ValueError as e:
+                ap.error(str(e))
+        elif '"' in args.qtext:
             # mixed phrase+boolean query (plans/phraseq): quoted
             # segments are exact-phrase clauses scored Lucene-style
             import os

@@ -23,7 +23,12 @@ from search_engine_spark.operators.aggregates import (
     split_terms,
     term_frequencies,
 )
-from search_engine_spark.plans.scoring import bm25_exhaustive, idf_expr, tfnorm_expr
+from search_engine_spark.plans.scoring import (
+    bm25_exhaustive,
+    idf_expr,
+    lmd_exhaustive,
+    tfnorm_expr,
+)
 
 STOPWORDS = ("the", "a", "of", "to", "and")
 
@@ -2649,6 +2654,181 @@ FROM tf WHERE term LIKE '%ark%' GROUP BY term
 """
 
 
+def q_regex_term_stats(spark, sf_dir):
+    """Wildcard '?a*' (regex '^.a') dictionary scan: df + cf for
+    every vocabulary term matching an anchored regular expression —
+    the double-ended wildcard shape neither the prefix range scan nor
+    the contains predicate covers. Serving twins:
+    LocalSearcher.vocab_terms(regex=) (vectorized pyarrow
+    match_substring_regex over the 2-column dictionary, O(vocabulary)
+    by design — Lucene's RegexpQuery walks the term FST the same way)
+    and the `query.py --terms-matching 's*k'` CLI; bare `ab*` clauses
+    in ranked queries rewrite through the same scan
+    (scoring.expand_wildcard, tests/test_wildcard.py)."""
+    tf = term_frequencies(split_terms(_t(spark, sf_dir, "documents")))
+    return (
+        tf.filter(F.col("term").rlike("^.a"))
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
+    )
+
+
+SQL_REGEX_TERM_STATS = f"""
+WITH {_TOK_CTE}
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM tf WHERE regexp_matches(term, '^.a') GROUP BY term
+"""
+
+
+def q_fielded_topk(spark, sf_dir):
+    """Field-scoped clause conjunction (Lucene `title:spark join` —
+    plans/multifield.search_fielded semantics): the title clause must
+    match IN THE TITLE FIELD and the bare clause in the body; score =
+    title-field BM25(spark) + body BM25(join), each against its own
+    field statistics; conjunction is an inner join. Title is the
+    deterministic first-6-tokens surrogate the multifield_bm25 entry
+    established (the pages path indexes the real <title>). Serving
+    twins: search_fielded (clause-postings intersection, exhaustive
+    across fields by design — cross-field conjunction can't ride one
+    field's baked impacts) ≡ search_fielded_distributed (per-clause
+    match frames, doc_id equi-join) ≡ pandas, tests/test_fielded.py;
+    CLI auto-routes `field:` clauses over built fields."""
+    qb = spark.createDataFrame([("join",)], "term string")
+    qt = spark.createDataFrame([("spark",)], "term string")
+
+    def field_scores(post, qdf, alias):
+        cand = post.join(F.broadcast(qdf), "term")
+        dfs = cand.groupBy("term").agg(F.count("*").alias("df"))
+        stats = (
+            post.select("doc_id", "doclen").dropDuplicates(["doc_id"])
+            .agg(F.count("*").alias("n_docs"),
+                 F.avg("doclen").alias("avgdl"))
+        )
+        scored = (
+            cand.join(F.broadcast(dfs), "term")
+            .crossJoin(F.broadcast(stats))
+            .withColumn(
+                "partial",
+                idf_expr(F.col("df"), F.col("n_docs"))
+                * tfnorm_expr(F.col("tf"), F.col("doclen"),
+                              F.col("avgdl")),
+            )
+        )
+        return scored.groupBy("doc_id").agg(
+            F.sum("partial").alias(alias)
+        )
+
+    body = field_scores(_postings(spark, sf_dir), qb, "body_score")
+    docs = _t(spark, sf_dir, "documents")
+    ttok = docs.select(
+        "doc_id",
+        F.explode(F.slice(F.split(F.col("text"), " "), 1, 6)).alias("term"),
+    ).filter(F.col("term") != "")
+    tpost = (
+        ttok.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("int").alias("tf"))
+        .withColumn(
+            "doclen",
+            F.sum("tf").over(W.partitionBy("doc_id")).cast("int"),
+        )
+    )
+    title = field_scores(tpost, qt, "title_score")
+    return (
+        body.join(title, "doc_id")  # conjunction: both clauses match
+        .select(
+            "doc_id",
+            F.round(F.col("body_score") + F.col("title_score"), 6)
+            .alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_FIELDED_TOPK = f"""
+WITH {_TOK_CTE},
+qb(term) AS (VALUES ('join')),
+qt(term) AS (VALUES ('spark')),
+bstats AS (SELECT count(*)::BIGINT AS n_docs, avg(doclen) AS avgdl FROM dl),
+bdfs AS (SELECT term, count(*)::BIGINT AS df FROM tf JOIN qb USING (term)
+         GROUP BY term),
+body AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (s.n_docs - bdfs.df + 0.5) / (bdfs.df + 0.5))
+           * (tf.tf * {K1 + 1.0} / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / s.avgdl))))
+           AS body_score
+  FROM tf JOIN qb USING (term) JOIN bdfs USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN bstats s
+  GROUP BY tf.doc_id
+),
+ttok AS (
+  SELECT doc_id,
+         unnest(list_slice(string_split(text, ' '), 1, 6)) AS term
+  FROM documents
+),
+ttf AS (SELECT term, doc_id, count(*)::INT AS tf FROM ttok
+        WHERE term <> '' GROUP BY term, doc_id),
+tdlen AS (SELECT doc_id, sum(tf)::INT AS doclen FROM ttf GROUP BY doc_id),
+tstats AS (SELECT count(*)::BIGINT AS n_docs, avg(doclen) AS avgdl
+           FROM tdlen),
+tdfs AS (SELECT term, count(*)::BIGINT AS df FROM ttf JOIN qt USING (term)
+         GROUP BY term),
+title AS (
+  SELECT ttf.doc_id,
+         sum(ln(1.0 + (s.n_docs - tdfs.df + 0.5) / (tdfs.df + 0.5))
+           * (ttf.tf * {K1 + 1.0} / (ttf.tf + {K1} * ({1.0 - B} + {B} * tdlen.doclen / s.avgdl))))
+           AS title_score
+  FROM ttf JOIN qt USING (term) JOIN tdfs USING (term)
+  JOIN tdlen USING (doc_id) CROSS JOIN tstats s
+  GROUP BY ttf.doc_id
+)
+SELECT body.doc_id,
+       round(body.body_score + title.title_score, 6) AS score
+FROM body JOIN title ON body.doc_id = title.doc_id
+ORDER BY score DESC, body.doc_id LIMIT 10
+"""
+
+
+def q_lm_dirichlet_topk(spark, sf_dir):
+    """Query-likelihood ranking with Dirichlet smoothing (Zhai &
+    Lafferty 2001, μ=2000) — the second pluggable similarity next to
+    BM25 (Lucene ships the same pair): score = Σ_matched
+    [ln(1+tf/(μ·p_t)) + ln(μ/(μ+dl))], p_t = cf_t/total_tokens.
+    Runs scoring.lmd_exhaustive (broadcast query join → per-term cf +
+    1-row total → codegen partial → groupBy top-k, all JVM-side);
+    serving twin LocalSearcher.search_lmd (vectorized decode +
+    np.unique reduction; exhaustive by design — the baked segment
+    bounds are BM25 impacts, and Lucene likewise bakes impacts
+    per-similarity), CLI `query.py --similarity lmd`; ≡ property in
+    tests/test_lmd.py."""
+    return lmd_exhaustive(
+        spark, _postings(spark, sf_dir), ["spark", "data"],
+        k=10, stem=False, mode="or",
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
+SQL_LM_DIRICHLET_TOPK = f"""
+WITH {_TOK_CTE},
+tot AS (SELECT sum(doclen)::DOUBLE AS total FROM dl),
+q(term) AS (VALUES ('spark'), ('data')),
+cfs AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf JOIN q USING (term)
+        GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + tf.tf / (2000.0 * cfs.cf / t.total))
+           + ln(2000.0 / (2000.0 + dl.doclen)) AS partial
+  FROM tf JOIN q USING (term) JOIN cfs USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN tot t
+)
+SELECT doc_id, round(sum(partial), 6) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Link graph: PageRank + static-score blending (operators/graph.py)
 # ---------------------------------------------------------------------------
@@ -3477,6 +3657,56 @@ ORDER BY score DESC, sc.doc_id ASC LIMIT 10
 """
 
 
+def q_bm25_ts_window_topk(spark, sf_dir):
+    """Crawl-timestamp window ranking (Lucene [a TO b] range filter /
+    elastic bool.filter range): only docs whose crawl day falls inside
+    an inclusive window are ELIGIBLE; df/avgdl stay corpus-wide and
+    survivor scores are unchanged — the freshness filter every
+    Common-Crawl-style engine serves. The test corpus has no
+    timestamps, so the crawl day derives deterministically from doc_id
+    ((id*37 + 11) % 365, the recency entry's convention) on BOTH
+    engines; a pages-shaped input uses urlmap.warc_ts with identical
+    plumbing. Serving twins: query.py --after-ts/--before-ts -> ONE
+    urlmap scan (bounds pushed into the parquet read) -> the same
+    restrict= candidate-generation pre-filter the site: clause rides
+    (removal-only, block-max stays exact) on the local path, and the
+    urlmap-filter semi-join below the shuffle on the distributed
+    path (tests/test_ts_filter.py)."""
+    base = bm25_exhaustive(
+        spark, _postings(spark, sf_dir), ["scan", "table"],
+        k=1 << 30, stem=False, mode="or",
+    )
+    day = (F.col("doc_id") * 37 + 11) % 365
+    return (
+        base.filter((day >= 60) & (day <= 240))
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_BM25_TS_WINDOW_TOPK = f"""
+WITH {_TOK_CTE},
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(doclen) AS avgdl FROM dl),
+q(term) AS (VALUES ('scan'), ('table')),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf JOIN q USING (term)
+        GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (tf.tf * {K1 + 1.0} / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doclen / s.avgdl)))
+           AS partial
+  FROM tf JOIN q USING (term) JOIN dfs USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(partial), 6) AS score
+FROM scored
+WHERE ((doc_id * 37 + 11) % 365) BETWEEN 60 AND 240
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # QUERIES ordering is part of the deliverable: the driver's correctness
 # harness checks only the FIRST 50 entries (insertion order), so every
@@ -3525,6 +3755,12 @@ QUERIES = {
     "bigram_postings": q_bigram_postings,
     # -- round-4 session-4: mixed phrase+boolean scoring (phraseq) --
     "phrase_boolean_topk": q_phrase_boolean_topk,
+    # -- round-4 session-5: crawl-timestamp window filter clause +
+    # regex/wildcard dictionary scans --
+    "bm25_ts_window_topk": q_bm25_ts_window_topk,
+    "regex_term_stats": q_regex_term_stats,
+    "lm_dirichlet_topk": q_lm_dirichlet_topk,
+    "fielded_topk": q_fielded_topk,
     # -- veterans whose last green row is r01/r02: rotated back into the
     # window so no entry's green row is more than two rounds stale --
     "except_regression": q_except_regression,
@@ -3604,6 +3840,10 @@ ORACLES = {
     "pii_redaction": SQL_PII_REDACTION,
     "dup_cluster_representatives": SQL_DUP_CLUSTER_REPRESENTATIVES,
     "bm25_site_topk": SQL_BM25_SITE_TOPK,
+    "bm25_ts_window_topk": SQL_BM25_TS_WINDOW_TOPK,
+    "regex_term_stats": SQL_REGEX_TERM_STATS,
+    "lm_dirichlet_topk": SQL_LM_DIRICHLET_TOPK,
+    "fielded_topk": SQL_FIELDED_TOPK,
     "anchor_text_agg": SQL_ANCHOR_TEXT_AGG,
     "bigram_postings": SQL_BIGRAM_POSTINGS,
     "phrase_boolean_topk": SQL_PHRASE_BOOLEAN_TOPK,

@@ -80,6 +80,12 @@ class IndexReader:
         self.n_docs = int(meta["n_docs"])
         self.avgdl = float(meta["avgdl"])
         self.n_buckets = int(meta["n_buckets"])
+        # exact total token count (Dirichlet-similarity denominator);
+        # pre-sum_doclen indexes reconstruct from the floating avgdl
+        self.sum_doclen = int(
+            meta.get("sum_doclen")
+            or round(self.n_docs * self.avgdl)
+        )
         self._dict_ds = None  # lazy pyarrow dataset over the dictionary
         # tombstones (plans/deletes): masked inside the decode UDF when
         # the set is closure-sized (one vectorized searchsorted per
@@ -320,6 +326,77 @@ class IndexReader:
             if edocs is not None:
                 agg = agg.join(edocs, "doc_id", "left_anti")
         return self._boosted_df(agg.select("doc_id", "score"))
+
+    def search_lmd(self, qtext_or_terms, *, k: int = 10,
+                   stem: bool = True, mode: str = "and",
+                   mu: float = 2000.0, exclude=None, restrict=None,
+                   offset: int = 0) -> DataFrame:
+        """Distributed twin of LocalSearcher.search_lmd — LM-Dirichlet
+        ranking over the index (scoring.lmd_exhaustive semantics:
+        score = Σ_matched [ln(1+tf/(μ·p_t)) + ln(μ/(μ+dl))], p_t =
+        cf_t/total_tokens). Same plan shape as match_scores: pruned
+        dictionary lookup → bucket-pruned postings decode → per-term
+        cf as a broadcast agg over the decoded rows (tombstone-masked,
+        matching the local path) → codegen partial → groupBy top-k.
+        Scores PURE LMD (no static boost — the additive prior is a
+        BM25-calibrated quantity). Property-tested ≡ local in
+        tests/test_lmd.py."""
+        spark = self.spark
+        if mode not in ("and", "or"):
+            raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+        if isinstance(qtext_or_terms, str):
+            qterms = analyze_query(qtext_or_terms, stem=stem)
+        else:
+            qterms = list(dict.fromkeys(qtext_or_terms))
+        if isinstance(exclude, str):
+            exclude = analyze_query(exclude, stem=stem)
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        if not qterms:
+            return empty
+        dict_rows = self.lookup_terms(qterms)
+        found = {r.term for r in dict_rows}
+        if mode == "and" and not set(qterms) <= found:
+            return empty
+        qterms = [t for t in qterms if t in found]
+        if not qterms:
+            return empty
+        n_terms = len(qterms)
+        buckets = sorted({r.bucket for r in dict_rows})
+        decoded = self.decoded_postings(qterms, buckets)
+        if restrict is not None:
+            if isinstance(restrict, DataFrame):
+                rdf = restrict.select("doc_id").distinct()
+            else:
+                rdf = spark.createDataFrame(
+                    [(int(d),) for d in restrict], "doc_id long"
+                ).distinct()
+            decoded = decoded.join(rdf, "doc_id", "left_semi")
+        mu = float(mu)
+        total = float(self.sum_doclen)
+        cfs = decoded.groupBy("term").agg(
+            F.sum("tf").cast("double").alias("cf")
+        )
+        scored = decoded.join(F.broadcast(cfs), "term").withColumn(
+            "partial",
+            F.log(
+                F.lit(1.0)
+                + F.col("tf").cast("double")
+                / (F.lit(mu) * F.col("cf") / F.lit(total))
+            )
+            + F.log(F.lit(mu)
+                    / (F.lit(mu) + F.col("doclen").cast("double"))),
+        )
+        agg = scored.groupBy("doc_id").agg(
+            F.sum("partial").alias("score"),
+            F.count("*").alias("n_matched"),
+        )
+        if mode == "and":
+            agg = agg.filter(F.col("n_matched") == n_terms)
+        if exclude:
+            edocs = self._excluded_docs_df(list(dict.fromkeys(exclude)))
+            if edocs is not None:
+                agg = agg.join(edocs, "doc_id", "left_anti")
+        return self._topk(agg.select("doc_id", "score"), k, offset)
 
     @staticmethod
     def _topk(ranked: DataFrame, k: int, offset: int) -> DataFrame:

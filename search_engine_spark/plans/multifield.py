@@ -39,6 +39,7 @@ integrity story (fsck works on it unchanged).
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 
@@ -47,6 +48,278 @@ from search_engine_spark.plans.scoring import analyze_query
 from search_engine_spark.plans.wand import LocalSearcher
 
 TITLE_DIR = os.path.join("fields", "title")
+
+# field-scoped clause: [-]field:term[^boost] as one whitespace token
+_FIELDED_RE = re.compile(
+    r"^(-?)([A-Za-z][A-Za-z0-9_]*):([^\s^]+)(\^[\d.]+)?$"
+)
+
+
+def known_fields(index_dir: str) -> set[str]:
+    """Field names a fielded clause may scope to: every built
+    fields/<name> index, plus 'body' (an explicit alias for the main
+    index — `body:term` pins the default field by name)."""
+    out = {"body"}
+    fdir = os.path.join(index_dir, "fields")
+    if os.path.isdir(fdir):
+        for n in os.listdir(fdir):
+            if os.path.isdir(os.path.join(fdir, n, "postings")):
+                out.add(n)
+    return out
+
+
+def has_fielded_clause(qtext: str, fields: set[str]) -> bool:
+    """True when any whitespace token is a field-scoped clause over a
+    KNOWN field. Unknown prefixes (URLs, times) stay ordinary text —
+    routing only ever changes semantics for names the index actually
+    serves, so plain queries keep their round-1 behavior."""
+    for tok in qtext.split():
+        m = _FIELDED_RE.match(tok)
+        if m and m.group(2) in fields:
+            return True
+    return False
+
+
+def parse_fielded_query(
+    qtext: str, fields: set[str], *, stem: bool = True
+) -> list[tuple[str, str, bool, float]]:
+    """Parse a fielded query into clauses (field, term, negated,
+    boost). Grammar: whitespace-separated clauses; `title:spark`
+    scopes a term to a field index, `-title:spark` negates it,
+    `title:spark^2` boosts its contribution; bare terms (and
+    `body:`-prefixed ones) are body clauses. Lucene's field-scoped
+    term query shape — OR-groups / quoted phrases don't mix with
+    fielded clauses (orthogonal grammars; the CLI usage-errors).
+    Terms are analyzed with the standard analyzer; a clause whose
+    term analyzes away (pure punctuation) vanishes like any other
+    clause. Raises ValueError for unknown fields and for purely
+    negative queries (Lucene, too, requires a positive clause)."""
+    clauses: list[tuple[str, str, bool, float]] = []
+    for tok in qtext.split():
+        m = _FIELDED_RE.match(tok)
+        if m and m.group(2) in fields:
+            neg, fname, raw, boost = (
+                bool(m.group(1)), m.group(2), m.group(3), m.group(4),
+            )
+        elif m and m.group(2) not in fields:
+            raise ValueError(
+                f"unknown field {m.group(2)!r} in clause {tok!r} — "
+                f"built fields: {sorted(fields)}"
+            )
+        else:
+            neg = tok.startswith("-") and len(tok) > 1
+            raw = tok[1:] if neg else tok
+            fname, boost = "body", None
+            if "^" in raw:
+                raw, _, b = raw.partition("^")
+                boost = "^" + b
+        if boost is not None:
+            try:
+                w = float(boost[1:])
+            except ValueError:
+                raise ValueError(
+                    f"malformed boost in clause {tok!r}"
+                ) from None
+            if w < 0:
+                raise ValueError(f"negative boost in clause {tok!r}")
+        else:
+            w = 1.0
+        for term in analyze_query(raw, stem=stem):
+            clauses.append((fname, term, neg, w))
+    if clauses and not any(not neg for _, _, neg, _ in clauses):
+        raise ValueError(
+            "purely negative query — add at least one positive clause"
+        )
+    return clauses
+
+
+def _fielded_split(clauses):
+    """(body_pos, body_neg, field_pos, field_neg) with body boosts
+    folded into field_pos when boosted (the body leg's LocalSearcher
+    path scores unboosted AND; a boosted body clause rides the
+    per-clause contribution machinery instead)."""
+    body_pos, body_neg, fpos, fneg = [], [], [], []
+    for fname, term, neg, w in clauses:
+        if fname == "body" and w == 1.0:
+            (body_neg if neg else body_pos).append(term)
+        else:
+            (fneg if neg else fpos).append((fname, term, w))
+    return body_pos, body_neg, fpos, fneg
+
+
+def search_fielded(
+    index_dir: str, qtext: str, *, k: int = 10, stem: bool = True,
+    restrict=None, static_boosts: bool = True,
+) -> list[tuple[int, float]]:
+    """Field-scoped conjunctive search (Lucene `title:spark join`):
+    every positive clause must match IN ITS FIELD; score = the sum of
+    each clause's boost * idf_f * tfnorm_f against that field's own
+    collection statistics (body clauses ride plain body BM25 — with
+    the index's static boosts, like every body path); `-field:term`
+    suppresses docs whose field contains the term. Top-k (score desc,
+    doc_id asc).
+
+    Exhaustive across clauses by design: conjunction spans SEVERAL
+    indexes, and each index's baked impacts bound only its own
+    contribution — cross-field dynamic pruning needs a WAND over the
+    union of clause posting lists (future work; Lucene evaluates
+    multi-field conjunctions the same exhaustive way). Cost is the
+    sum of the clause postings — the same bound the exhaustive AND
+    path pays. Tombstones apply per field (field searchers mask
+    against the parent's delete table); restrict carries the
+    site:/ts-window filter clauses (removal-only)."""
+    clauses = parse_fielded_query(qtext, known_fields(index_dir),
+                                  stem=stem)
+    if not clauses:
+        return []
+    body_pos, body_neg, fpos, fneg = _fielded_split(clauses)
+
+    body = LocalSearcher(index_dir)
+    if not static_boosts:
+        body.clear_static_boosts()
+    searchers: dict[str, LocalSearcher] = {"body": body}
+
+    def _fs(name: str) -> LocalSearcher:
+        if name not in searchers:
+            searchers[name] = LocalSearcher(
+                os.path.join(index_dir, "fields", name)
+            )
+        return searchers[name]
+
+    docs = scores = None
+    if body_pos:
+        hits = body.search(body_pos, k=1 << 30, stem=False,
+                           mode="and", exclude=body_neg or None,
+                           restrict=restrict)
+        if not hits:
+            return []
+        docs = np.fromiter((d for d, _ in hits), dtype=np.int64,
+                           count=len(hits))
+        scores = np.fromiter((s for _, s in hits), dtype=np.float64,
+                             count=len(hits))
+        order = np.argsort(docs)
+        docs, scores = docs[order], scores[order]
+
+    for fname, term, w in fpos:
+        fs = _fs(fname)
+        if term not in fs._df:
+            return []  # absent clause term: conjunction unsatisfiable
+        od, oc = fs._load_full(term, fs._idf(term))
+        if od.size == 0:
+            return []
+        if docs is None:
+            docs, scores = od, w * oc
+        else:
+            pos = np.searchsorted(od, docs)
+            pos_c = np.minimum(pos, od.size - 1)
+            hit = od[pos_c] == docs
+            docs, scores = docs[hit], scores[hit]
+            scores = scores + w * oc[pos_c[hit]]
+        if docs.size == 0:
+            return []
+
+    if docs is None:
+        return []
+    # negative clauses + leftover filters the body leg didn't apply
+    excl_arrs = []
+    for fname, term, _w in fneg:
+        fs = _fs(fname)
+        if term in fs._df:
+            excl_arrs.append(fs._load_full(term, fs._idf(term))[0])
+    if not body_pos:
+        for term in body_neg:
+            if term in body._df:
+                excl_arrs.append(body._load_full(term, body._idf(term))[0])
+    if excl_arrs:
+        excl = np.unique(np.concatenate(excl_arrs))
+        keep = ~body._in_sorted(excl, docs)
+        docs, scores = docs[keep], scores[keep]
+    if not body_pos and restrict is not None:
+        allow = body._norm_restrict(restrict)
+        if allow is None or allow.size == 0:
+            return []
+        keep = body._in_sorted(allow, docs)
+        docs, scores = docs[keep], scores[keep]
+    if docs.size == 0:
+        return []
+    order_k = np.lexsort((docs, -scores))[:k]
+    return [(int(docs[i]), float(scores[i])) for i in order_k]
+
+
+def search_fielded_distributed(
+    spark, index_dir: str, qtext: str, *, k: int = 10,
+    stem: bool = True, offset: int = 0, restrict=None,
+    static_boosts: bool = True,
+):
+    """Cluster twin of search_fielded — one declarative plan:
+    per-clause full match sets from each field's IndexReader
+    (row-group-pruned decode, the same machinery every distributed
+    query rides), conjunction as doc_id equi-joins (inner), negation
+    as anti-joins, restrict as a semi-join before ranking, top-k via
+    TakeOrderedAndProject. Result-identical to the local path
+    (property-tested in tests/test_fielded.py)."""
+    from pyspark.sql import DataFrame, functions as F
+
+    from search_engine_spark.plans.index_query import IndexReader
+
+    clauses = parse_fielded_query(qtext, known_fields(index_dir),
+                                  stem=stem)
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not clauses:
+        return empty
+    body_pos, body_neg, fpos, fneg = _fielded_split(clauses)
+
+    readers: dict[str, IndexReader] = {}
+
+    def _rd(name: str) -> IndexReader:
+        if name not in readers:
+            d = (index_dir if name == "body"
+                 else os.path.join(index_dir, "fields", name))
+            readers[name] = IndexReader(spark, d)
+            if not static_boosts:
+                readers[name].clear_static_boosts()
+        return readers[name]
+
+    frames = []
+    if body_pos:
+        f0 = _rd("body").match_scores(body_pos, stem=False, mode="and",
+                                      exclude=body_neg or None)
+        if f0 is None:
+            return empty
+        frames.append(f0)
+    for fname, term, w in fpos:
+        fr = _rd(fname).match_scores([term], stem=False, mode="and")
+        if fr is None:
+            return empty
+        frames.append(
+            fr.select("doc_id",
+                      (F.col("score") * F.lit(float(w))).alias("score"))
+        )
+    if not frames:
+        return empty
+    agg = frames[0]
+    for fr in frames[1:]:
+        agg = (
+            agg.join(fr.withColumnRenamed("score", "_s2"), "doc_id")
+            .select("doc_id",
+                    (F.col("score") + F.col("_s2")).alias("score"))
+        )
+    for fname, term, _w in fneg:
+        nd = _rd(fname).match_scores([term], stem=False, mode="and")
+        if nd is not None:
+            agg = agg.join(nd.select("doc_id"), "doc_id", "left_anti")
+    if not body_pos and body_neg:
+        nd = _rd("body")._excluded_docs_df(list(dict.fromkeys(body_neg)))
+        if nd is not None:
+            agg = agg.join(nd, "doc_id", "left_anti")
+    if restrict is not None:
+        rdf = (restrict.select("doc_id").distinct()
+               if isinstance(restrict, DataFrame)
+               else spark.createDataFrame(
+                   [(int(d),) for d in restrict], "doc_id long"
+               ).distinct())
+        agg = agg.join(rdf, "doc_id", "left_semi")
+    return IndexReader._topk(agg, k, offset)
 
 
 def build_title_index(

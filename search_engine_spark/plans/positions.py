@@ -205,10 +205,19 @@ def phrase_search_distributed(
     index_dir: str,
     query: str | list[str],
     k: int = 10,
+    restrict: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k cluster-scale phrase evaluation — ranks
-    phrase_counts_distributed by (phrase_tf desc, doc_id asc)."""
-    return phrase_counts_distributed(spark, index_dir, query).orderBy(
+    phrase_counts_distributed by (phrase_tf desc, doc_id asc).
+    restrict: filter-clause pre-filter (site:/ts-window) — a DataFrame
+    with a doc_id column, semi-joined below the ranking (removal-only,
+    the same semantics every other path's restrict carries)."""
+    counts = phrase_counts_distributed(spark, index_dir, query)
+    if restrict is not None:
+        counts = counts.join(
+            restrict.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
+    return counts.orderBy(
         F.desc("phrase_tf"), F.asc("doc_id")
     ).limit(k)
 
@@ -668,12 +677,25 @@ class PhraseSearcher:
             return a[b[pos_c] == a]
         return np.intersect1d(a, b, assume_unique=True)
 
+    @staticmethod
+    def _norm_restrict(restrict) -> np.ndarray | None:
+        """Sorted-unique int64 allow-list (LocalSearcher convention);
+        None passes through."""
+        if restrict is None:
+            return None
+        arr = (restrict.astype(np.int64, copy=False)
+               if isinstance(restrict, np.ndarray)
+               else np.asarray(list(restrict), dtype=np.int64))
+        return np.unique(arr)
+
     def _candidates(self, phrase: list[str], extra=None):
         """Conjunctive doc intersection + per-term row indices.
         Returns (cand doc_ids, per_term rows, idx arrays) or None.
         `extra`: additional sorted-unique doc arrays to intersect
         FIRST (bigram-table candidate bases — subsets of their
-        endpoint terms' doc lists, so they can only narrow)."""
+        endpoint terms' doc lists, so they can only narrow — and
+        restrict allow-lists, which ride the same removal-only
+        argument)."""
         distinct = list(dict.fromkeys(phrase))
         per_term = {t: self._term_rows(t) for t in distinct}
         if any(per_term[t][0].size == 0 for t in distinct):
@@ -751,25 +773,31 @@ class PhraseSearcher:
                 return np.zeros(n, dtype=np.int64)
         return np.bincount(keys // self._KEY_SHIFT, minlength=n)
 
-    def phrase_counts(self, phrase: list[str]) -> list[tuple[int, int]]:
+    def phrase_counts(self, phrase: list[str], *,
+                      restrict=None) -> list[tuple[int, int]]:
         """All (doc_id, phrase_tf) with tf > 0, doc_id-ascending
         (exhaustive — the equivalence-test surface). A covered 2-token
         phrase reads straight from the bigram table (tf IS the
         adjacency count, property-tested equal to the positional
         scan), so phrase CLAUSES over stopword pairs (plans/phraseq)
         ride the acceleration too."""
-        docs, tfs = self.phrase_counts_arrays(phrase)
+        docs, tfs = self.phrase_counts_arrays(phrase, restrict=restrict)
         return list(zip(docs.tolist(), tfs.tolist()))
 
     def phrase_counts_arrays(
-        self, phrase: list[str]
+        self, phrase: list[str], *, restrict=None
     ) -> tuple[np.ndarray, np.ndarray]:
         """phrase_counts without the python-tuple materialization:
         (sorted doc_ids, aligned phrase tfs) as int64 arrays — the
         hot-path surface for phrase CLAUSES (plans/phraseq), where a
-        stopword pair's match list is corpus-scale."""
+        stopword pair's match list is corpus-scale. restrict: an
+        allow-list of doc_ids (site:/ts-window filter clauses) —
+        intersected at candidate generation (removal-only)."""
         empty = np.empty(0, dtype=np.int64)
         if not phrase:
+            return empty, empty
+        allow = self._norm_restrict(restrict)
+        if allow is not None and allow.size == 0:
             return empty, empty
         br = self._bigram_reader()
         if br is not None and len(phrase) == 2 and br.covers(*phrase):
@@ -778,9 +806,16 @@ class PhraseSearcher:
                 from search_engine_spark.plans.deletes import mask_deleted
 
                 docs, tfs = mask_deleted(self._deleted, docs, tfs)
+            if allow is not None and docs.size:
+                keep = self._isect(docs.astype(np.int64, copy=False),
+                                   allow)
+                sel = np.searchsorted(docs, keep)
+                docs, tfs = keep, tfs[sel]
             return docs.astype(np.int64, copy=False), \
                 tfs.astype(np.int64, copy=False)
-        found = self._candidates(phrase)
+        found = self._candidates(
+            phrase, extra=[allow] if allow is not None else None
+        )
         if found is None:
             return empty, empty
         cand, per_term, idx = found
@@ -792,7 +827,7 @@ class PhraseSearcher:
             tfs[nz].astype(np.int64, copy=False)
 
     def near_counts(
-        self, term_a: str, term_b: str, slop: int
+        self, term_a: str, term_b: str, slop: int, *, restrict=None
     ) -> list[tuple[int, int]]:
         """Proximity query: all (doc_id, min_dist) where the two terms
         co-occur within `slop` tokens (min_dist = min |pos_a - pos_b|),
@@ -805,7 +840,13 @@ class PhraseSearcher:
         to itself is meaningless; use phrase/tf queries instead."""
         if term_a == term_b:
             raise ValueError("near query needs two distinct terms")
-        found = self._candidates([term_a, term_b])
+        allow = self._norm_restrict(restrict)
+        if allow is not None and allow.size == 0:
+            return []
+        found = self._candidates(
+            [term_a, term_b],
+            extra=[allow] if allow is not None else None,
+        )
         if found is None:
             return []
         cand, per_term, idx = found
@@ -839,25 +880,33 @@ class PhraseSearcher:
         return [(int(cand[i]), int(best[i])) for i in ok]
 
     def search_near(
-        self, term_a: str, term_b: str, slop: int = 3, k: int = 10
+        self, term_a: str, term_b: str, slop: int = 3, k: int = 10,
+        *, restrict=None,
     ) -> list[tuple[int, int]]:
         """Top-k proximity hits by (min_dist asc, doc_id asc)."""
-        hits = self.near_counts(term_a, term_b, slop)
+        hits = self.near_counts(term_a, term_b, slop, restrict=restrict)
         hits.sort(key=lambda r: (r[1], r[0]))
         return hits[:k]
 
-    def search_phrase(self, query: str | list[str], k: int = 10) -> list[tuple[int, int]]:
+    def search_phrase(self, query: str | list[str], k: int = 10, *,
+                      restrict=None) -> list[tuple[int, int]]:
         """Top-k (doc_id, phrase_tf) by (tf desc, doc_id asc), with
         WAND-style bound pruning: tf(doc) <= min_t npos_t(doc), so
         candidates are evaluated in descending-bound order and the
         scan stops once bound < the k-th heap tf — every remaining
         doc is provably beaten. Tie-safe: docs with bound == theta
         are still evaluated (doc_id tie-break can admit them), so
-        pruned == exhaustive (property-tested)."""
+        pruned == exhaustive (property-tested). restrict: allow-list
+        of doc_ids (the site:/ts-window filter clauses) — applied at
+        candidate generation, removal-only, so the bound-order prune
+        stays exact."""
         phrase = (
             self.phrase_terms(query) if isinstance(query, str) else list(query)
         )
         if not phrase:
+            return []
+        allow = self._norm_restrict(restrict)
+        if allow is not None and allow.size == 0:
             return []
         br = self._bigram_reader()
         if br is not None and len(phrase) == 2 and br.covers(*phrase):
@@ -871,12 +920,17 @@ class PhraseSearcher:
                 from search_engine_spark.plans.deletes import mask_deleted
 
                 docs, tfs = mask_deleted(self._deleted, docs, tfs)
+            if allow is not None and docs.size:
+                keep = self._isect(docs.astype(np.int64, copy=False),
+                                   allow)
+                sel = np.searchsorted(docs, keep)
+                docs, tfs = keep, tfs[sel]
             if docs.size == 0:
                 return []
             order_k = np.lexsort((docs, -tfs))[:k]
             return [(int(docs[i]), int(tfs[i])) for i in order_k]
         pair_rows: list[tuple[np.ndarray, np.ndarray]] = []
-        extras: list[np.ndarray] = []
+        extras: list[np.ndarray] = [] if allow is None else [allow]
         if br is not None and len(phrase) >= 3:
             # covered adjacent pairs: candidate bases (a matching doc
             # must contain every adjacent pair) + TIGHT tf bounds

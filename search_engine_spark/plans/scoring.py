@@ -213,6 +213,78 @@ def expand_fuzzy(
     return _FUZZY_RE.sub(repl, qtext)
 
 
+_WILDCARD_RE = re.compile(
+    r"(^|\s)(-?)([A-Za-z0-9*]*\*[A-Za-z0-9*]*)(\^[\d.]+)?(?=\s|$)"
+)
+
+
+def wildcard_to_regex(pattern: str) -> str:
+    """Translate a Lucene-style wildcard term ('sp*k', '*ark*') into
+    an anchored regex for vocab_terms(regex=). Only `*` (zero or more
+    chars) is supported — `?` is not, because the no-match fallback
+    below relies on the star-stripped literal matching the pattern.
+    A pattern of ONLY stars is rejected: match-all is a dictionary
+    scan, not a query clause."""
+    if not pattern.replace("*", ""):
+        raise ValueError(
+            f"wildcard clause {pattern!r} matches every term — use a "
+            "dictionary scan (--terms-matching / vocab_terms), not a "
+            "query clause"
+        )
+    return "^" + ".*".join(
+        re.escape(p) for p in pattern.split("*")
+    ) + "$"
+
+
+def expand_wildcard(
+    qtext: str,
+    searcher,
+    *,
+    max_candidates: int = 16,
+) -> str:
+    """Rewrite Lucene-style wildcard clauses (`sp*k`, `*ark*` — bare
+    terms with a `*`) into OR-groups of matching DICTIONARY terms,
+    ranked df-desc (Lucene's top-terms rewrite) and capped at
+    `max_candidates`. A PURE TEXT rewrite like expand_fuzzy /
+    expand_synonyms, so every serving path gets wildcards through the
+    existing grouped machinery, each variant scored against its own
+    df. Semantics pinned here (mirroring expand_fuzzy):
+
+    * patterns match the STORED vocabulary (analyzer output), so the
+      literal parts are casefolded but never stemmed — Lucene also
+      skips analysis for wildcard terms;
+    * a positive clause with no dictionary match keeps the
+      star-stripped literal (which provably also has no match, since
+      it matches its own pattern), so the clause is unsatisfiable and
+      the query returns [] — dropping it would silently WIDEN the
+      query;
+    * `-ab*` expands to one NOT-term per match (no matches: the
+      clause vanishes — excluding nothing is a no-op);
+    * a boost distributes over the variants;
+    * an all-star pattern is a ValueError (usage error upstream).
+
+    `searcher` is a plans.wand.LocalSearcher (vocab_terms provides
+    the capped df-ranked scan)."""
+    def repl(m: re.Match) -> str:
+        lead, neg, pattern, boost = (
+            m.group(1), m.group(2), m.group(3), m.group(4) or "",
+        )
+        rx = wildcard_to_regex(pattern.lower())
+        cands = [
+            t for t, _df in searcher.vocab_terms(
+                regex=rx, limit=max_candidates, by_df=True
+            )
+        ]
+        if not cands:
+            stripped = pattern.lower().replace("*", "")
+            return f"{lead}{stripped}{boost}" if not neg else lead
+        if neg:
+            return lead + " ".join(f"-{t}" for t in cands)
+        return lead + "|".join(f"{t}{boost}" for t in cands)
+
+    return _WILDCARD_RE.sub(repl, qtext)
+
+
 def bm25_exhaustive_grouped(
     spark: SparkSession,
     postings_flat: DataFrame,
@@ -375,6 +447,82 @@ def bm25_exhaustive(
             # NOT semantics: drop docs containing ANY excluded term
             # (anti-join on doc_id; the excluded set is df-bounded)
             agg = agg.join(excluded_docs, "doc_id", "left_anti")
+    return (
+        agg.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+LMD_MU = 2000.0
+
+
+def lmd_exhaustive(
+    spark: SparkSession,
+    postings_flat: DataFrame,
+    qtext_or_terms,
+    *,
+    k: int = 10,
+    stem: bool = True,
+    mode: str = "and",
+    mu: float = LMD_MU,
+) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet smoothing (Zhai &
+    Lafferty 2001; the Lucene LMDirichletSimilarity family) straight
+    off flat postings — the second pluggable similarity next to BM25.
+    Semantics pinned here and mirrored by every twin (the SQL oracle,
+    LocalSearcher.search_lmd):
+
+        score(d, q) = Σ_{t ∈ q ∩ d} [ ln(1 + tf/(μ·p_t))
+                                      + ln(μ/(μ + dl_d)) ]
+        p_t = cf_t / total_tokens            (collection LM)
+
+    i.e. the rank-equivalent log form, summed over MATCHED terms only
+    (each matched term also carries the document-length component, so
+    score = Σ ln(1+tf/(μ·p_t)) + n_matched·ln(μ/(μ+dl))); no
+    clipping. μ defaults to 2000 (the canonical ad-hoc value).
+
+    Plan shape matches bm25_exhaustive: broadcast query join →
+    broadcast per-term cf + 1-row collection total → codegen partial →
+    groupBy(doc_id) → top-k. All JVM-side."""
+    if isinstance(qtext_or_terms, str):
+        qterms = analyze_query(qtext_or_terms, stem=stem)
+    else:
+        qterms = list(dict.fromkeys(qtext_or_terms))
+    n_terms = len(qterms)
+    if n_terms == 0:
+        return spark.createDataFrame([], "doc_id long, score double")
+    if mode not in ("and", "or"):
+        raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+
+    qdf = spark.createDataFrame([(t,) for t in qterms], "term string")
+    cand = postings_flat.join(F.broadcast(qdf), "term")
+    cfs = cand.groupBy("term").agg(
+        F.sum("tf").cast("double").alias("cf")
+    )
+    total = postings_flat.select("doc_id", "doclen").dropDuplicates(
+        ["doc_id"]
+    ).agg(F.sum("doclen").cast("double").alias("total_tokens"))
+
+    scored = (
+        cand.join(F.broadcast(cfs), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "partial",
+            F.log(
+                F.lit(1.0)
+                + F.col("tf") / (F.lit(mu) * F.col("cf")
+                                 / F.col("total_tokens"))
+            )
+            + F.log(F.lit(mu) / (F.lit(mu) + F.col("doclen"))),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("partial").alias("score"),
+        F.count("*").alias("n_matched"),
+    )
+    if mode == "and":
+        agg = agg.filter(F.col("n_matched") == n_terms)
     return (
         agg.select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))

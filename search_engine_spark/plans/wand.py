@@ -118,6 +118,13 @@ class LocalSearcher:
         st = pq.read_table(os.path.join(index_dir, "stats")).to_pandas()
         self.n_docs = int(st.n_docs.iloc[0])
         self.avgdl = float(st.avgdl.iloc[0])
+        # exact total token count (collection LM denominator for the
+        # Dirichlet similarity); pre-sum_doclen indexes reconstruct it
+        # from the floating avgdl — identical up to rounding
+        self.sum_doclen = (
+            int(st.sum_doclen.iloc[0]) if "sum_doclen" in st.columns
+            else int(round(self.n_docs * self.avgdl))
+        )
         self._docstore = None  # lazy; only more_like_this needs it
         # collection constants from the meta JSON (written by stage A).
         # The lazy dictionary NEEDS the exact build-time n_buckets —
@@ -335,6 +342,155 @@ class LocalSearcher:
                 )
         out.sort()
         return out[:limit]
+
+    def vocab_terms(
+        self, *, contains: str | None = None, regex: str | None = None,
+        limit: int = 1000, by_df: bool = False,
+    ) -> list[tuple[str, int]]:
+        """Generalized wildcard dictionary scan: every vocabulary term
+        CONTAINING a substring ('*ark*') or matching a regular
+        expression — the leading-wildcard shapes prefix_terms' term
+        range pruning cannot serve. Returns (term, df) pairs,
+        term-ascending (or df-desc, term-asc with by_df=True — the
+        rewrite-cap order expand_wildcard wants), capped at `limit`.
+
+        Deliberately O(vocabulary): an infix predicate admits no
+        term-range pruning (Lucene's Wildcard/RegexpQuery walks the
+        whole term FST the same way), but the walk is a columnar scan
+        of the 2-column dictionary via pyarrow match_substring /
+        match_substring_regex — vectorized, never touching postings,
+        and bounded by the dictionary size (~vocabulary), not the
+        corpus. Exactly one of contains/regex must be given."""
+        if (contains is None) == (regex is None):
+            raise ValueError("pass exactly one of contains= / regex=")
+        if self._eager:
+            if contains is not None:
+                hits = [
+                    (t, int(df)) for t, df in self._eager_df.items()
+                    if contains in t
+                ]
+            else:
+                import re as _re
+
+                pat = _re.compile(regex)
+                hits = [
+                    (t, int(df)) for t, df in self._eager_df.items()
+                    if pat.search(t)
+                ]
+        else:
+            import pyarrow.compute as pc
+
+            hits = []
+            for rgs in self._dict_rg.values():
+                for path, rg, _lo, _hi in rgs:
+                    tbl = self._dict_files[path].read_row_groups(
+                        [rg], columns=["term", "df"]
+                    )
+                    if contains is not None:
+                        mask = pc.match_substring(tbl["term"], contains)
+                    else:
+                        mask = pc.match_substring_regex(tbl["term"], regex)
+                    sel = tbl.filter(mask)
+                    hits.extend(
+                        zip(sel["term"].to_pylist(),
+                            (int(v) for v in sel["df"].to_pylist()))
+                    )
+        if by_df:
+            hits.sort(key=lambda td: (-td[1], td[0]))
+        else:
+            hits.sort()
+        return hits[:limit]
+
+    def search_lmd(
+        self, qtext_or_terms, *, k: int = 10, stem: bool = True,
+        mode: str = "and", mu: float = 2000.0, exclude=None,
+        restrict=None,
+    ) -> list[tuple[int, float]]:
+        """Query-likelihood ranking with Dirichlet smoothing — the
+        second pluggable similarity next to BM25, semantics pinned by
+        scoring.lmd_exhaustive (Zhai & Lafferty 2001):
+
+            score = Σ_matched [ln(1 + tf/(μ·p_t)) + ln(μ/(μ+dl))]
+            p_t   = cf_t / total_tokens
+
+        Exhaustive by DESIGN, not oversight: the baked per-segment
+        bounds are BM25 max_tfnorm impacts, which bound a different
+        similarity — block-max skipping for LMD would need
+        per-similarity impacts baked at build time, exactly why
+        Lucene's impacts are recorded per-similarity. Serving cost is
+        therefore the OR-scatter of the query terms' postings
+        (vectorized decode + one np.unique reduction), which is also
+        what the BM25 path pays for Zipf-head queries. cf_t comes
+        from the decoded (tombstone-masked) postings and
+        total_tokens from the build-time collection stats, so on a
+        compacted index both match the dictionary exactly.
+
+        exclude / restrict carry the standard NOT-term and
+        filter-clause semantics (removal-only, applied before
+        top-k). mode='and' keeps docs matching every present query
+        term; absent terms make AND unsatisfiable (BM25 `search`
+        convention), OR drops them."""
+        if mode not in ("and", "or"):
+            raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+        if isinstance(qtext_or_terms, str):
+            qterms = analyze_query(qtext_or_terms, stem=stem)
+        else:
+            qterms = list(dict.fromkeys(qtext_or_terms))
+        if isinstance(exclude, str):
+            exclude = analyze_query(exclude, stem=stem)
+        if mode == "and" and any(t not in self._df for t in qterms):
+            return []
+        qterms = [t for t in qterms if t in self._df]
+        if not qterms:
+            return []
+        allow = self._norm_restrict(restrict)
+        if allow is not None and allow.size == 0:
+            return []
+        excl = self._excluded_docs(exclude) if exclude else None
+
+        mu = float(mu)
+        total = float(self.sum_doclen)
+        doc_parts, contrib_parts = [], []
+        for t in qterms:
+            segs = self._segments(t)
+            t_docs, t_tfs, t_dls = [], [], []
+            for row in segs.itertuples(index=False):
+                cand, ctf = decode_postings(row.doc_ids, row.tfs)
+                cdl = decode_varints(row.doclens).astype(np.int64)
+                cand, ctf, cdl = mask_deleted(self._deleted, cand, ctf, cdl)
+                if cand.size:
+                    t_docs.append(cand)
+                    t_tfs.append(ctf)
+                    t_dls.append(cdl)
+            if not t_docs:
+                if mode == "and":
+                    return []
+                continue
+            docs = np.concatenate(t_docs)
+            tfs = np.concatenate(t_tfs).astype(np.float64)
+            dls = np.concatenate(t_dls).astype(np.float64)
+            p_t = tfs.sum() / total
+            doc_parts.append(docs)
+            contrib_parts.append(
+                np.log1p(tfs / (mu * p_t)) + np.log(mu / (mu + dls))
+            )
+        if not doc_parts:
+            return []
+        n_present = len(doc_parts)
+        all_docs = np.concatenate(doc_parts)
+        all_contrib = np.concatenate(contrib_parts)
+        u_docs, inv = np.unique(all_docs, return_inverse=True)
+        scores = np.zeros(u_docs.size, dtype=np.float64)
+        np.add.at(scores, inv, all_contrib)
+        counts = np.bincount(inv, minlength=u_docs.size)
+        m = self._eligible(u_docs, excl, allow)
+        if mode == "and":
+            m &= counts == n_present
+        u_docs, scores = u_docs[m], scores[m]
+        if not u_docs.size:
+            return []
+        order = np.lexsort((u_docs, -scores))[:k]
+        return [(int(u_docs[i]), float(scores[i])) for i in order]
 
     def search_grouped(
         self, qtext_or_groups, *, k: int = 10, stem: bool = True,

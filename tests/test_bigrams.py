@@ -378,3 +378,24 @@ def test_distributed_direct_path_plan_is_pure_jvm(spark, accel_idx):
         and "FlatMapGroupsInPandas" not in plan, plan
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "spark hash" in optimized, optimized
+
+
+def test_direct_path_restrict(accel_idx):
+    """The bigram DIRECT path honors restrict= exactly like the
+    positional path: allow-list applied before ranking, equal to the
+    unrestricted run filtered post-hoc, and bit-equal between the
+    accelerated and plain-positional searchers."""
+    d, pdf = accel_idx
+    s = PhraseSearcher(d)
+    plain = _plain(s)
+    phrase = [HOT[0], VOCAB[1]]  # covered pair -> direct path
+    allow = sorted(int(x) for x in pdf.doc_id if x % 2 == 0)
+    aset = set(allow)
+    full = s.phrase_counts(phrase)
+    want = [(doc, tf) for doc, tf in full if doc in aset]
+    assert s.phrase_counts(phrase, restrict=allow) == want
+    assert plain.phrase_counts(phrase, restrict=allow) == want
+    want_top = sorted(want, key=lambda r: (-r[1], r[0]))[:5]
+    assert s.search_phrase(phrase, k=5, restrict=allow) == want_top
+    assert plain.search_phrase(phrase, k=5, restrict=allow) == want_top
+    assert s.search_phrase(phrase, k=5, restrict=[]) == []

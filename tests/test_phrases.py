@@ -321,3 +321,55 @@ def test_dup_ngram_stats_vs_reference(spark):
         assert got[d]["dup_bigram_frac"] == pytest.approx(f2)
         assert got[d]["n_trigrams"] == n3
         assert got[d]["dup_trigram_frac"] == pytest.approx(f3)
+
+
+# ---------------------------------------------------------------------------
+# filter-clause restrict on the positional paths (site:/ts-window)
+# ---------------------------------------------------------------------------
+
+def test_phrase_restrict_equals_postfilter(spark, tmp_path):
+    """restrict= on search_phrase / phrase_counts / near is an
+    allow-list applied at candidate generation — results must equal
+    the unrestricted run filtered post-hoc (removal-only commutes
+    with ranking), on the pruned AND exhaustive-order paths, and the
+    distributed semi-join twin must agree."""
+    rng = random.Random(77)
+    pdf = _random_corpus(rng, 120)
+    idx_dir = os.path.join(str(tmp_path), "idx_restrict")
+    build_positions(
+        spark, spark.createDataFrame(pdf), idx_dir, n_buckets=4,
+        stem=False,
+    )
+    s = PhraseSearcher(idx_dir)
+    allow = sorted(int(d) for d in pdf.doc_id if d % 3 != 1)
+    aset = set(allow)
+    for phrase in (["spark"], ["hash", "table"], ["spark", "join"]):
+        full = s.phrase_counts(phrase)
+        want_counts = [(d, tf) for d, tf in full if d in aset]
+        got_counts = s.phrase_counts(phrase, restrict=allow)
+        assert got_counts == want_counts, phrase
+
+        want_top = sorted(want_counts, key=lambda r: (-r[1], r[0]))[:10]
+        got_top = s.search_phrase(phrase, k=10, restrict=allow)
+        assert got_top == want_top, phrase
+
+        from search_engine_spark.plans.positions import (
+            phrase_search_distributed,
+        )
+
+        rdf = spark.createDataFrame([(d,) for d in allow],
+                                    "doc_id long")
+        got_dist = [
+            (r.doc_id, r.phrase_tf)
+            for r in phrase_search_distributed(
+                spark, idx_dir, phrase, k=10, restrict=rdf
+            ).collect()
+        ]
+        assert got_dist == want_top, phrase
+    # empty allow-list matches nothing
+    assert s.search_phrase(["spark"], k=5, restrict=[]) == []
+    assert s.phrase_counts(["spark"], restrict=[]) == []
+    # near path rides the same argument
+    near_full = s.near_counts("spark", "join", 4)
+    want_near = [(d, dist) for d, dist in near_full if d in aset]
+    assert s.near_counts("spark", "join", 4, restrict=allow) == want_near

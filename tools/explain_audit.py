@@ -152,6 +152,30 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "phrase_boolean_topk": (["TakeOrderedAndProject", "LeftAnti",
                              "codegen id"],
                             ["Python", "CartesianProduct"]),
+    # round 4 session 5 — ts-window filter: the crawl-day predicate is
+    # a pure projection-side filter on the scored rows, ranked by
+    # TakeOrderedAndProject; query terms broadcast like every BM25
+    # entry. ('Python' not forbidden: the 2-row query-term local
+    # relation shows as applySchemaToPythonRDD, a driver-local
+    # literal, not a UDF.)
+    "bm25_ts_window_topk": (["TakeOrderedAndProject",
+                             "BroadcastHashJoin"],
+                            ["CartesianProduct"]),
+    # regex dictionary scan: aggregation in codegen, no Python (RLike
+    # is a JVM expression)
+    "regex_term_stats": (["HashAggregate", "codegen id"], ["Python"]),
+    # LM-Dirichlet: same keyed-join shape as BM25 scoring — broadcast
+    # query terms + per-term cf, 1-row collection total as the only
+    # nested-loop, top-k via TakeOrderedAndProject
+    "lm_dirichlet_topk": (["TakeOrderedAndProject", "BroadcastHashJoin",
+                           "HashAggregate"],
+                          ["CartesianProduct"]),
+    # fielded clauses: cross-field conjunction is a doc_id equi-join
+    # of per-clause match frames, ranked by TakeOrderedAndProject —
+    # never all-pairs
+    "fielded_topk": (["TakeOrderedAndProject", "BroadcastHashJoin",
+                      "HashAggregate"],
+                     ["CartesianProduct"]),
 }
 
 
