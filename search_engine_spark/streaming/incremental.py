@@ -129,3 +129,164 @@ def merge_staged_epochs(spark: SparkSession, staging_dir: str,
 
         shutil.rmtree(e, ignore_errors=True)
     return {"epochs_merged": len(epochs), "buckets_rebuilt": len(touched)}
+
+
+def start_shard_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    shards_dir: str,
+    *,
+    schema: str = "doc_id long, text string",
+    n_buckets: int = 64,
+    stem: bool = True,
+    segment_size: int = 4096,
+    salt_threshold: int = 1_000_000,
+    max_salts: int = 32,
+    pages: bool = False,
+    max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """LSM-cadence streaming ingest: each micro-batch becomes a FULL
+    small index (both stages) under shards_dir/epoch=<n>/, built with
+    the target's physical invariants (n_buckets, analyzer) so
+    ``fold_shards`` can segment-append it via plans/merge.merge_into —
+    fold cost O(epoch), never a rebuild of the serving index. This is
+    the streaming twin of the shard-build + tiered-merge story the
+    batch path serves at 10^12 docs (N workers build shard indexes,
+    merges fold the tier), upgraded from merge_staged_epochs' flat
+    deltas (whose fold re-runs stage B over every bucket because avgdl
+    moves — correct, but O(total) per fold).
+
+    pages=True: micro-batches are pages-shaped (url, warc_ts, html,
+    text, lang) — each epoch dedups to the latest snapshot per url,
+    assigns shard-local dense ids, builds from html, and writes the
+    shard urlmap (so the folded index keeps doc_id→url resolution;
+    merge_into offsets the ids). Exactly-once: the epoch output is
+    rebuilt from scratch on replay (same epoch id → same directory),
+    so re-delivery converges."""
+    import shutil as _shutil
+
+    stream = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string,"
+            " lang string" if pages else schema
+        ).format("parquet")
+    )
+    if max_files_per_trigger is not None:
+        stream = stream.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
+    stream = stream.load(input_dir)
+
+    from search_engine_spark.plans.build_index import build_index
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        out = os.path.join(shards_dir, f"epoch={epoch_id}")
+        if os.path.isdir(out):  # replayed epoch: rebuild, converges
+            _shutil.rmtree(out)
+        src, html_col = batch_df, None
+        if pages:
+            from search_engine_spark.operators.dedup import (
+                latest_snapshot,
+            )
+            from search_engine_spark.operators.ids import (
+                assign_dense_ids,
+            )
+
+            src = assign_dense_ids(
+                latest_snapshot(batch_df, "url", "warc_ts"), "url"
+            )
+            html_col = "html"
+        build_index(
+            spark, src, out, n_buckets=n_buckets, stem=stem,
+            segment_size=segment_size, salt_threshold=salt_threshold,
+            max_salts=max_salts, html_col=html_col,
+        )
+        if pages:
+            (
+                src.select("doc_id", "url", "warc_ts")
+                .sort("doc_id")
+                .write.mode("overwrite")
+                .parquet(os.path.join(out, "urlmap"))
+            )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation",
+                checkpoint_dir or os.path.join(shards_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def fold_shards(spark: SparkSession, shards_dir: str,
+                index_dir: str) -> dict:
+    """Fold pending epoch shards into the serving index, in epoch
+    order, via merge_into — O(incoming) per shard. Idempotent: a
+    ledger (<index>/ingested_epochs.json, written atomically) records
+    folded epoch names, so replaying a fold (crash between merge and
+    ledger write aside — see below) skips consumed shards; the first
+    shard bootstraps a missing index by file copy (no Spark compute).
+    Shard directories are NOT deleted (the ledger is the source of
+    truth; keep or reap them on your own retention schedule).
+
+    Crash window: merge_into is not atomic (its own docstring) — a
+    crash between a completed merge and the ledger write would
+    re-merge that shard on replay. The ledger is therefore written
+    BEFORE each merge with status 'folding' and committed to 'done'
+    after, so a replay detects the torn state and refuses with the
+    recovery instruction (re-run stage B from the flat, which is
+    append-first and remains the source of truth) instead of silently
+    double-ingesting."""
+    import glob
+    import json as _json
+    import shutil as _shutil
+
+    from search_engine_spark.plans.merge import merge_into
+
+    ledger_path = os.path.join(index_dir, "ingested_epochs.json")
+    ledger: dict[str, str] = {}
+    if os.path.exists(ledger_path):
+        with open(ledger_path) as f:
+            ledger = _json.load(f)
+    torn = [e for e, st in ledger.items() if st != "done"]
+    if torn:
+        raise RuntimeError(
+            f"ledger records interrupted folds {torn} — the index may "
+            "hold a partial merge; rebuild stage B from the flat table "
+            "(plans/merge.merge_into docstring) before folding more"
+        )
+
+    def _write_ledger() -> None:
+        tmp = ledger_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(ledger, f)
+        os.replace(tmp, ledger_path)
+
+    epochs = sorted(
+        glob.glob(os.path.join(shards_dir, "epoch=*")),
+        key=lambda p: int(p.rsplit("=", 1)[1]),
+    )
+    folded, stale_suggest = [], False
+    for epoch in epochs:
+        name = os.path.basename(epoch)
+        if name in ledger:
+            continue
+        if not os.path.isdir(os.path.join(epoch, "postings")):
+            continue  # in-flight epoch: the stream hasn't finished it
+        if not os.path.isdir(index_dir):
+            _shutil.copytree(epoch, index_dir)
+            ledger[name] = "done"
+            _write_ledger()
+        else:
+            ledger[name] = "folding"
+            _write_ledger()
+            res = merge_into(spark, index_dir, epoch)
+            stale_suggest = stale_suggest or res["suggest_stale"]
+            ledger[name] = "done"
+            _write_ledger()
+        folded.append(name)
+    return {
+        "epochs_folded": len(folded),
+        "epochs": folded,
+        "suggest_stale": stale_suggest,
+    }
