@@ -151,6 +151,18 @@ def main() -> None:
                     help="target index (modified in place)")
     mi.add_argument("--incoming", required=True)
 
+    fo = sub.add_parser("fold",
+                        help="fold every pending streaming epoch shard "
+                             "(streaming/incremental.start_shard_ingest "
+                             "output) into the serving index, in epoch "
+                             "order — O(epoch) each, ledger-idempotent; "
+                             "unfolded shards stay searchable meanwhile "
+                             "via query.py --also")
+    fo.add_argument("--index-dir", required=True,
+                    help="serving index (bootstrapped from the first "
+                         "epoch if missing)")
+    fo.add_argument("--shards-dir", required=True)
+
     pr = sub.add_parser("pagerank",
                         help="compute PageRank over a (src, dst) edge "
                              "table and write it as the index's static "
@@ -270,6 +282,10 @@ def main() -> None:
         from search_engine_spark.plans.merge import merge_into
 
         summary = merge_into(spark, args.index_dir, args.incoming)
+    elif args.cmd == "fold":
+        from search_engine_spark.streaming.incremental import fold_shards
+
+        summary = fold_shards(spark, args.shards_dir, args.index_dir)
     elif args.cmd == "pagerank":
         import os
 

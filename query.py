@@ -169,6 +169,13 @@ def main() -> None:
                          "ignored for grouped queries; both ignored "
                          "in --phrase mode)")
     ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--also", action="append", default=[], metavar="DIR",
+                    help="federate additional index dirs (e.g. unfolded "
+                         "streaming epoch shards) into this query: "
+                         "results are bit-identical to searching the "
+                         "merged index (plans/federate). Repeatable; "
+                         "list shards in fold order. Supports plain "
+                         "AND/OR/msm/grouped/NOT queries + --urls")
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--offset", type=int, default=0,
                     help="deep pagination: skip the first N ranked "
@@ -312,6 +319,28 @@ def main() -> None:
         return
     if bool(args.qtext) == bool(args.batch):
         ap.error("provide exactly one of: a query string, or --batch FILE")
+    if args.also:
+        blocked = [
+            (args.batch, "--batch"), (args.distributed, "--distributed"),
+            (args.phrase, "--phrase"), (args.suggest, "--suggest"),
+            (args.complete, "--complete"), (args.snippets, "--snippets"),
+            (args.site, "--site"), (args.explain_doc is not None,
+                                    "--explain-doc"),
+            (args.similarity == "lmd", "--similarity lmd"),
+            (args.title_weight is not None, "--title-weight"),
+            (args.anchor_weight is not None, "--anchor-weight"),
+            (args.collapse_host is not None, "--collapse-host"),
+            (args.after_ts is not None or args.before_ts is not None,
+             "--after-ts/--before-ts"),
+            (args.qtext is not None and '"' in args.qtext,
+             "quoted phrase clauses"),
+        ]
+        bad = [name for hit, name in blocked if hit]
+        if bad:
+            ap.error(f"--also federated serving does not support "
+                     f"{', '.join(bad)} yet — fold the shards first "
+                     "(streaming/incremental.fold_shards) for the full "
+                     "feature surface")
     if args.urls and not os.path.isdir(os.path.join(args.index_dir, "urlmap")):
         ap.error("--urls needs the index's urlmap table (built from "
                  "pages input)")
@@ -894,7 +923,14 @@ def main() -> None:
         from search_engine_spark.plans.wand import LocalSearcher
 
         qpos, qneg = split_not_terms(args.qtext)
-        s = LocalSearcher(args.index_dir)
+        if args.also:
+            from search_engine_spark.plans.federate import (
+                FederatedSearcher,
+            )
+
+            s = FederatedSearcher([args.index_dir] + args.also)
+        else:
+            s = LocalSearcher(args.index_dir)
         if args.no_static_boost:
             s.clear_static_boosts()
         if args.similarity == "lmd":
@@ -966,7 +1002,10 @@ def main() -> None:
     if args.urls:
         ids = sorted({int(d) for hits in results.values() for d, _ in hits})
         if ids:
-            urls = _url_lookup(args.index_dir, ids)
+            # federated ids are global — resolve across every sub's
+            # urlmap (s is a FederatedSearcher on this path)
+            urls = (s.url_lookup(ids) if args.also
+                    else _url_lookup(args.index_dir, ids))
     texts: dict[int, str] = {}
     snip_terms: dict[str, list[str]] = {}
     if args.snippets:

@@ -1,0 +1,262 @@
+"""Federated serving over several index directories at once.
+
+The read-side complement of the LSM ingest cadence
+(streaming/incremental.start_shard_ingest + fold_shards): freshly
+streamed epoch shards become searchable IMMEDIATELY — before the next
+fold — by federating them with the serving index, exactly how Lucene
+serves across segments and Elasticsearch across shards. The contract
+is strict:
+
+    FederatedSearcher([target, shard1, shard2, ...]).search(q)
+        == LocalSearcher(merge_into(target, shard1, shard2, ...)).search(q)
+
+bit-identically (scores AND order), because federation recomputes the
+very constants a physical merge would write:
+
+* **doc_id space** — sub i's local ids are offset by the running
+  ``max_allocated_id + 1`` of everything before it, the same rule
+  ``plans/merge.merge_into`` applies (urlmap when present, else the
+  docs table; read here from parquet row-group statistics — no Spark,
+  no data scan).
+* **collection stats** — global ``n_docs`` is additive, global
+  ``sum_doclen`` is additive (exact integers), global
+  ``avgdl = float(sum)/float(n)`` — the identical float expression
+  ``_merge_core`` writes into the merged stats table, so per-doc
+  tfnorm is bit-equal.
+* **df** — a per-term dict-like that sums each sub-dictionary's df
+  (absent -> 0), installed as ``LocalSearcher._idf_df``; with global
+  n_docs this makes idf bit-equal to the merged dictionary's.
+* **pruning bounds** — each sub's baked ``max_tfnorm`` bounds were
+  computed under its OWN avgdl; serving under the (usually larger)
+  global avgdl rescales them by ``max(1, avgdl_global/avgdl_sub)``,
+  the same monotonicity bound merge_into records as
+  ``tfnorm_scale`` — block-max pruning stays exact, marginally
+  looser.
+
+Per-sub tombstones, static boosts, and salted segments all apply as
+usual — the sub-searchers are stock ``LocalSearcher``s. Scoring any
+ONE sub with global constants is exactly what the merged index does
+for that sub's docs, and every doc lives in exactly one sub, so
+merging the per-sub top-k lists by (score desc, global doc_id asc)
+reproduces the merged index's ranking (each sub returns its own full
+top-k — a superset of its contribution to the global page).
+
+Scale shape: a serving node federates O(tier depth) sub-indexes
+(single digits under any sane fold cadence); per-query cost is the
+sum of per-sub costs, each row-group-pruned + block-max-bounded as
+usual. There is no cross-sub coordination beyond the final k-way
+list merge.
+
+Not federated here: search_lmd (needs global cf plumbing — Dirichlet
+callers should fold first) and more_like_this (per-sub docstores).
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.parquet as pq
+
+from search_engine_spark.plans.wand import LocalSearcher
+
+_BEYOND = 1 << 62  # cursor sentinel: no doc_id can exceed it
+
+
+def _max_allocated_id(index_dir: str) -> int:
+    """Highest doc_id the index has allocated — urlmap when present
+    (it records even empty docs), else the docs table; read from
+    parquet row-group max statistics only (footer metadata, no data
+    pages), mirroring plans/merge._max_allocated_id's Spark agg."""
+    urlmap = os.path.join(index_dir, "urlmap")
+    root = urlmap if os.path.isdir(urlmap) else os.path.join(index_dir, "docs")
+    hi = -1
+    for name in os.listdir(root):
+        if not name.endswith(".parquet"):
+            continue
+        pf = pq.ParquetFile(os.path.join(root, name))
+        idx = pf.schema_arrow.get_field_index("doc_id")
+        md = pf.metadata
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(idx).statistics
+            if stats is not None and stats.max is not None:
+                hi = max(hi, int(stats.max))
+    return hi
+
+
+class _GlobalDF:
+    """dict-like summing df across sub-searchers, LRU-free (bounded by
+    distinct query terms seen; a serving process's query vocabulary is
+    tiny next to the dictionary)."""
+
+    def __init__(self, subs: list[LocalSearcher]):
+        self._subs = subs
+        self._cache: dict[str, int] = {}
+
+    def __getitem__(self, term: str) -> int:
+        v = self._cache.get(term)
+        if v is None:
+            v = 0
+            for s in self._subs:
+                row = s._dict_lookup(term)
+                if row is not None:
+                    v += row[0]
+            self._cache[term] = v
+        return v
+
+
+class FederatedSearcher:
+    """Search N built indexes as one collection (see module docstring).
+
+    Directory ORDER is the identity rule: ``[target, shard1, shard2]``
+    assigns the same global doc_ids as ``merge_into(target, shard1)``
+    then ``merge_into(target, shard2)`` — list folded shards in fold
+    order and results stay stable across the fold itself."""
+
+    def __init__(self, index_dirs: list[str], *, cache_terms: int = 256,
+                 load_boosts: bool = True):
+        if not index_dirs:
+            raise ValueError("need at least one index dir")
+        self.subs: list[LocalSearcher] = []
+        self.offsets: list[int] = []
+        stems = []
+        nxt = 0
+        for d in index_dirs:
+            meta_path = os.path.join(d, "index_meta.json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    stems.append(bool(json.load(f).get("stem", True)))
+            self.offsets.append(nxt)
+            nxt += _max_allocated_id(d) + 1
+            self.subs.append(LocalSearcher(
+                d, cache_terms=cache_terms, load_boosts=load_boosts))
+        if len(set(stems)) > 1:
+            raise ValueError(
+                "cannot federate indexes with different analyzers "
+                f"(stem flags {stems} across {index_dirs})"
+            )
+        self.n_docs = sum(s.n_docs for s in self.subs)
+        self.sum_doclen = sum(s.sum_doclen for s in self.subs)
+        # identical float expression to plans/merge._merge_core
+        self.avgdl = (
+            float(self.sum_doclen) / float(self.n_docs)
+            if self.n_docs else 0.0
+        )
+        gdf = _GlobalDF(self.subs)
+        for s in self.subs:
+            if self.avgdl > s.avgdl:
+                s._tfnorm_scale *= self.avgdl / s.avgdl
+            s.avgdl = self.avgdl
+            s.n_docs = self.n_docs
+            s.sum_doclen = self.sum_doclen
+            s._idf_df = gdf
+
+    # -- global<->local doc_id plumbing ---------------------------------
+
+    def _sub_range(self, i: int) -> tuple[int, int]:
+        lo = self.offsets[i]
+        hi = (self.offsets[i + 1] if i + 1 < len(self.offsets)
+              else 1 << 61) - 1
+        return lo, hi
+
+    def _local_after(self, i: int, after):
+        """Translate a GLOBAL (doc_id, score) cursor for sub i: a local
+        doc d (global g = d + offset) ranks after the cursor iff
+        score < s OR (score == s AND g > a). Clamping the doc part
+        into the sub's local range preserves exactly that predicate."""
+        if after is None:
+            return None
+        a, s = int(after[0]), float(after[1])
+        lo, _ = self._sub_range(i)
+        local = a - lo
+        if local < -1:
+            local = -1          # cursor doc precedes this sub: ties pass
+        elif local > _BEYOND:
+            local = _BEYOND     # cursor doc after this sub: ties blocked
+        return (local, s)
+
+    def _local_ids(self, i: int, ids):
+        """GLOBAL doc_ids -> sub i's local ids (members only)."""
+        if ids is None:
+            return None
+        lo, hi = self._sub_range(i)
+        return [g - lo for g in ids if lo <= g <= hi]
+
+    # -- queries ---------------------------------------------------------
+
+    def _merged(self, per_sub: list[list[tuple[int, float]]],
+                k: int) -> list[tuple[int, float]]:
+        allhits = [
+            (d + self.offsets[i], sc)
+            for i, hits in enumerate(per_sub) for d, sc in hits
+        ]
+        allhits.sort(key=lambda t: (-t[1], t[0]))
+        return allhits[:k]
+
+    def search(self, qtext_or_terms, *, k: int = 10, stem: bool = True,
+               prune: bool = True, mode: str = "and", fast: bool = True,
+               exclude=None, after: tuple[int, float] | None = None,
+               msm: int = 1, restrict=None, exclude_docs=None,
+               ) -> list[tuple[int, float]]:
+        """Top-k (GLOBAL doc_id, score) across every sub-index —
+        LocalSearcher.search semantics (AND/OR, msm, NOT-terms,
+        cursor pagination, restrict/exclude_docs on GLOBAL ids)."""
+        per_sub = [
+            s.search(qtext_or_terms, k=k, stem=stem, prune=prune,
+                     mode=mode, fast=fast, exclude=exclude,
+                     after=self._local_after(i, after), msm=msm,
+                     restrict=self._local_ids(i, restrict),
+                     exclude_docs=self._local_ids(i, exclude_docs))
+            for i, s in enumerate(self.subs)
+        ]
+        return self._merged(per_sub, k)
+
+    def search_grouped(self, qtext_or_groups, *, k: int = 10,
+                       stem: bool = True, exclude=None,
+                       after: tuple[int, float] | None = None,
+                       boosts: dict[str, float] | None = None,
+                       prune: bool = True, fast: bool = True,
+                       restrict=None, exclude_docs=None,
+                       ) -> list[tuple[int, float]]:
+        """Grouped boolean (OR-groups, boosts, NOT) across the
+        federation — GLOBAL ids, same merge rule as search()."""
+        per_sub = [
+            s.search_grouped(qtext_or_groups, k=k, stem=stem,
+                             exclude=exclude,
+                             after=self._local_after(i, after),
+                             boosts=boosts, prune=prune, fast=fast,
+                             restrict=self._local_ids(i, restrict),
+                             exclude_docs=self._local_ids(i, exclude_docs))
+            for i, s in enumerate(self.subs)
+        ]
+        return self._merged(per_sub, k)
+
+    def refresh_deletes(self) -> None:
+        for s in self.subs:
+            s.refresh_deletes()
+
+    def clear_static_boosts(self) -> None:
+        for s in self.subs:
+            s.clear_static_boosts()
+
+    def url_lookup(self, doc_ids) -> dict[int, str]:
+        """GLOBAL doc_id -> url across every sub's urlmap (row-group
+        pruned per sub, like query.py's single-index lookup)."""
+        import pyarrow.dataset as ds
+
+        out: dict[int, str] = {}
+        for i, s in enumerate(self.subs):
+            lo, hi = self._sub_range(i)
+            local = [g - lo for g in doc_ids if lo <= g <= hi]
+            if not local:
+                continue
+            urlmap = os.path.join(s.root, "urlmap")
+            if not os.path.isdir(urlmap):
+                continue
+            tbl = ds.dataset(urlmap, format="parquet").to_table(
+                columns=["doc_id", "url"],
+                filter=ds.field("doc_id").isin(local),
+            )
+            for d, u in zip(tbl["doc_id"].to_pylist(),
+                            tbl["url"].to_pylist()):
+                out[d + lo] = u
+        return out

@@ -233,6 +233,10 @@ class LocalSearcher:
         # contributions on every path; block-max bounds gain +max so
         # pruning stays exact (see load_static_boosts).
         self._boost: tuple[np.ndarray, np.ndarray, float] | None = None
+        # collection-wide df override for federated serving (see _idf);
+        # must be installed BEFORE the first search — decoded-
+        # contribution caches bake idf in at decode time
+        self._idf_df = None
         boosts_dir = os.path.join(index_dir, "boosts")
         # fail LOUDLY on a corrupt boosts table — serving with a bad
         # prior mis-ranks every query. fsck passes load_boosts=False
@@ -833,7 +837,12 @@ class LocalSearcher:
         return row
 
     def _idf(self, term: str) -> float:
-        df = self._df[term]
+        # _idf_df (plans/federate): dict-like override giving the
+        # COLLECTION-WIDE df when this searcher serves one member of a
+        # federated set — n_docs/avgdl are rebased there too, so every
+        # sub-index scores on identical global constants and the merged
+        # ranking is exchangeable with a physically merged index.
+        df = (self._idf_df if self._idf_df is not None else self._df)[term]
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
     @staticmethod

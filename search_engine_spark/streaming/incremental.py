@@ -278,6 +278,13 @@ def fold_shards(spark: SparkSession, shards_dir: str,
             ledger[name] = "done"
             _write_ledger()
         else:
+            # preflight BEFORE marking 'folding': an incompatible
+            # shard (n_buckets/analyzer mismatch) must raise cleanly,
+            # not poison the ledger into the torn state — the index
+            # hasn't been touched yet
+            from search_engine_spark.plans.merge import _check_compat
+
+            _check_compat(spark, index_dir, epoch)
             ledger[name] = "folding"
             _write_ledger()
             res = merge_into(spark, index_dir, epoch)
