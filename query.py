@@ -319,19 +319,32 @@ def main() -> None:
         return
     if bool(args.qtext) == bool(args.batch):
         ap.error("provide exactly one of: a query string, or --batch FILE")
+    _fed_cache = []
+
+    def _fed():
+        """The federation for --also, built once: [serving index] +
+        shards in fold order. Exposes the LocalSearcher query surface
+        plus dictionary-level ops (prefix/vocab/suggest) and per-sub
+        docstore/urlmap reads — all bit-identical to the merged
+        index's (plans/federate)."""
+        if not _fed_cache:
+            from search_engine_spark.plans.federate import (
+                FederatedSearcher,
+            )
+
+            _fed_cache.append(
+                FederatedSearcher([args.index_dir] + args.also))
+        return _fed_cache[0]
+
+    def _fed_dirs():
+        return [args.index_dir] + args.also
+
     if args.also:
         blocked = [
-            (args.batch, "--batch"), (args.distributed, "--distributed"),
-            (args.phrase, "--phrase"), (args.suggest, "--suggest"),
-            (args.complete, "--complete"), (args.snippets, "--snippets"),
-            (args.site, "--site"), (args.explain_doc is not None,
-                                    "--explain-doc"),
-            (args.similarity == "lmd", "--similarity lmd"),
+            (args.distributed, "--distributed"),
+            (args.phrase, "--phrase"),
             (args.title_weight is not None, "--title-weight"),
             (args.anchor_weight is not None, "--anchor-weight"),
-            (args.collapse_host is not None, "--collapse-host"),
-            (args.after_ts is not None or args.before_ts is not None,
-             "--after-ts/--before-ts"),
             (args.qtext is not None and '"' in args.qtext,
              "quoted phrase clauses"),
         ]
@@ -341,20 +354,23 @@ def main() -> None:
                      f"{', '.join(bad)} yet — fold the shards first "
                      "(streaming/incremental.fold_shards) for the full "
                      "feature surface")
-    if args.urls and not os.path.isdir(os.path.join(args.index_dir, "urlmap")):
-        ap.error("--urls needs the index's urlmap table (built from "
-                 "pages input)")
-    if args.snippets and not os.path.isdir(
-        os.path.join(args.index_dir, "docstore")
-    ):
-        ap.error("--snippets needs the docstore table — rebuild with "
-                 "build_index.py --store-text")
+        for d in args.also:
+            if not os.path.isdir(d):
+                ap.error(f"--also {d}: not a directory")
+    for _d in (_fed_dirs() if args.urls else []):
+        if not os.path.isdir(os.path.join(_d, "urlmap")):
+            ap.error(f"--urls needs the urlmap table in {_d} (built "
+                     "from pages input)")
+    for _d in (_fed_dirs() if args.snippets else []):
+        if not os.path.isdir(os.path.join(_d, "docstore")):
+            ap.error(f"--snippets needs the docstore table in {_d} — "
+                     "rebuild with build_index.py --store-text")
 
-    if args.suggest and not os.path.isdir(
-        os.path.join(args.index_dir, "suggest")
-    ):
-        ap.error("--suggest needs the suggestion table — derive it with "
-                 "`python index_admin.py build-suggest --index-dir ...`")
+    for _d in (_fed_dirs() if args.suggest else []):
+        if not os.path.isdir(os.path.join(_d, "suggest")):
+            ap.error(f"--suggest needs the suggestion table in {_d} — "
+                     "derive it with `python index_admin.py "
+                     "build-suggest --index-dir ...`")
     if args.phrase and not os.path.exists(
         os.path.join(args.index_dir, "positions_meta.json")
     ):
@@ -379,11 +395,32 @@ def main() -> None:
                 and ts_after > ts_before:
             ap.error("--after-ts is later than --before-ts — the "
                      "window is empty")
-        if not os.path.isdir(os.path.join(args.index_dir, "urlmap")):
-            ap.error("--after-ts/--before-ts need the urlmap table "
-                     "(index built from pages input)")
+        for _d in _fed_dirs():
+            if not os.path.isdir(os.path.join(_d, "urlmap")):
+                ap.error("--after-ts/--before-ts need the urlmap "
+                         f"table in {_d} (index built from pages "
+                         "input)")
     has_filter = bool(args.site) or ts_after is not None \
         or ts_before is not None
+
+    def _restrict_ids():
+        """The filter-clause allow-list (site: + ts window), on GLOBAL
+        ids when federating: each sub's urlmap resolves its own local
+        ids, offset by the federation's id rule — identical to one
+        scan of the merged urlmap."""
+        if not has_filter:
+            return None
+        if not args.also:
+            return _restrict_doc_ids(args.index_dir, args.site,
+                                     ts_after, ts_before)
+        fed = _fed()
+        out = []
+        for d, off in zip(_fed_dirs(), fed.offsets):
+            out.extend(
+                g + off for g in _restrict_doc_ids(d, args.site,
+                                                   ts_after, ts_before)
+            )
+        return out
     if args.msm < 1:
         ap.error("--msm must be >= 1")
     if args.similarity == "lmd":
@@ -419,12 +456,17 @@ def main() -> None:
         if not _sug_cache:
             from search_engine_spark.plans.suggest import Suggester
 
-            try:
-                _sug_cache.append(Suggester(args.index_dir))
-            except FileNotFoundError:
-                ap.error("fuzzy clauses (term~N) need the suggestion "
-                         "table — build it with `python index_admin.py "
-                         "build-suggest --index-dir ...`")
+            for _d in _fed_dirs():
+                if not os.path.isdir(os.path.join(_d, "suggest")):
+                    ap.error("fuzzy clauses (term~N) need the "
+                             f"suggestion table in {_d} — build it "
+                             "with `python index_admin.py "
+                             "build-suggest --index-dir ...`")
+            # federated: candidates from the UNION dictionary with
+            # global df, matching a suggest table rebuilt on the
+            # merged index (plans/federate.suggest)
+            _sug_cache.append(_fed() if args.also
+                              else Suggester(args.index_dir))
         return expand_fuzzy(text, _sug_cache[0],
                             stem=not args.no_stem)
 
@@ -448,7 +490,10 @@ def main() -> None:
         if not _wc_cache:
             from search_engine_spark.plans.wand import LocalSearcher
 
-            _wc_cache.append(LocalSearcher(args.index_dir))
+            # federated: the rewrite must rank candidates by GLOBAL
+            # df over the union dictionary (plans/federate.vocab_terms)
+            _wc_cache.append(_fed() if args.also
+                             else LocalSearcher(args.index_dir))
         try:
             out = expand_wildcard(text, _wc_cache[0])
         except ValueError as e:
@@ -483,10 +528,10 @@ def main() -> None:
 
         t0 = time.time()
         # prefix matches the STORED vocabulary (analyzer output:
-        # casefolded, stemmed if the index was built stemmed)
-        terms = LocalSearcher(args.index_dir).prefix_terms(
-            args.qtext.strip().lower()
-        )
+        # casefolded, stemmed if the index was built stemmed);
+        # federated: union dictionary, global df
+        _cs = _fed() if args.also else LocalSearcher(args.index_dir)
+        terms = _cs.prefix_terms(args.qtext.strip().lower())
         terms.sort(key=lambda t: (-t[1], t[0]))
         for rank, (term, df) in enumerate(terms[: args.k], 1):
             print(f"{rank}\t{term}\t{df}")
@@ -531,7 +576,8 @@ def main() -> None:
             ap.error("--collapse-host is a local single-query mode")
         if args.collapse_host < 1:
             ap.error("--collapse-host needs N >= 1")
-        if not os.path.isdir(os.path.join(args.index_dir, "urlmap")):
+        if any(not os.path.isdir(os.path.join(_d, "urlmap"))
+               for _d in _fed_dirs()):
             ap.error("--collapse-host needs the urlmap table (index "
                      "built from pages input)")
         from urllib.parse import urlsplit
@@ -551,14 +597,10 @@ def main() -> None:
                 parse_grouped_query(qpos, stem=stem_q)
             except ValueError as e:
                 ap.error(str(e))
-        s = LocalSearcher(args.index_dir)
+        s = _fed() if args.also else LocalSearcher(args.index_dir)
         need = args.k + args.offset
         fetch = max(4 * need * args.collapse_host, 50)
-        c_site = (
-            _restrict_doc_ids(args.index_dir, args.site, ts_after,
-                              ts_before)
-            if has_filter else None
-        )
+        c_site = _restrict_ids()
         while True:
             if "|" in qpos or "^" in qpos:
                 hits = s.search_grouped(qpos, k=fetch, stem=stem_q,
@@ -568,10 +610,13 @@ def main() -> None:
                 hits = s.search(qpos, k=fetch, stem=stem_q,
                                 mode=args.mode, exclude=qneg or None,
                                 restrict=c_site)
-            urls = (
-                _url_lookup(args.index_dir, sorted({d for d, _ in hits}))
-                if hits else {}
-            )
+            ids = sorted({d for d, _ in hits})
+            if not hits:
+                urls = {}
+            elif args.also:
+                urls = s.url_lookup(ids)  # global ids, per-sub urlmaps
+            else:
+                urls = _url_lookup(args.index_dir, ids)
             hosts = {d: urlsplit(urls.get(d, "")).netloc.lower()
                      for d, _ in hits}
             kept = collapse_ranked(hits, hosts,
@@ -595,6 +640,7 @@ def main() -> None:
 
         if '"' in args.qtext:
             # mixed phrase+boolean explain: per-clause breakdown
+            # (quoted clauses + --also are rejected upstream)
             import os
 
             from search_engine_spark.plans.phraseq import explain_mixed
@@ -613,7 +659,8 @@ def main() -> None:
             print(json.dumps(out, indent=2))
             return
         qpos, _ = split_not_terms(args.qtext)
-        out = LocalSearcher(args.index_dir).explain_score(
+        _es = _fed() if args.also else LocalSearcher(args.index_dir)
+        out = _es.explain_score(
             qpos, args.explain_doc, stem=not args.no_stem
         )
         print(json.dumps(out, indent=2))
@@ -643,10 +690,7 @@ def main() -> None:
     # filter clauses (site: + ts window) resolved ONCE per invocation
     # (local list for the serving paths; the distributed paths build
     # the urlmap-filter DataFrame lazily inside their session)
-    site_ids = (
-        _restrict_doc_ids(args.index_dir, args.site, ts_after, ts_before)
-        if has_filter else None
-    )
+    site_ids = _restrict_ids()
     # field-scoped clauses (Lucene `title:spark join`): routed to the
     # fielded conjunction engine (plans/multifield.search_fielded).
     # Only KNOWN field prefixes route — unknown prefixes stay plain
@@ -673,6 +717,10 @@ def main() -> None:
                      "not apply")
         if args.similarity != "bm25":
             ap.error("field-scoped clauses are BM25-only")
+        if args.also:
+            ap.error("--also federated serving does not support "
+                     "field-scoped clauses yet — fold the shards "
+                     "first")
     if args.qtext and '"' in args.qtext and ":" in args.qtext:
         # a known-field clause in the UNQUOTED remainder of a phrase
         # query would silently re-tokenize as plain terms — error out
@@ -729,6 +777,11 @@ def main() -> None:
             ap.error("field-scoped clauses inside a batch are served "
                      "locally — drop --distributed (single fielded "
                      "queries do have a --distributed twin)")
+        if args.also and any('"' in t or _has_fielded(t)
+                             for t in raw.values()):
+            ap.error("--also federated serving covers plain/grouped "
+                     "batch lines — quoted phrase or field-scoped "
+                     "lines need the shards folded first")
         _validate_boosts(*(t for t in raw.values() if '"' not in t))
         split = {qid: split_not_terms(text) for qid, text in raw.items()}
         queries = {qid: pos for qid, (pos, _) in split.items()}
@@ -760,7 +813,7 @@ def main() -> None:
         else:
             from search_engine_spark.plans.wand import LocalSearcher
 
-            s = LocalSearcher(args.index_dir)
+            s = _fed() if args.also else LocalSearcher(args.index_dir)
             phraser = None
             for qid, text in queries.items():
                 if '"' in raw[qid]:
@@ -923,14 +976,7 @@ def main() -> None:
         from search_engine_spark.plans.wand import LocalSearcher
 
         qpos, qneg = split_not_terms(args.qtext)
-        if args.also:
-            from search_engine_spark.plans.federate import (
-                FederatedSearcher,
-            )
-
-            s = FederatedSearcher([args.index_dir] + args.also)
-        else:
-            s = LocalSearcher(args.index_dir)
+        s = _fed() if args.also else LocalSearcher(args.index_dir)
         if args.no_static_boost:
             s.clear_static_boosts()
         if args.similarity == "lmd":
@@ -1014,7 +1060,9 @@ def main() -> None:
 
         ids = {int(d) for hits in results.values() for d, _ in hits}
         if ids:
-            texts = DocStore(args.index_dir).get_texts(ids)
+            # federated ids are global — per-sub docstore reads
+            texts = (_fed().get_texts(ids) if args.also
+                     else DocStore(args.index_dir).get_texts(ids))
         snip_stem = stem
         if args.phrase:
             # match the positional analyzer (phrase path ignores --no-stem)
@@ -1050,7 +1098,8 @@ def main() -> None:
         from search_engine_spark.plans.scoring import analyze_query
         from search_engine_spark.plans.suggest import Suggester
 
-        sug = Suggester(args.index_dir)
+        # federated: union-dictionary candidates, global df ranking
+        sug = _fed() if args.also else Suggester(args.index_dir)
         qmap = queries if args.batch else {"": split_not_terms(args.qtext)[0]}
         for qid, q in qmap.items():
             for term in dict.fromkeys(analyze_query(q, stem=stem)):
@@ -1080,7 +1129,9 @@ def main() -> None:
                 from search_engine_spark.plans.wand import LocalSearcher
 
                 qneg = split_not_terms(args.qtext)[1]
-                hits = LocalSearcher(args.index_dir).search(
+                _rs = (_fed() if args.also
+                       else LocalSearcher(args.index_dir))
+                hits = _rs.search(
                     corrected, k=args.k, stem=stem, mode=args.mode,
                     exclude=qneg or None, restrict=site_ids,
                 )

@@ -47,8 +47,33 @@ sum of per-sub costs, each row-group-pruned + block-max-bounded as
 usual. There is no cross-sub coordination beyond the final k-way
 list merge.
 
-Not federated here: search_lmd (needs global cf plumbing — Dirichlet
-callers should fold first) and more_like_this (per-sub docstores).
+Also federated, all on the same identity argument (every doc lives in
+exactly one sub; global constants installed per sub; k-way merge by
+(score desc, global doc_id asc)):
+
+* **search_lmd** — LM-Dirichlet needs the GLOBAL cf of each query
+  term for ``p_t = cf_t / total_tokens``; ``_GlobalCF`` sums each
+  sub's tombstone-masked ``term_cf`` (exact integers — bit-equal to
+  the merged index's own decoded sum) and installs it as
+  ``LocalSearcher._lmd_cf``.
+* **explain_score** — routed to the owning sub (its idf already uses
+  the global df override); the reported per-term ``df`` is patched to
+  the global value so the breakdown reads like the merged index's.
+* **get_texts / url_lookup** — per-sub docstore/urlmap reads on the
+  owning sub's local ids.
+* **prefix_terms / vocab_terms / suggest** — dictionary-level
+  federation: per-sub scans merged with summed df. Exactness under a
+  result cap: prefix_terms is term-ascending, so a term inside the
+  global first-`limit` is inside every sub's first-`limit`;
+  vocab_terms' df-ranked cap can NOT be pushed into the subs (a
+  globally-hot term may be locally cold in every sub), so each sub
+  scans uncapped — same O(vocabulary) bound the scan already has —
+  and the cap applies to the merged list. suggest merges the per-sub
+  SymSpell candidate sets (dictionary membership is a union; df is
+  additive) before the shared distance ranking.
+
+Not federated here: more_like_this (needs a tf-idf term-selection pass
+over global stats — fold first).
 """
 from __future__ import annotations
 
@@ -104,6 +129,24 @@ class _GlobalDF:
         return v
 
 
+class _GlobalCF:
+    """dict-like summing tombstone-masked collection frequency across
+    sub-searchers (LocalSearcher.term_cf) — the global cf LM-Dirichlet
+    needs. Integer-exact, so per-sub scoring is bit-equal to the
+    merged index's."""
+
+    def __init__(self, subs: list[LocalSearcher]):
+        self._subs = subs
+        self._cache: dict[str, int] = {}
+
+    def __getitem__(self, term: str) -> int:
+        v = self._cache.get(term)
+        if v is None:
+            v = sum(s.term_cf(term) for s in self._subs)
+            self._cache[term] = v
+        return v
+
+
 class FederatedSearcher:
     """Search N built indexes as one collection (see module docstring).
 
@@ -142,6 +185,9 @@ class FederatedSearcher:
             if self.n_docs else 0.0
         )
         gdf = _GlobalDF(self.subs)
+        gcf = _GlobalCF(self.subs)
+        self._gdf = gdf
+        self._suggesters: list | None = None
         for s in self.subs:
             if self.avgdl > s.avgdl:
                 s._tfnorm_scale *= self.avgdl / s.avgdl
@@ -149,6 +195,7 @@ class FederatedSearcher:
             s.n_docs = self.n_docs
             s.sum_doclen = self.sum_doclen
             s._idf_df = gdf
+            s._lmd_cf = gcf
 
     # -- global<->local doc_id plumbing ---------------------------------
 
@@ -229,6 +276,127 @@ class FederatedSearcher:
             for i, s in enumerate(self.subs)
         ]
         return self._merged(per_sub, k)
+
+    def search_lmd(self, qtext_or_terms, *, k: int = 10,
+                   stem: bool = True, mode: str = "and",
+                   mu: float = 2000.0, exclude=None, restrict=None,
+                   ) -> list[tuple[int, float]]:
+        """LM-Dirichlet ranking across the federation — every sub
+        scores with the GLOBAL cf/total_tokens installed at
+        construction, so contributions are bit-equal to the merged
+        index's. Per-sub AND emptiness is exact: a term with no live
+        postings in a sub admits no matching doc FROM that sub in the
+        merged index either."""
+        per_sub = [
+            s.search_lmd(qtext_or_terms, k=k, stem=stem, mode=mode,
+                         mu=mu, exclude=exclude,
+                         restrict=self._local_ids(i, restrict))
+            for i, s in enumerate(self.subs)
+        ]
+        return self._merged(per_sub, k)
+
+    def _owner(self, doc_id: int) -> int:
+        """Index of the sub that owns a global doc_id (ids beyond the
+        last sub's range route to the last sub, which reports them
+        absent — same as an unknown id on a merged index)."""
+        i = len(self.offsets) - 1
+        while i > 0 and doc_id < self.offsets[i]:
+            i -= 1
+        return i
+
+    def explain_score(self, qtext_or_terms, doc_id: int, *,
+                      stem: bool = True) -> dict:
+        """Score breakdown for a GLOBAL doc_id — the owning sub's
+        explain (its idf/contributions already use global constants),
+        with the reported per-term df patched to the global value so
+        the output matches the merged index's explain."""
+        i = self._owner(int(doc_id))
+        out = self.subs[i].explain_score(
+            qtext_or_terms, int(doc_id) - self.offsets[i], stem=stem
+        )
+        out["doc_id"] = int(doc_id)
+        if not out["deleted"]:
+            for row in out["terms"]:
+                g = self._gdf[row["term"]]
+                if g > 0:
+                    row["df"] = int(g)
+                    row["idf"] = self.subs[i]._idf(row["term"])
+        return out
+
+    def get_texts(self, doc_ids) -> dict[int, str]:
+        """{GLOBAL doc_id: stored text} across every sub's docstore
+        (each sub must have been built --store-text)."""
+        from search_engine_spark.plans.docstore import DocStore
+
+        out: dict[int, str] = {}
+        for i, s in enumerate(self.subs):
+            lo, hi = self._sub_range(i)
+            local = [g - lo for g in doc_ids if lo <= g <= hi]
+            if not local:
+                continue
+            if s._docstore is None:
+                s._docstore = DocStore(s.root)
+            for d, t in s._docstore.get_texts(local).items():
+                out[d + lo] = t
+        return out
+
+    def prefix_terms(self, prefix: str,
+                     limit: int = 1000) -> list[tuple[str, int]]:
+        """Dictionary prefix scan with GLOBAL df — exact under the
+        cap: results are term-ascending, so any term inside the global
+        first-`limit` is inside every sub's first-`limit`."""
+        agg: dict[str, int] = {}
+        for s in self.subs:
+            for t, df in s.prefix_terms(prefix, limit=limit):
+                agg[t] = agg.get(t, 0) + df
+        return sorted(agg.items())[:limit]
+
+    def vocab_terms(self, *, contains: str | None = None,
+                    regex: str | None = None, limit: int = 1000,
+                    by_df: bool = False) -> list[tuple[str, int]]:
+        """Infix/regex dictionary scan with GLOBAL df. The df-ranked
+        cap cannot be pushed into the subs (a globally-hot term may be
+        locally cold in every one), so each sub scans uncapped — the
+        same O(vocabulary) bound the scan has anyway — and the cap
+        applies to the merged list."""
+        import sys
+
+        agg: dict[str, int] = {}
+        for s in self.subs:
+            for t, df in s.vocab_terms(contains=contains, regex=regex,
+                                       limit=sys.maxsize, by_df=False):
+                agg[t] = agg.get(t, 0) + df
+        if by_df:
+            out = sorted(agg.items(), key=lambda td: (-td[1], td[0]))
+        else:
+            out = sorted(agg.items())
+        return out[:limit]
+
+    def suggest(self, term: str, *, k: int = 3,
+                max_distance: int = 2) -> list[tuple[str, int]]:
+        """SymSpell suggestions over the UNION dictionary with GLOBAL
+        df — identical to a suggest table rebuilt on the merged index:
+        candidate membership is a union (each sub probes its own
+        deletion table) and df is additive; the (distance asc, df
+        desc, term asc) ranking is shared."""
+        from search_engine_spark.plans.suggest import (
+            Suggester, _deletes, damerau_levenshtein,
+        )
+
+        if self._suggesters is None:
+            self._suggesters = [Suggester(s.root) for s in self.subs]
+        variants = _deletes(term)
+        cands: dict[str, int] = {}
+        for sg in self._suggesters:
+            for t, df in sg._probe(variants).items():
+                cands[t] = cands.get(t, 0) + df
+        scored = []
+        for t, df in cands.items():
+            d = damerau_levenshtein(term, t, cap=max_distance)
+            if d <= max_distance:
+                scored.append((d, -df, t))
+        scored.sort()
+        return [(t, -ndf) for _, ndf, t in scored[:k]]
 
     def refresh_deletes(self) -> None:
         for s in self.subs:

@@ -237,6 +237,10 @@ class LocalSearcher:
         # must be installed BEFORE the first search — decoded-
         # contribution caches bake idf in at decode time
         self._idf_df = None
+        # collection-wide cf override for federated LM-Dirichlet
+        # (plans/federate): dict-like term -> global masked cf; None
+        # means search_lmd sums this index's own decoded postings
+        self._lmd_cf = None
         boosts_dir = os.path.join(index_dir, "boosts")
         # fail LOUDLY on a corrupt boosts table — serving with a bad
         # prior mis-ranks every query. fsck passes load_boosts=False
@@ -473,7 +477,13 @@ class LocalSearcher:
             docs = np.concatenate(t_docs)
             tfs = np.concatenate(t_tfs).astype(np.float64)
             dls = np.concatenate(t_dls).astype(np.float64)
-            p_t = tfs.sum() / total
+            # cf is a sum of per-doc tfs — an exact integer < 2^53,
+            # so float64 addition is order-independent and the
+            # federated override (sum of per-sub term_cf) is
+            # bit-equal to the merged index's own tfs.sum()
+            cf = (float(self._lmd_cf[t]) if self._lmd_cf is not None
+                  else tfs.sum())
+            p_t = cf / total
             doc_parts.append(docs)
             contrib_parts.append(
                 np.log1p(tfs / (mu * p_t)) + np.log(mu / (mu + dls))
@@ -495,6 +505,22 @@ class LocalSearcher:
             return []
         order = np.lexsort((u_docs, -scores))[:k]
         return [(int(u_docs[i]), float(scores[i])) for i in order]
+
+    def term_cf(self, term: str) -> int:
+        """Tombstone-masked collection frequency of `term` in THIS
+        index — the exact integer search_lmd's decoded ``tfs.sum()``
+        produces for it (per-doc tfs sum to < 2^53, so float64
+        addition is exact in any order). plans/federate sums this
+        across sub-indexes to assemble the GLOBAL cf that makes
+        federated LM-Dirichlet bit-identical to the merged index."""
+        if self._dict_lookup(term) is None:
+            return 0
+        total = 0
+        for row in self._segments(term).itertuples(index=False):
+            cand, ctf = decode_postings(row.doc_ids, row.tfs)
+            cand, ctf = mask_deleted(self._deleted, cand, ctf)
+            total += int(ctf.sum())
+        return total
 
     def search_grouped(
         self, qtext_or_groups, *, k: int = 10, stem: bool = True,

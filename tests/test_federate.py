@@ -162,6 +162,86 @@ def test_federated_sees_sub_tombstones(spark, dirs, pair):
         shutil.rmtree(os.path.join(b, "deletes"), ignore_errors=True)
 
 
+@pytest.fixture(scope="module")
+def rich(spark, dirs):
+    """dirs + docstore and suggest tables on every index (additive —
+    search results are unaffected), for the stored-field / dictionary
+    federation tests."""
+    from search_engine_spark.plans.docstore import build_docstore
+    from search_engine_spark.plans.suggest import build_suggest
+
+    a, b, full = dirs
+    if not os.path.isdir(os.path.join(full, "docstore")):
+        a_src = _corpus(spark, 0, 60)
+        b_src = _corpus(spark, 60, 100)
+        build_docstore(spark, a_src.select("doc_id", "text"), a)
+        build_docstore(spark, b_src.select("doc_id", "text"), b)
+        union = a_src.unionByName(
+            b_src.withColumn("doc_id", F.col("doc_id") + F.lit(60)))
+        build_docstore(spark, union.select("doc_id", "text"), full)
+        for d in (a, b, full):
+            build_suggest(spark, d)
+    return a, b, full
+
+
+def test_federated_lmd_equals_fresh_build(rich):
+    a, b, full = rich
+    fed, ref = FederatedSearcher([a, b]), LocalSearcher(full)
+    for q in QUERIES:
+        for mode in ("and", "or"):
+            assert fed.search_lmd(q, k=15, stem=False, mode=mode) == \
+                ref.search_lmd(q, k=15, stem=False, mode=mode), (q, mode)
+    # restrict on global ids straddling the offset boundary + exclude
+    kw = dict(k=10, stem=False, mode="or")
+    assert fed.search_lmd("spark the", restrict=[1, 59, 60, 95], **kw) \
+        == ref.search_lmd("spark the", restrict=[1, 59, 60, 95], **kw)
+    assert fed.search_lmd("the", exclude="spark", k=10, stem=False) \
+        == ref.search_lmd("the", exclude="spark", k=10, stem=False)
+
+
+def test_federated_explain_equals_fresh_build(pair):
+    fed, ref = pair
+    # docs from both sides of the boundary, a deleted-style absent id,
+    # and a term present in only one sub ("number63" lives in b only)
+    for doc in (0, 1, 59, 60, 61, 95, 10_000):
+        got = fed.explain_score("spark number63 absentterm", doc,
+                                stem=False)
+        want = ref.explain_score("spark number63 absentterm", doc,
+                                 stem=False)
+        assert got == want, doc
+
+
+def test_federated_get_texts(rich):
+    from search_engine_spark.plans.docstore import DocStore
+
+    a, b, full = rich
+    fed = FederatedSearcher([a, b])
+    ids = [0, 3, 59, 60, 61, 99, 10_000]
+    assert fed.get_texts(ids) == DocStore(full).get_texts(ids)
+
+
+def test_federated_dictionary_scans(rich):
+    a, b, full = rich
+    fed, ref = FederatedSearcher([a, b]), LocalSearcher(full)
+    assert fed.prefix_terms("number6") == ref.prefix_terms("number6")
+    assert fed.prefix_terms("number", limit=7) == \
+        ref.prefix_terms("number", limit=7)
+    for by_df in (False, True):
+        assert fed.vocab_terms(contains="umber1", limit=5, by_df=by_df) \
+            == ref.vocab_terms(contains="umber1", limit=5, by_df=by_df)
+    assert fed.vocab_terms(regex="^number.3$", by_df=True) == \
+        ref.vocab_terms(regex="^number.3$", by_df=True)
+
+
+def test_federated_suggest(rich):
+    from search_engine_spark.plans.suggest import Suggester
+
+    a, b, full = rich
+    fed, ref = FederatedSearcher([a, b]), Suggester(full)
+    for term in ("spak", "jion", "number63", "fastt", "zzz"):
+        assert fed.suggest(term, k=3) == ref.suggest(term, k=3), term
+
+
 def test_stem_mismatch_refused(spark, tmp_path, dirs):
     a, _, _ = dirs
     d = str(tmp_path / "stemmed")
