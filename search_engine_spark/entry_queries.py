@@ -534,6 +534,38 @@ def q_token_stats(spark, sf_dir):
     return token_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE training iteration 0 (operators/bpe.py): distributed
+    pretoken word counts → char-level adjacent-pair frequencies, top 50
+    by (count desc, pair asc). The corpus-sized half of Sennrich-style
+    vocabulary learning; later iterations run over the bounded word
+    table and are pinned against an independent reference in
+    tests/test_bpe.py."""
+    from search_engine_spark.operators.bpe import pair_counts, word_counts
+
+    return (
+        pair_counts(word_counts(_t(spark, sf_dir, "documents")))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(50)
+    )
+
+
+SQL_BPE_PAIR_COUNTS = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text,
+     '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'
+  )) AS word FROM documents
+), wc AS (
+  SELECT word, count(*)::BIGINT AS cnt FROM toks GROUP BY word
+), pairs AS (
+  SELECT substr(word, i::INT, 2) AS pair, cnt
+  FROM wc, unnest(range(1, length(word))) AS t(i)
+)
+SELECT pair, sum(cnt)::BIGINT AS pair_count FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair LIMIT 50
+"""
+
+
 SQL_TOKEN_STATS = f"""
 WITH {_TOK_CTE},
 chars AS (
@@ -3761,6 +3793,8 @@ QUERIES = {
     "regex_term_stats": q_regex_term_stats,
     "lm_dirichlet_topk": q_lm_dirichlet_topk,
     "fielded_topk": q_fielded_topk,
+    # -- round-4 session-7: distributed BPE vocabulary learning --
+    "bpe_pair_counts": q_bpe_pair_counts,
     # -- veterans whose last green row is r01/r02: rotated back into the
     # window so no entry's green row is more than two rounds stale --
     "except_regression": q_except_regression,
@@ -3874,6 +3908,7 @@ ORACLES = {
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "top_customers_per_nation": SQL_TOP_CUSTOMERS_PER_NATION,
     "token_stats": SQL_TOKEN_STATS,
+    "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "union_partial_runs": SQL_UNION_PARTIAL_RUNS,
     "except_regression": SQL_EXCEPT_REGRESSION,
     "bm25_topk_or": SQL_BM25_TOPK_OR,
