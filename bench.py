@@ -58,6 +58,30 @@ WAND_QUERIES = ["the", "spark join", "data filter window", "index search merge"]
 PHRASE_QUERIES = ["the bold", "of the", "spark join", "data filter window"]
 
 
+_QPS_STATE: dict = {}
+
+
+def _qps_init(index_dir: str, queries: list) -> None:
+    """Pool-worker initializer: build and warm this replica's searcher
+    (runs at worker spawn, before the timed window)."""
+    from search_engine_spark.plans.wand import LocalSearcher
+
+    s = LocalSearcher(index_dir)
+    for q in queries:
+        s.search(q, k=10)
+        s.search(q, k=10, mode="or")
+    _QPS_STATE["s"] = s
+    _QPS_STATE["queries"] = queries
+
+
+def _qps_loop(n: int) -> int:
+    s = _QPS_STATE["s"]
+    qs = _QPS_STATE["queries"]
+    for i in range(n):
+        s.search(qs[i % len(qs)], k=10, mode="or" if i % 2 else "and")
+    return n
+
+
 def materialize_corpus(corpus_dir: str) -> None:
     """One-time (untimed) corpus synthesis: generate -> dedup -> dense
     ids -> parquet. The timed builds then all read the SAME on-disk
@@ -270,6 +294,40 @@ def main() -> None:
             s.search(q, k=10, mode="or")
             lat_or.append(time.perf_counter() - t0)
     extra["wand_or_p50_ms"] = round(statistics.median(lat_or) * 1000, 3)
+
+    # concurrent serving throughput (round 4): replica-per-PROCESS —
+    # the real deployment shape (a thread pool cannot scale this: the
+    # searcher's orchestration is Python, so the GIL serializes it;
+    # measured 0.09 thread-efficiency at 8t). Each worker process owns
+    # its own warmed LocalSearcher; all replicas read the same on-disk
+    # index through the shared page cache, exactly like N serving
+    # containers on one node. Pool initializer builds+warms BEFORE the
+    # timed map, so the window measures steady-state serving only.
+    import multiprocessing as _mp
+
+    n_procs = 8
+    per_proc = 50
+    ctx = _mp.get_context("fork")
+    with ctx.Pool(
+        n_procs, initializer=_qps_init, initargs=(idx_big, WAND_QUERIES)
+    ) as pool:
+        # one throwaway round ensures every worker finished its
+        # initializer (fork+warm) before the timed window opens
+        pool.map(_qps_loop, [1] * n_procs)
+        t0 = time.perf_counter()
+        pool.map(_qps_loop, [per_proc] * n_procs)
+        t_np = time.perf_counter() - t0
+    with ctx.Pool(1, initializer=_qps_init,
+                  initargs=(idx_big, WAND_QUERIES)) as pool:
+        pool.map(_qps_loop, [1])
+        t0 = time.perf_counter()
+        pool.map(_qps_loop, [per_proc])
+        t_1p = time.perf_counter() - t0
+    extra["serve_qps_1p"] = round(per_proc / t_1p, 1)
+    extra["serve_qps_8p"] = round(n_procs * per_proc / t_np, 1)
+    extra["serve_proc_scaling_1_8"] = round(
+        (n_procs * per_proc / t_np) / (per_proc / t_1p) / n_procs, 3
+    )
 
     # static-boost serving p50 (round 4): a PageRank-shaped prior over
     # ~60% of docs; measures the +bmax bound and the per-result boost

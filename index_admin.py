@@ -214,6 +214,31 @@ def main() -> None:
     bb.add_argument("--buckets", type=int, default=8)
     bb.add_argument("--top-terms", type=int, default=32)
 
+    lb = sub.add_parser("learn-bpe",
+                        help="learn a BPE merge table from a corpus "
+                             "(Sennrich subword units): distributed "
+                             "pretoken word-count aggregation, then a "
+                             "bounded merge loop over the top-V words "
+                             "— writes merges JSON for apply-bpe")
+    lb.add_argument("--input", required=True,
+                    help="corpus parquet with a text column")
+    lb.add_argument("--out", required=True, help="merges JSON path")
+    lb.add_argument("--text-col", default="text")
+    lb.add_argument("--n-merges", type=int, default=1000)
+    lb.add_argument("--max-words", type=int, default=65536)
+    lb.add_argument("--min-count", type=int, default=2)
+
+    ab = sub.add_parser("apply-bpe",
+                        help="encode a corpus with a learned merge "
+                             "table: writes (doc_id, n_bpe_tokens) "
+                             "parquet (Arrow-batched kernel, word-"
+                             "memoized)")
+    ab.add_argument("--input", required=True)
+    ab.add_argument("--merges", required=True, help="learn-bpe output")
+    ab.add_argument("--out", required=True, help="output parquet dir")
+    ab.add_argument("--text-col", default="text")
+    ab.add_argument("--id-col", default="doc_id")
+
     sb = sub.add_parser("set-boosts",
                         help="install an arbitrary (doc_id, boost) "
                              "parquet as the index's static boost "
@@ -382,6 +407,38 @@ def main() -> None:
         )
         summary = {"ok": True, "bigrams": out,
                    "top_terms": args.top_terms}
+    elif args.cmd == "learn-bpe":
+        from search_engine_spark.operators.bpe import learn_bpe
+
+        merges = learn_bpe(
+            spark.read.parquet(args.input), args.n_merges,
+            text_col=args.text_col, max_words=args.max_words,
+            min_count=args.min_count,
+        )
+        with open(args.out, "w") as f:
+            json.dump({
+                "merges": [list(p) for p in merges],
+                "n_merges": len(merges),
+                "max_words": args.max_words,
+                "min_count": args.min_count,
+                "text_col": args.text_col,
+            }, f)
+        summary = {"ok": True, "n_merges": len(merges), "out": args.out}
+    elif args.cmd == "apply-bpe":
+        from search_engine_spark.operators.bpe import apply_bpe
+
+        with open(args.merges) as f:
+            merges = [tuple(p) for p in json.load(f)["merges"]]
+        out_df = apply_bpe(
+            spark.read.parquet(args.input), merges,
+            id_col=args.id_col, text_col=args.text_col,
+        )
+        out_df.write.mode("overwrite").parquet(args.out)
+        import pyarrow.dataset as ds
+
+        n = ds.dataset(args.out).count_rows()
+        summary = {"ok": True, "n_docs": int(n),
+                   "n_merges": len(merges), "out": args.out}
     elif args.cmd == "set-boosts":
         import os
 

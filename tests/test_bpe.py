@@ -154,3 +154,32 @@ def test_merge_loop_stops_when_exhausted(spark):
     merges = learn_bpe(docs, 50, min_count=1)
     # pretokens "ab" and " ab": finitely many mergeable pairs
     assert 0 < len(merges) < 50
+
+
+def test_cli_learn_and_apply_roundtrip(tmp_path):
+    """Drive the index_admin learn-bpe / apply-bpe wiring end to end."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow.dataset as ds
+
+    corpus = "/root/testdata/sf0.001/documents.parquet"
+    merges_path = tmp_path / "merges.json"
+    out_dir = tmp_path / "bpe_counts"
+    r = subprocess.run(
+        [sys.executable, "index_admin.py", "learn-bpe", "--input", corpus,
+         "--out", str(merges_path), "--n-merges", "50"],
+        cwd="/root/repo", capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    blob = json.loads(merges_path.read_text())
+    assert 0 < blob["n_merges"] <= 50
+    r = subprocess.run(
+        [sys.executable, "index_admin.py", "apply-bpe", "--input", corpus,
+         "--merges", str(merges_path), "--out", str(out_dir)],
+        cwd="/root/repo", capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    t = ds.dataset(str(out_dir)).to_table().to_pandas()
+    assert len(t) == 500 and (t["n_bpe_tokens"] > 0).all()
