@@ -5,12 +5,14 @@ Phases:
 1. Materialize a deterministic synthetic pages corpus to parquet
    (SPARK_GRAFT_BENCH_DOCS, default 600000) — untimed.
 2. Index build from that corpus at each level in
-   SPARK_GRAFT_BENCH_CORES (default "2,8,32"): headline docs/sec at
-   $SPARK_GRAFT_CPUS, plus N vs 4N scaling efficiency =
-   T(N) / (4 x T(4N)) for each measured pair. 2 vs 8 is the primary
-   pair: it sits below this box's measured memory-bandwidth
-   saturation (~16 busy cores — see BENCH/BASELINE.md); a real
-   multi-executor cluster adds a memory bus per node.
+   SPARK_GRAFT_BENCH_CORES (default "1,4,2,8,32"): headline docs/sec
+   at $SPARK_GRAFT_CPUS, plus N vs 4N scaling efficiency =
+   T(N) / (4 x T(4N)) for each measured pair. 1 vs 4 is the primary
+   pair: BOTH levels sit below this box's measured memory-bandwidth
+   saturation (from ~8 busy cores up the shared bus ceiling-clips
+   the 4N level of the 2->8 pair — see BENCH/BASELINE.md protocol
+   runs + hardware calibration); a real multi-executor cluster adds
+   a memory bus per node.
 3. Headline driver queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 4. BM25 query latency: distributed IndexReader path (one-shot) and
    local block-max WAND p50 over >=100 repetitions.
@@ -40,7 +42,7 @@ BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "600000"))
 # (~16 busy cores); the full-width level reports peak throughput.
 SCALE_CORES = [
     int(c)
-    for c in os.environ.get("SPARK_GRAFT_BENCH_CORES", "2,8,16,32").split(",")
+    for c in os.environ.get("SPARK_GRAFT_BENCH_CORES", "1,4,2,8,32").split(",")
 ]
 SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 # this host's wall-times vary ±30-50% run to run (BENCH/BASELINE.md);
@@ -176,16 +178,20 @@ def main() -> None:
         if cores == CPUS:
             idx_big = out
     t_main = times[CPUS]
-    # N -> 4N pairs present in the measured levels
-    for lo, hi in ((2, 8), (4, 16), (8, 32)):
+    # N -> 4N pairs present in the measured levels. 1->4 is the
+    # primary pair: BOTH levels sit under this box's memory-bus
+    # saturation (~11.5k docs/s from ~8 busy cores), so it isolates
+    # job scaling from the shared-bus ceiling — see BENCH/BASELINE.md
+    # protocol runs + hardware calibration.
+    for lo, hi in ((1, 4), (2, 8), (4, 16), (8, 32)):
         if lo in times and hi in times:
             extra[f"scaling_efficiency_{lo}_{hi}"] = round(
                 times[lo] / (4.0 * times[hi]), 3
             )
-    if "scaling_efficiency_2_8" in extra:
-        extra["scaling_efficiency"] = extra["scaling_efficiency_2_8"]
-    elif "scaling_efficiency_8_32" in extra:
-        extra["scaling_efficiency"] = extra["scaling_efficiency_8_32"]
+    for pair in ("1_4", "2_8", "8_32"):
+        if f"scaling_efficiency_{pair}" in extra:
+            extra["scaling_efficiency"] = extra[f"scaling_efficiency_{pair}"]
+            break
 
     # --- phase 3: headline driver queries at SF_DIR
     from search_engine_spark.entry_queries import QUERIES
