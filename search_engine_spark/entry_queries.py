@@ -550,6 +550,105 @@ def q_bpe_pair_counts(spark, sf_dir):
     )
 
 
+_EVAL_TERMS = ("scan", "data", "hash", "join", "filter")
+
+
+def q_ranking_eval(spark, sf_dir):
+    """Offline ranking evaluation (operators/ireval.py): per-query
+    nDCG@10 / MRR@10 / recall@10 / AP@10 for a deterministic run file
+    (docs ranked per term by tf desc, doc_id asc) against graded
+    judgments derived from the same corpus (tf>=3 -> rel 2, tf=2 ->
+    rel 1, else 0). The metrics plans are pure joins+windows — the
+    eval loop a ranking change ships through at any scale."""
+    from pyspark.sql import Window as W
+
+    from search_engine_spark.operators.ireval import eval_run
+
+    tf = term_frequencies(split_terms(_t(spark, sf_dir, "documents")))
+    sel = tf.where(F.col("term").isin(*_EVAL_TERMS))
+    w = W.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    results = (
+        sel.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select(F.col("term").alias("query_id"), "doc_id", "rank")
+    )
+    qrels = sel.select(
+        F.col("term").alias("query_id"),
+        "doc_id",
+        F.when(F.col("tf") >= 3, 2)
+        .when(F.col("tf") == 2, 1)
+        .otherwise(0)
+        .alias("rel"),
+    )
+    return eval_run(results, qrels, k=10).orderBy("query_id")
+
+
+SQL_RANKING_EVAL = f"""
+WITH {{tok_cte}},
+sel AS (
+  SELECT term, doc_id, tf FROM tf
+  WHERE term IN {tuple(_EVAL_TERMS)!r}
+),
+res AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY tf DESC, doc_id) AS rank
+  FROM sel
+),
+r10 AS (SELECT * FROM res WHERE rank <= 10),
+qr AS (
+  SELECT term, doc_id,
+         CASE WHEN tf >= 3 THEN 2 WHEN tf = 2 THEN 1 ELSE 0 END AS rel
+  FROM sel
+),
+j AS (
+  SELECT r.term, r.doc_id, r.rank, coalesce(q.rel, 0) AS rel
+  FROM r10 r LEFT JOIN qr q USING (term, doc_id)
+),
+dcg AS (
+  SELECT term, sum((pow(2, rel) - 1) / log2(rank + 1)) AS dcg
+  FROM j GROUP BY term
+),
+ideal AS (
+  SELECT term, rel,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY rel DESC, doc_id) AS i
+  FROM qr WHERE rel > 0
+),
+idcg AS (
+  SELECT term, sum((pow(2, rel) - 1) / log2(i + 1)) AS idcg
+  FROM ideal WHERE i <= 10 GROUP BY term
+),
+nrel AS (SELECT term, count(*) AS n_rel FROM qr WHERE rel > 0 GROUP BY term),
+firstrel AS (
+  SELECT term, min(rank) AS first_rank FROM j WHERE rel > 0 GROUP BY term
+),
+hits AS (SELECT term, count(*) AS n_hit FROM j WHERE rel > 0 GROUP BY term),
+prec AS (
+  SELECT term, rank, rel,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY term ORDER BY rank) AS cum_rel
+  FROM j
+),
+sp AS (
+  SELECT term, sum(cum_rel * 1.0 / rank) AS sum_prec
+  FROM prec WHERE rel > 0 GROUP BY term
+)
+SELECT i.term AS query_id,
+       round(coalesce(d.dcg, 0) / i.idcg, 6) AS ndcg,
+       round(coalesce(1.0 / f.first_rank, 0), 6) AS mrr,
+       round(coalesce(h.n_hit, 0) * 1.0 / n.n_rel, 6) AS recall,
+       round(coalesce(s.sum_prec, 0) / least(n.n_rel, 10), 6) AS ap
+FROM idcg i
+JOIN nrel n USING (term)
+LEFT JOIN dcg d USING (term)
+LEFT JOIN firstrel f USING (term)
+LEFT JOIN hits h USING (term)
+LEFT JOIN sp s USING (term)
+ORDER BY query_id
+""".format(tok_cte=_TOK_CTE)
+
+
 SQL_BPE_PAIR_COUNTS = """
 WITH toks AS (
   SELECT unnest(regexp_extract_all(text,
@@ -3793,8 +3892,10 @@ QUERIES = {
     "regex_term_stats": q_regex_term_stats,
     "lm_dirichlet_topk": q_lm_dirichlet_topk,
     "fielded_topk": q_fielded_topk,
-    # -- round-4 session-7: distributed BPE vocabulary learning --
+    # -- round-4 session-7: distributed BPE vocabulary learning +
+    # offline ranking-evaluation metrics --
     "bpe_pair_counts": q_bpe_pair_counts,
+    "ranking_eval": q_ranking_eval,
     # -- veterans whose last green row is r01/r02: rotated back into the
     # window so no entry's green row is more than two rounds stale --
     "except_regression": q_except_regression,
@@ -3909,6 +4010,7 @@ ORACLES = {
     "top_customers_per_nation": SQL_TOP_CUSTOMERS_PER_NATION,
     "token_stats": SQL_TOKEN_STATS,
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
+    "ranking_eval": SQL_RANKING_EVAL,
     "union_partial_runs": SQL_UNION_PARTIAL_RUNS,
     "except_regression": SQL_EXCEPT_REGRESSION,
     "bm25_topk_or": SQL_BM25_TOPK_OR,

@@ -1,0 +1,164 @@
+"""Ranking-evaluation metrics (operators/ireval.py) vs an independent
+pandas/numpy reference and hand-computed goldens."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pandas as pd
+
+from search_engine_spark.operators.ireval import (
+    ap_at_k,
+    eval_run,
+    macro_avg,
+    mrr_at_k,
+    ndcg_at_k,
+    recall_at_k,
+)
+
+
+def _ref_metrics(results: pd.DataFrame, qrels: pd.DataFrame, k: int):
+    """Independent reference: plain-Python trec_eval-style loops."""
+    rel = {
+        (q, d): r
+        for q, d, r in qrels.itertuples(index=False, name=None)
+    }
+    out = {}
+    for qid in sorted(qrels[qrels.rel > 0].query_id.unique()):
+        ranked = (
+            results[results.query_id == qid]
+            .sort_values("rank")
+            .head(k)
+        )
+        gains = [rel.get((qid, d), 0) for d in ranked.doc_id]
+        dcg = sum(
+            (2 ** g - 1) / math.log2(i + 2) for i, g in enumerate(gains)
+        )
+        ideal = sorted(
+            (r for (q, _), r in rel.items() if q == qid and r > 0),
+            reverse=True,
+        )[:k]
+        idcg = sum(
+            (2 ** g - 1) / math.log2(i + 2) for i, g in enumerate(ideal)
+        )
+        n_rel = sum(1 for (q, _), r in rel.items() if q == qid and r > 0)
+        first = next(
+            (i + 1 for i, g in enumerate(gains) if g > 0), None
+        )
+        hits = sum(1 for g in gains if g > 0)
+        sum_prec, cum = 0.0, 0
+        for i, g in enumerate(gains):
+            if g > 0:
+                cum += 1
+                sum_prec += cum / (i + 1)
+        out[qid] = {
+            "ndcg": dcg / idcg if idcg else 0.0,
+            "mrr": 1.0 / first if first else 0.0,
+            "recall": hits / n_rel,
+            "ap": sum_prec / min(n_rel, k),
+        }
+    return out
+
+
+def _dfs(spark, results_rows, qrels_rows):
+    results = spark.createDataFrame(
+        results_rows, "query_id long, doc_id long, rank int"
+    )
+    qrels = spark.createDataFrame(
+        qrels_rows, "query_id long, doc_id long, rel int"
+    )
+    return results, qrels
+
+
+def test_hand_computed_golden(spark):
+    # q1: ranked [A rel2, B rel0, C rel1]; qrels also has D rel1 unretrieved
+    results, qrels = _dfs(
+        spark,
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        [(1, 10, 2), (1, 12, 1), (1, 13, 1)],
+    )
+    got = {r["query_id"]: r.asDict() for r in eval_run(results, qrels, k=3).collect()}
+    dcg = (2 ** 2 - 1) / math.log2(2) + 0 + (2 ** 1 - 1) / math.log2(4)
+    idcg = (2 ** 2 - 1) / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert abs(got[1]["ndcg"] - dcg / idcg) < 1e-6
+    assert got[1]["mrr"] == 1.0
+    assert abs(got[1]["recall"] - 2 / 3) < 1e-6
+    # AP: hits at rank 1 (prec 1/1) and rank 3 (prec 2/3), min(R,k)=3
+    assert abs(got[1]["ap"] - (1.0 + 2 / 3) / 3) < 1e-6
+
+
+def test_no_relevant_retrieved(spark):
+    results, qrels = _dfs(
+        spark, [(1, 10, 1), (1, 11, 2)], [(1, 99, 1)]
+    )
+    got = eval_run(results, qrels, k=10).collect()[0]
+    assert got["ndcg"] == 0.0 and got["mrr"] == 0.0
+    assert got["recall"] == 0.0 and got["ap"] == 0.0
+
+
+def test_query_without_judgments_dropped(spark):
+    results, qrels = _dfs(
+        spark,
+        [(1, 10, 1), (2, 20, 1)],
+        [(1, 10, 1)],
+    )
+    got = eval_run(results, qrels, k=5).collect()
+    assert [r["query_id"] for r in got] == [1]
+
+
+def test_matches_independent_reference_fuzz(spark):
+    rng = random.Random(42)
+    results_rows, qrels_rows = [], []
+    for qid in range(1, 21):
+        docs = rng.sample(range(1000), 15)
+        for i, d in enumerate(docs):
+            results_rows.append((qid, d, i + 1))
+        # judge a mix of retrieved and unretrieved docs
+        judged = rng.sample(docs, 6) + rng.sample(range(1000, 1100), 4)
+        for d in judged:
+            qrels_rows.append((qid, d, rng.choice([0, 0, 1, 1, 2, 3])))
+    results, qrels = _dfs(spark, results_rows, qrels_rows)
+    for k in (5, 10, 15):
+        got = {
+            r["query_id"]: r.asDict()
+            for r in eval_run(results, qrels, k=k).collect()
+        }
+        want = _ref_metrics(
+            pd.DataFrame(results_rows,
+                         columns=["query_id", "doc_id", "rank"]),
+            pd.DataFrame(qrels_rows,
+                         columns=["query_id", "doc_id", "rel"]),
+            k,
+        )
+        assert set(got) == set(want)
+        for qid in want:
+            for m in ("ndcg", "mrr", "recall", "ap"):
+                assert abs(got[qid][m] - want[qid][m]) < 1e-5, (
+                    qid, m, got[qid][m], want[qid][m]
+                )
+
+
+def test_macro_avg(spark):
+    results, qrels = _dfs(
+        spark,
+        [(1, 10, 1), (2, 20, 1)],
+        [(1, 10, 1), (2, 99, 1)],
+    )
+    row = macro_avg(eval_run(results, qrels, k=5)).collect()[0]
+    assert row["n_queries"] == 2
+    assert abs(row["mean_mrr"] - 0.5) < 1e-6
+    assert abs(row["mean_recall"] - 0.5) < 1e-6
+
+
+def test_individual_metrics_match_eval_run(spark):
+    results, qrels = _dfs(
+        spark,
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        [(1, 11, 2), (1, 12, 1)],
+    )
+    combined = eval_run(results, qrels, k=3).collect()[0]
+    assert combined["ndcg"] == ndcg_at_k(results, qrels, 3).collect()[0]["ndcg"]
+    assert combined["mrr"] == mrr_at_k(results, qrels, 3).collect()[0]["mrr"]
+    assert combined["recall"] == recall_at_k(results, qrels, 3).collect()[0]["recall"]
+    assert combined["ap"] == ap_at_k(results, qrels, 3).collect()[0]["ap"]
