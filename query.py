@@ -241,6 +241,14 @@ def main() -> None:
                     help="also write the ranked results as parquet "
                          "(query_id, rank, doc_id, score[, url]) — the "
                          "S5 results sink for batch/cluster runs")
+    ap.add_argument("--eval", metavar="QRELS", dest="eval_qrels",
+                    help="score this batch run against graded "
+                         "judgments (parquet with query_id, doc_id, "
+                         "rel): prints per-query nDCG@k/MRR@k/"
+                         "recall@k/AP@k lines and adds the macro "
+                         "average to the summary JSON (requires "
+                         "--batch; trec_eval semantics — queries "
+                         "without relevant docs are skipped)")
     ap.add_argument("--msm", type=int, default=1, metavar="M",
                     help="minimum-should-match (--mode or only): keep "
                          "docs matching at least M of the query terms; "
@@ -319,6 +327,11 @@ def main() -> None:
         return
     if bool(args.qtext) == bool(args.batch):
         ap.error("provide exactly one of: a query string, or --batch FILE")
+    if args.eval_qrels and not args.batch:
+        ap.error("--eval scores a batch run — use it with --batch "
+                 "(qrels query_ids must match the batch file's)")
+    if args.eval_qrels and not os.path.exists(args.eval_qrels):
+        ap.error(f"--eval {args.eval_qrels!r}: no such file")
     _fed_cache = []
 
     def _fed():
@@ -1159,8 +1172,27 @@ def main() -> None:
                 [urls.get(r[2]) for r in rows], type=pa.string()
             )
         pq.write_table(pa.table(cols), args.out)
-    print(json.dumps({"n": n, "n_queries": len(results),
-                      "wall_s": round(wall, 4)}))
+    summary = {"n": n, "n_queries": len(results),
+               "wall_s": round(wall, 4)}
+    if args.eval_qrels:
+        import pyarrow.parquet as _pq
+
+        from search_engine_spark.operators.ireval import eval_run_local
+
+        qt = _pq.read_table(
+            args.eval_qrels, columns=["query_id", "doc_id", "rel"]
+        )
+        qrels = list(zip(
+            (str(v) for v in qt.column("query_id").to_pylist()),
+            (int(v) for v in qt.column("doc_id").to_pylist()),
+            (int(v) for v in qt.column("rel").to_pylist()),
+        ))
+        per_query, macro = eval_run_local(results, qrels, k=args.k)
+        for qid, m in per_query.items():
+            print(f"# eval\t{qid}\tndcg={m['ndcg']}\tmrr={m['mrr']}"
+                  f"\trecall={m['recall']}\tap={m['ap']}")
+        summary["eval_macro"] = macro
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

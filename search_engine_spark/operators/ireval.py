@@ -176,6 +176,65 @@ def eval_run(results: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
     return out
 
 
+def eval_run_local(
+    run: dict[str, list],
+    qrels: list[tuple],
+    k: int = 10,
+) -> tuple[dict, dict]:
+    """Driver-side twin of ``eval_run`` for serving-path evaluation
+    (``query.py --eval``): the run is already in memory (|queries|×k
+    rows — spinning a Spark job to join it would be absurd), so the
+    same metric definitions run as plain Python. Property-tested
+    value-identical to the DataFrame plans (tests/test_ireval.py).
+
+    run:   {query_id: [(doc_id, score), ...] ranked} (score ignored —
+           order is the ranking)
+    qrels: [(query_id, doc_id, rel), ...]
+    Returns (per_query, macro): {qid: {ndcg, mrr, recall, ap}} and the
+    macro average over evaluated queries (those with ≥1 relevant doc).
+    """
+    import math
+
+    rel_of = {(q, d): r for q, d, r in qrels}
+    by_q: dict = {}
+    for q, d, r in qrels:
+        if r > 0:
+            by_q.setdefault(q, []).append((d, r))
+    per_query: dict = {}
+    for qid, judged in sorted(by_q.items()):
+        ranked = [d for d, _ in run.get(qid, [])][:k]
+        gains = [rel_of.get((qid, d), 0) for d in ranked]
+        dcg = sum(
+            (2.0 ** g - 1.0) / math.log2(i + 2)
+            for i, g in enumerate(gains)
+        )
+        ideal = sorted((r for _, r in judged), reverse=True)[:k]
+        idcg = sum(
+            (2.0 ** g - 1.0) / math.log2(i + 2)
+            for i, g in enumerate(ideal)
+        )
+        first = next((i + 1 for i, g in enumerate(gains) if g > 0), None)
+        hits = sum(1 for g in gains if g > 0)
+        sum_prec, cum = 0.0, 0
+        for i, g in enumerate(gains):
+            if g > 0:
+                cum += 1
+                sum_prec += cum / (i + 1)
+        n_rel = len(judged)
+        per_query[qid] = {
+            "ndcg": round(dcg / idcg, 6) if idcg else 0.0,
+            "mrr": round(1.0 / first, 6) if first else 0.0,
+            "recall": round(hits / n_rel, 6),
+            "ap": round(sum_prec / min(n_rel, k), 6),
+        }
+    macro = {"n_queries": len(per_query)}
+    for m in ("ndcg", "mrr", "recall", "ap"):
+        macro[f"mean_{m}"] = round(
+            sum(v[m] for v in per_query.values()) / len(per_query), 6
+        ) if per_query else 0.0
+    return per_query, macro
+
+
 def macro_avg(per_query: DataFrame) -> DataFrame:
     """One-row macro average over every metric column."""
     cols = [c for c in per_query.columns if c != "query_id"]

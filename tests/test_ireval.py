@@ -7,6 +7,7 @@ import math
 import random
 
 import pandas as pd
+import pytest
 
 from search_engine_spark.operators.ireval import (
     ap_at_k,
@@ -162,3 +163,91 @@ def test_individual_metrics_match_eval_run(spark):
     assert combined["mrr"] == mrr_at_k(results, qrels, 3).collect()[0]["mrr"]
     assert combined["recall"] == recall_at_k(results, qrels, 3).collect()[0]["recall"]
     assert combined["ap"] == ap_at_k(results, qrels, 3).collect()[0]["ap"]
+
+
+def test_local_twin_matches_spark_plans(spark):
+    """eval_run_local (the query.py --eval path) must be value-identical
+    to the DataFrame plans on the same fuzzed runs."""
+    from search_engine_spark.operators.ireval import eval_run_local
+
+    rng = random.Random(7)
+    results_rows, qrels_rows = [], []
+    for qid in range(1, 16):
+        docs = rng.sample(range(500), 12)
+        for i, d in enumerate(docs):
+            results_rows.append((qid, d, i + 1))
+        for d in rng.sample(docs, 5) + rng.sample(range(500, 560), 3):
+            qrels_rows.append((qid, d, rng.choice([0, 1, 1, 2])))
+    results, qrels = _dfs(spark, results_rows, qrels_rows)
+    for k in (5, 12):
+        want = {
+            r["query_id"]: r.asDict()
+            for r in eval_run(results, qrels, k=k).collect()
+        }
+        run = {}
+        for q, d, rank in sorted(results_rows, key=lambda r: (r[0], r[2])):
+            run.setdefault(q, []).append((d, 0.0))
+        got, macro = eval_run_local(
+            run, [(q, d, r) for q, d, r in qrels_rows], k=k
+        )
+        assert set(got) == set(want)
+        for qid in want:
+            for m in ("ndcg", "mrr", "recall", "ap"):
+                assert got[qid][m] == pytest.approx(want[qid][m], abs=1e-9)
+        assert macro["n_queries"] == len(want)
+
+
+def test_cli_batch_eval(tmp_path):
+    """Drive query.py --batch --eval end to end against a real index."""
+    import json as _json
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    idx = tmp_path / "idx"
+    r = subprocess.run(
+        [sys.executable, "build_index.py", "--input",
+         "/root/testdata/sf0.001/documents.parquet", "--input-format",
+         "documents", "--index-dir", str(idx), "--n-buckets", "4"],
+        cwd="/root/repo", capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    batch = tmp_path / "queries.tsv"
+    batch.write_text("q1\tspark join\nq2\thash filter\n")
+    # judgments: top doc of each query marked relevant + one bogus doc
+    r = subprocess.run(
+        [sys.executable, "query.py", "--index-dir", str(idx),
+         "--batch", str(batch), "-k", "5"],
+        cwd="/root/repo", capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    top = {}
+    for line in r.stdout.splitlines():
+        parts = line.split("\t")
+        if len(parts) == 4 and parts[0] in ("q1", "q2") and parts[1] == "1":
+            top[parts[0]] = int(parts[2])
+    assert set(top) == {"q1", "q2"}
+    qrels = tmp_path / "qrels.parquet"
+    pq.write_table(pa.table({
+        "query_id": ["q1", "q1", "q2"],
+        "doc_id": [top["q1"], 999999, top["q2"]],
+        "rel": [2, 1, 1],
+    }), str(qrels))
+
+    r = subprocess.run(
+        [sys.executable, "query.py", "--index-dir", str(idx),
+         "--batch", str(batch), "-k", "5", "--eval", str(qrels)],
+        cwd="/root/repo", capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    eval_lines = [l for l in r.stdout.splitlines()
+                  if l.startswith("# eval\t")]
+    assert len(eval_lines) == 2
+    # q1's top doc is rel-2 at rank 1 -> mrr 1.0; q2 perfect single rel
+    assert "mrr=1.0" in eval_lines[0] and "mrr=1.0" in eval_lines[1]
+    summary = _json.loads(r.stdout.splitlines()[-1])
+    assert summary["eval_macro"]["n_queries"] == 2
+    assert summary["eval_macro"]["mean_mrr"] == 1.0
