@@ -398,3 +398,92 @@ def pairwise_near_dup(df: DataFrame, *, threshold: float = 0.95,
         .filter(F.col("cos") >= threshold)
         .select("x", "y", F.round("cos", 6).alias("cos"))
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    *,
+    lam: float = 0.7,
+    k: int = 10,
+    qid_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
+    greedily pick argmax over remaining candidates of
+
+        lam * rel(d) - (1 - lam) * max_{s in selected} cos(d, s)
+
+    per query, k picks, ties broken by doc_id asc. lam=1.0 degenerates
+    to plain relevance order; lam=0 maximizes diversity only.
+
+    candidates: (query_id, doc_id, score, embedding) — the fused top-N
+    of any first-stage ranker (BM25 / ANN / hybrid RRF), N bounded
+    (~100s), which is what makes the greedy loop safe to run inside an
+    ``applyInPandas`` group: each query's candidate set is one Arrow
+    batch, the work is an n×n cosine matrix + k greedy sweeps, and
+    queries parallelize across tasks. Nothing here is a scale hazard —
+    the expensive part (first-stage retrieval) already happened.
+
+    normalize=True min-max scales rel per query to [0, 1] so lam
+    weighs two same-scale quantities (cosines live in [-1, 1]); with
+    one candidate or constant scores the scaled rel is 1.0.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    src = candidates.select(
+        F.col(qid_col).alias("query_id"),
+        F.col(id_col).alias("doc_id"),
+        F.col(score_col).cast("double").alias("score"),
+        F.col(vec_col).alias("embedding"),
+    )
+    schema = ("query_id string, doc_id long, rank int, "
+              "mmr_score double")
+
+    def kernel(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        vecs = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = vecs / norms[:, None]
+        sims = unit @ unit.T
+        rel = pdf["score"].to_numpy(dtype=np.float64)
+        if normalize:
+            lo, hi = rel.min(), rel.max()
+            rel = (rel - lo) / (hi - lo) if hi > lo else np.ones_like(rel)
+        n = len(pdf)
+        selected: list[int] = []
+        remaining = list(range(n))
+        out_rows = []
+        while remaining and len(selected) < k:
+            if selected:
+                max_sim = sims[np.ix_(remaining, selected)].max(axis=1)
+            else:
+                max_sim = np.zeros(len(remaining))
+            mmr = lam * rel[remaining] - (1.0 - lam) * max_sim
+            # argmax with doc_id-asc tie-break: remaining is doc_id-
+            # sorted and np.argmax returns the FIRST maximal index
+            j = int(np.argmax(mmr))
+            pick = remaining.pop(j)
+            selected.append(pick)
+            out_rows.append((
+                str(pdf["query_id"].iloc[pick]),
+                int(pdf["doc_id"].iloc[pick]),
+                len(selected),
+                round(float(mmr[j]), 6),
+            ))
+        return pd.DataFrame(
+            out_rows,
+            columns=["query_id", "doc_id", "rank", "mmr_score"],
+        )
+
+    return (
+        src.groupBy("query_id")
+        .applyInPandas(kernel, schema=schema)
+    )
