@@ -242,3 +242,71 @@ def macro_avg(per_query: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_queries"),
         *[F.round(F.avg(c), 6).alias(f"mean_{c}") for c in cols],
     )
+
+
+def tune_blend(
+    candidates: DataFrame,
+    qrels: DataFrame,
+    weights: list,
+    k: int = 10,
+) -> DataFrame:
+    """Grid-search a linear score blend — ranking experiments as ONE
+    data-parallel job instead of a per-config rerun.
+
+    candidates: (query_id, doc_id, base_score, boost) — first-stage
+    top-N per query with a second signal (static prior, recency,
+    embedding score…). For every w in ``weights`` the ranking
+    ``base_score + w * boost`` (ties doc_id asc) is evaluated with
+    nDCG@k against ``qrels`` and macro-averaged; returns
+    (w, n_queries, mean_ndcg) sorted best-first.
+
+    Plan shape: candidates × broadcast(weights) (a |grid|-row frame),
+    one window per (w, query_id) group — the sweep costs |grid| ×
+    first-stage-size, all inside one shuffle. The (w, query) pair is
+    packed into the existing metric plans' query_id key, so the whole
+    eval stack is reused verbatim.
+    """
+    spark = candidates.sparkSession
+    wdf = F.broadcast(
+        spark.createDataFrame([(float(w),) for w in weights], "w double")
+    )
+    blended = (
+        candidates.select(
+            F.col("query_id").cast("string").alias("qid"),
+            "doc_id",
+            F.col("base_score").cast("double").alias("base_score"),
+            F.col("boost").cast("double").alias("boost"),
+        )
+        .crossJoin(wdf)
+        .withColumn("blend",
+                    F.col("base_score") + F.col("w") * F.col("boost"))
+    )
+    key = F.concat_ws("\x1f", F.col("w").cast("string"), F.col("qid"))
+    rw = W.partitionBy("w", "qid").orderBy(
+        F.desc("blend"), F.asc("doc_id")
+    )
+    results = (
+        blended.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= k)
+        .select(key.alias("query_id"), "doc_id", "rank")
+    )
+    qrels_w = (
+        qrels.select(F.col("query_id").cast("string").alias("qid"),
+                     "doc_id", "rel")
+        .crossJoin(wdf)
+        .select(key.alias("query_id"), "doc_id", "rel")
+    )
+    per = ndcg_at_k(results, qrels_w, k).select(
+        F.split("query_id", "\x1f")[0].alias("w_str"),
+        "ndcg",
+    )
+    return (
+        per.groupBy("w_str")
+        .agg(F.count(F.lit(1)).alias("n_queries"),
+             F.round(F.avg("ndcg"), 6).alias("mean_ndcg"))
+        .select(
+            F.col("w_str").cast("double").alias("w"),
+            "n_queries", "mean_ndcg",
+        )
+        .orderBy(F.desc("mean_ndcg"), F.asc("w"))
+    )

@@ -251,3 +251,63 @@ def test_cli_batch_eval(tmp_path):
     summary = _json.loads(r.stdout.splitlines()[-1])
     assert summary["eval_macro"]["n_queries"] == 2
     assert summary["eval_macro"]["mean_mrr"] == 1.0
+
+
+def test_tune_blend_recovers_planted_weight(spark):
+    """qrels are generated by the boost signal -> high w must win;
+    qrels from base ranking -> w=0 must win. Cross-checked per-weight
+    against eval_run on the explicitly blended ranking."""
+    from search_engine_spark.operators.ireval import tune_blend
+
+    rng = random.Random(5)
+    rows = []
+    for q in range(10):
+        for d in range(30):
+            rows.append(
+                (f"q{q}", d, rng.uniform(0, 1), rng.uniform(0, 1))
+            )
+    cands = spark.createDataFrame(
+        rows, "query_id string, doc_id long, base_score double, "
+              "boost double"
+    )
+    # judgments: top-5 docs by BOOST are relevant
+    by_boost = {}
+    for q, d, b, boost in rows:
+        by_boost.setdefault(q, []).append((boost, d))
+    qrels_rows = [
+        (q, d, 1)
+        for q, lst in by_boost.items()
+        for _, d in sorted(lst, reverse=True)[:5]
+    ]
+    qrels = spark.createDataFrame(
+        qrels_rows, "query_id string, doc_id long, rel int"
+    )
+    grid = [0.0, 0.5, 2.0, 10.0]
+    out = tune_blend(cands, qrels, grid, k=10).collect()
+    assert len(out) == len(grid)
+    assert out[0]["w"] == 10.0          # boost-driven qrels -> big w wins
+    assert all(r["n_queries"] == 10 for r in out)
+    # monotone in this construction: more boost weight, better ndcg
+    by_w = {r["w"]: r["mean_ndcg"] for r in out}
+    assert by_w[10.0] >= by_w[2.0] >= by_w[0.5] >= by_w[0.0]
+
+    # per-weight cross-check against the plain eval stack
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    for w_val in (0.0, 2.0):
+        blended = cands.withColumn(
+            "s", F.col("base_score") + w_val * F.col("boost")
+        )
+        rw = W.partitionBy("query_id").orderBy(
+            F.desc("s"), F.asc("doc_id")
+        )
+        results = (
+            blended.withColumn("rank", F.row_number().over(rw))
+            .where(F.col("rank") <= 10)
+            .select("query_id", "doc_id", "rank")
+        )
+        want = macro_avg(eval_run(results, qrels, k=10)).collect()[0]
+        assert by_w[w_val] == pytest.approx(
+            want["mean_ndcg"], abs=1e-6
+        )
