@@ -176,6 +176,15 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "fielded_topk": (["TakeOrderedAndProject", "BroadcastHashJoin",
                       "HashAggregate"],
                      ["CartesianProduct"]),
+    # BPE iteration 0: text-only pruned scan, two hash aggregates
+    # (word counts -> pair counts), zero Python on the path
+    "bpe_pair_counts": (["ReadSchema: struct<text:string>",
+                         "HashAggregate"],
+                        ["Exchange hashpartitioning(doc_id",
+                         "Python", "CartesianProduct"]),
+    # eval metrics: keyed equi-joins + bounded per-query windows only
+    "ranking_eval": (["Window", "HashAggregate"],
+                     ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 
