@@ -239,6 +239,20 @@ def main() -> None:
     ab.add_argument("--text-col", default="text")
     ab.add_argument("--id-col", default="doc_id")
 
+    tb = sub.add_parser("tune-blend",
+                        help="grid-search a linear score blend "
+                             "(base_score + w*boost) against graded "
+                             "judgments in ONE job: prints macro "
+                             "nDCG@k per weight, best first")
+    tb.add_argument("--candidates", required=True,
+                    help="parquet (query_id, doc_id, base_score, "
+                         "boost) — first-stage top-N per query")
+    tb.add_argument("--qrels", required=True,
+                    help="parquet (query_id, doc_id, rel)")
+    tb.add_argument("--weights", default="0,0.25,0.5,1,2,4",
+                    help="comma-separated grid")
+    tb.add_argument("-k", type=int, default=10)
+
     sb = sub.add_parser("set-boosts",
                         help="install an arbitrary (doc_id, boost) "
                              "parquet as the index's static boost "
@@ -407,6 +421,25 @@ def main() -> None:
         )
         summary = {"ok": True, "bigrams": out,
                    "top_terms": args.top_terms}
+    elif args.cmd == "tune-blend":
+        from search_engine_spark.operators.ireval import tune_blend
+
+        weights = [float(w) for w in args.weights.split(",") if w.strip()]
+        rows = tune_blend(
+            spark.read.parquet(args.candidates),
+            spark.read.parquet(args.qrels),
+            weights, k=args.k,
+        ).collect()
+        summary = {
+            "ok": True,
+            "k": args.k,
+            "grid": [
+                {"w": r["w"], "n_queries": r["n_queries"],
+                 "mean_ndcg": r["mean_ndcg"]}
+                for r in rows
+            ],
+            "best_w": rows[0]["w"] if rows else None,
+        }
     elif args.cmd == "learn-bpe":
         from search_engine_spark.operators.bpe import learn_bpe
 
