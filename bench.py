@@ -5,7 +5,7 @@ Phases:
 1. Materialize a deterministic synthetic pages corpus to parquet
    (SPARK_GRAFT_BENCH_DOCS, default 600000) — untimed.
 2. Index build from that corpus at each level in
-   SPARK_GRAFT_BENCH_CORES (default "1,4,2,8,32"): headline docs/sec
+   SPARK_GRAFT_BENCH_CORES (default "1,4,8,32"): headline docs/sec
    at $SPARK_GRAFT_CPUS, plus N vs 4N scaling efficiency =
    T(N) / (4 x T(4N)) for each measured pair. 1 vs 4 is the primary
    pair: BOTH levels sit below this box's measured memory-bandwidth
@@ -42,7 +42,7 @@ BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "600000"))
 # (~16 busy cores); the full-width level reports peak throughput.
 SCALE_CORES = [
     int(c)
-    for c in os.environ.get("SPARK_GRAFT_BENCH_CORES", "1,4,2,8,32").split(",")
+    for c in os.environ.get("SPARK_GRAFT_BENCH_CORES", "1,4,8,32").split(",")
 ]
 SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 # this host's wall-times vary ±30-50% run to run (BENCH/BASELINE.md);
