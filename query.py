@@ -241,6 +241,16 @@ def main() -> None:
                     help="also write the ranked results as parquet "
                          "(query_id, rank, doc_id, score[, url]) — the "
                          "S5 results sink for batch/cluster runs")
+    ap.add_argument("--diversify", type=float, metavar="LAMBDA",
+                    help="MMR re-rank the retrieved list: lam*rel - "
+                         "(1-lam)*max cosine to already-picked docs "
+                         "(needs --embeddings; retrieve with a larger "
+                         "-k to give the diversifier room; docs with "
+                         "no embedding keep relevance order at the "
+                         "tail)")
+    ap.add_argument("--embeddings", metavar="PARQUET",
+                    help="embedding table for --diversify: (doc_id "
+                         "or vec_id, embedding array<float>)")
     ap.add_argument("--eval", metavar="QRELS", dest="eval_qrels",
                     help="score this batch run against graded "
                          "judgments (parquet with query_id, doc_id, "
@@ -327,6 +337,10 @@ def main() -> None:
         return
     if bool(args.qtext) == bool(args.batch):
         ap.error("provide exactly one of: a query string, or --batch FILE")
+    if (args.diversify is not None) != bool(args.embeddings):
+        ap.error("--diversify and --embeddings go together")
+    if args.diversify is not None and not 0.0 <= args.diversify <= 1.0:
+        ap.error("--diversify LAMBDA must be in [0, 1]")
     if args.eval_qrels and not args.batch:
         ap.error("--eval scores a batch run — use it with --batch "
                  "(qrels query_ids must match the batch file's)")
@@ -1056,6 +1070,43 @@ def main() -> None:
                 exclude=qneg or None, msm=args.msm, restrict=site_ids,
             )[args.offset:]
     wall = time.time() - t0
+
+    if args.diversify is not None:
+        # MMR re-rank of each query's retrieved list (Carbonell &
+        # Goldstein 1998) — retrieve with a larger -k to give the
+        # diversifier room. Embeddings load once, pruned to the
+        # candidate ids; docs without an embedding keep relevance
+        # order AFTER the diversified picks (never silently dropped).
+        import pyarrow.dataset as _ds
+
+        from search_engine_spark.operators.similarity import _mmr_greedy
+
+        cand_ids = sorted({int(d) for hits in results.values()
+                           for d, _ in hits})
+        dset = _ds.dataset(args.embeddings, format="parquet")
+        id_field = ("doc_id" if "doc_id" in dset.schema.names
+                    else "vec_id")
+        tbl = dset.to_table(
+            columns=[id_field, "embedding"],
+            filter=_ds.field(id_field).isin(cand_ids),
+        )
+        emb = dict(zip(tbl.column(id_field).to_pylist(),
+                       (list(v) for v in tbl.column("embedding")
+                        .to_pylist())))
+        for qid, hits in results.items():
+            with_vec = [(d, s) for d, s in hits if int(d) in emb]
+            without = [(d, s) for d, s in hits if int(d) not in emb]
+            if not with_vec:
+                continue
+            picks = _mmr_greedy(
+                [emb[int(d)] for d, _ in with_vec],
+                [s for _, s in with_vec],
+                lam=args.diversify, k=len(with_vec),
+            )
+            results[qid] = (
+                [(with_vec[i][0], with_vec[i][1]) for i, _ in picks]
+                + without
+            )
 
     urls: dict[int, str] = {}
     if args.urls:

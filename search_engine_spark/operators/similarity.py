@@ -446,38 +446,18 @@ def mmr_rerank(
         import pandas as pd
 
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        vecs = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-        )
-        norms = np.linalg.norm(vecs, axis=1)
-        norms[norms == 0.0] = 1.0
-        unit = vecs / norms[:, None]
-        sims = unit @ unit.T
+        vecs = [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
         rel = pdf["score"].to_numpy(dtype=np.float64)
-        if normalize:
-            lo, hi = rel.min(), rel.max()
-            rel = (rel - lo) / (hi - lo) if hi > lo else np.ones_like(rel)
-        n = len(pdf)
-        selected: list[int] = []
-        remaining = list(range(n))
-        out_rows = []
-        while remaining and len(selected) < k:
-            if selected:
-                max_sim = sims[np.ix_(remaining, selected)].max(axis=1)
-            else:
-                max_sim = np.zeros(len(remaining))
-            mmr = lam * rel[remaining] - (1.0 - lam) * max_sim
-            # argmax with doc_id-asc tie-break: remaining is doc_id-
-            # sorted and np.argmax returns the FIRST maximal index
-            j = int(np.argmax(mmr))
-            pick = remaining.pop(j)
-            selected.append(pick)
-            out_rows.append((
+        picks = _mmr_greedy(vecs, rel, lam=lam, k=k, normalize=normalize)
+        out_rows = [
+            (
                 str(pdf["query_id"].iloc[pick]),
                 int(pdf["doc_id"].iloc[pick]),
-                len(selected),
-                round(float(mmr[j]), 6),
-            ))
+                rank,
+                score,
+            )
+            for rank, (pick, score) in enumerate(picks, 1)
+        ]
         return pd.DataFrame(
             out_rows,
             columns=["query_id", "doc_id", "rank", "mmr_score"],
@@ -487,3 +467,34 @@ def mmr_rerank(
         src.groupBy("query_id")
         .applyInPandas(kernel, schema=schema)
     )
+
+
+def _mmr_greedy(vecs, rel, *, lam: float, k: int,
+                normalize: bool = True) -> list[tuple[int, float]]:
+    """Shared greedy core (Spark kernel + serving CLI): returns
+    [(candidate_index, mmr_score)] in pick order. Candidates must
+    already be in tie-break order (index asc wins exact ties, because
+    np.argmax returns the first maximal index)."""
+    vecs = np.asarray(vecs, dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = vecs / norms[:, None]
+    sims = unit @ unit.T
+    rel = np.asarray(rel, dtype=np.float64)
+    if normalize:
+        lo, hi = rel.min(), rel.max()
+        rel = (rel - lo) / (hi - lo) if hi > lo else np.ones_like(rel)
+    selected: list[int] = []
+    remaining = list(range(len(rel)))
+    out: list[tuple[int, float]] = []
+    while remaining and len(selected) < k:
+        if selected:
+            max_sim = sims[np.ix_(remaining, selected)].max(axis=1)
+        else:
+            max_sim = np.zeros(len(remaining))
+        mmr = lam * rel[remaining] - (1.0 - lam) * max_sim
+        j = int(np.argmax(mmr))
+        pick = remaining.pop(j)
+        selected.append(pick)
+        out.append((pick, round(float(mmr[j]), 6)))
+    return out

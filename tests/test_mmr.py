@@ -115,3 +115,52 @@ def test_fewer_candidates_than_k(spark):
 def test_bad_lambda_rejected(spark):
     with pytest.raises(ValueError):
         mmr_rerank(_df(spark, [("q", 0, 1.0, [1.0])]), lam=1.5)
+
+
+def test_cli_diversify(tmp_path):
+    """query.py --diversify: a planted near-duplicate embedding of the
+    top hit must be demoted below a diverse doc."""
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    idx = tmp_path / "idx"
+    r = subprocess.run(
+        [sys.executable, "build_index.py", "--input",
+         "/root/testdata/sf0.001/documents.parquet", "--input-format",
+         "documents", "--index-dir", str(idx), "--n-buckets", "4"],
+        cwd="/root/repo", capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    base = subprocess.run(
+        [sys.executable, "query.py", "--index-dir", str(idx),
+         "spark join", "-k", "5"],
+        cwd="/root/repo", capture_output=True, text=True,
+    )
+    ranked = [int(l.split("\t")[1]) for l in base.stdout.splitlines()
+              if l.split("\t")[0].isdigit()]
+    assert len(ranked) == 5
+
+    rng = np.random.default_rng(3)
+    emb = rng.normal(size=(500, 6)).astype("float32")
+    emb[ranked[1]] = emb[ranked[0]] + 1e-5  # rank-2 duplicates rank-1
+    pq.write_table(
+        pa.table({"doc_id": np.arange(500), "embedding": list(emb)}),
+        str(tmp_path / "emb.parquet"),
+    )
+    div = subprocess.run(
+        [sys.executable, "query.py", "--index-dir", str(idx),
+         "spark join", "-k", "5", "--diversify", "0.5",
+         "--embeddings", str(tmp_path / "emb.parquet")],
+        cwd="/root/repo", capture_output=True, text=True,
+    )
+    assert div.returncode == 0, div.stderr[-2000:]
+    got = [int(l.split("\t")[1]) for l in div.stdout.splitlines()
+           if l.split("\t")[0].isdigit()]
+    assert set(got) == set(ranked)          # re-rank, never drop
+    assert got[0] == ranked[0]              # top relevance survives
+    assert got.index(ranked[1]) > 1         # the duplicate is demoted
