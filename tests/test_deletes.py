@@ -298,3 +298,42 @@ def test_index_reader_oversized_tombstones_anti_join(spark, index_dir,
         small = [(r.doc_id, r.score)
                  for r in r_small.search(q, k=k, stem=False).collect()]
         assert got == small, q
+
+
+def test_exchange_dirs_atomic_swap(tmp_path):
+    """renameat2(RENAME_EXCHANGE) path: contents of the two dirs are
+    exchanged and both paths exist at all times."""
+    from search_engine_spark.plans.deletes import _exchange_dirs
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    (a / "x.txt").write_text("from-a")
+    (b / "y.txt").write_text("from-b")
+    ok = _exchange_dirs(str(a), str(b))
+    assert ok, "RENAME_EXCHANGE should be available on this kernel"
+    assert (a / "y.txt").read_text() == "from-b"
+    assert (b / "x.txt").read_text() == "from-a"
+    assert not (a / "x.txt").exists() and not (b / "y.txt").exists()
+
+
+def test_swap_rewrite_publishes_new_and_cleans_tmp(tmp_path):
+    from search_engine_spark.plans.deletes import _swap_rewrite
+
+    live = tmp_path / "table"
+    live.mkdir()
+    (live / "old.parquet").write_text("old")
+    # a leftover temp from a crashed prior attempt must not break it
+    stale = tmp_path / "table.compact"
+    stale.mkdir()
+    (stale / "junk").write_text("junk")
+
+    def write_fn(tmp):
+        os.makedirs(tmp, exist_ok=True)
+        with open(os.path.join(tmp, "new.parquet"), "w") as f:
+            f.write("new")
+
+    _swap_rewrite(str(live), write_fn)
+    assert (live / "new.parquet").read_text() == "new"
+    assert not (live / "old.parquet").exists()
+    assert not stale.exists()
