@@ -364,13 +364,18 @@ def main() -> None:
         ranks = pagerank(nodes, edges, n_docs=n_docs, iters=args.iters,
                          damping=args.damping)
         boosts = pagerank_boosts(ranks, n_docs=n_docs, weight=args.weight)
+        from search_engine_spark.plans.publish import publish_dir
+
         # keep only strictly-positive boosts: absent == 0.0 on the
-        # serving side, and a smaller table broadcasts cheaper
-        (
-            boosts.filter(F.col("boost") > 0.0)
+        # serving side, and a smaller table broadcasts cheaper;
+        # atomic publish — the index keeps serving during the install
+        publish_dir(
+            os.path.join(args.index_dir, "boosts"),
+            lambda tmp: boosts.filter(F.col("boost") > 0.0)
             .sort("doc_id")
             .write.mode("overwrite")
-            .parquet(os.path.join(args.index_dir, "boosts"))
+            .parquet(tmp),
+            suffix=".install",
         )
         summary = {"ok": True, "n_docs": n_docs, "iters": args.iters,
                    "weight": args.weight,
@@ -489,8 +494,13 @@ def main() -> None:
                 "negative boost values — additive static boosts must "
                 "be >= 0 (block-max bounds assume it)"
             )
-        b.sort("doc_id").write.mode("overwrite").parquet(
-            os.path.join(args.index_dir, "boosts")
+        from search_engine_spark.plans.publish import publish_dir
+
+        publish_dir(
+            os.path.join(args.index_dir, "boosts"),
+            lambda tmp: b.sort("doc_id").write.mode("overwrite")
+            .parquet(tmp),
+            suffix=".install",
         )
         summary = {"ok": True,
                    "boosts": os.path.join(args.index_dir, "boosts")}

@@ -42,7 +42,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import sys
 import uuid
 
 import numpy as np
@@ -56,6 +55,10 @@ from search_engine_spark.plans.build_index import (
     _stage_b,
 )
 from search_engine_spark.plans.manifest import Manifest
+from search_engine_spark.plans.publish import (
+    exchange_dirs as _exchange_dirs,  # noqa: F401 (re-export for tests)
+    publish_dir as _publish_dir,
+)
 
 # tombstone sets up to this size ride in the decode UDF's closure
 # (one vectorized searchsorted per Arrow batch, zero extra plan
@@ -141,53 +144,12 @@ def mask_deleted(deleted: np.ndarray, docs: np.ndarray, *arrs):
     return (docs[live], *(a[live] for a in arrs))
 
 
-def _exchange_dirs(a: str, b: str) -> bool:
-    """Atomically SWAP two paths via Linux renameat2(RENAME_EXCHANGE)
-    (kernel ≥3.15, same filesystem). Returns False when unavailable so
-    callers can fall back — the point is that on the platforms this
-    engine targets, a concurrent reader NEVER observes the table path
-    missing mid-publish."""
-    import ctypes
-    import ctypes.util
-
-    if not sys.platform.startswith("linux"):
-        return False
-    libc_name = ctypes.util.find_library("c")
-    if not libc_name:
-        return False
-    try:
-        libc = ctypes.CDLL(libc_name, use_errno=True)
-        AT_FDCWD = -100
-        RENAME_EXCHANGE = 2
-        rc = libc.renameat2(
-            AT_FDCWD, os.fsencode(a), AT_FDCWD, os.fsencode(b),
-            RENAME_EXCHANGE,
-        )
-        if rc != 0:
-            return False
-        return True
-    except (AttributeError, OSError):
-        return False
-
-
 def _swap_rewrite(path: str, write_fn) -> None:
-    """Publish a rewritten table: write to a sibling temp dir, then
-    swap it into place ATOMICALLY (renameat2 RENAME_EXCHANGE) so a
-    concurrent reader never hits a missing path; the displaced old
-    table is removed afterwards. Falls back to the non-atomic
-    rmtree+rename pair (a brief missing-path window) where the
-    syscall is unavailable. Cross-TABLE consistency during a
-    multi-table compaction remains the documented non-atomic span —
-    per-table, the path is now always present and valid."""
-    tmp = path + ".compact"
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp)  # leftover from a crashed prior attempt
-    write_fn(tmp)
-    if _exchange_dirs(tmp, path):
-        shutil.rmtree(tmp)  # tmp now holds the OLD table
-    else:
-        shutil.rmtree(path)
-        os.rename(tmp, path)
+    """Publish a rewritten table atomically (plans/publish.py): a
+    concurrent reader never observes the table path missing
+    mid-compaction. Cross-TABLE consistency during a multi-table
+    compaction remains the documented non-atomic span."""
+    _publish_dir(path, write_fn, suffix=".compact")
 
 
 def _compact_core(

@@ -75,6 +75,7 @@ from search_engine_spark.plans.build_index import (
     _stage_b,
 )
 from search_engine_spark.plans.manifest import Manifest
+from search_engine_spark.plans.publish import publish_dir
 
 _SEG_ORDER = [
     "bucket", "term", "salt", "seg", "n", "doc_ids",
@@ -249,10 +250,10 @@ def _make_rebase(offset: int, salt_shift: int):
 
 
 def _swap_rewrite(path: str, write_fn) -> None:
-    tmp = path + ".merge"
-    write_fn(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    """Atomic table publish against the LIVE target index
+    (plans/publish.py): a concurrent searcher never observes the path
+    missing mid-merge."""
+    publish_dir(path, write_fn, suffix=".merge")
 
 
 def _side_counts(spark: SparkSession, meta: dict, paths: IndexPaths
@@ -353,10 +354,13 @@ def _merge_core(
     n_new = n_t + n_i
     s_new = s_t + s_i
     avg_new = float(s_new) / float(n_new) if n_new else 0.0
-    spark.createDataFrame(
-        [(n_new, s_new, avg_new)],
-        "n_docs long, sum_doclen long, avgdl double",
-    ).coalesce(1).write.mode("overwrite").parquet(pt.stats)
+    _swap_rewrite(
+        pt.stats,
+        lambda tmp: spark.createDataFrame(
+            [(n_new, s_new, avg_new)],
+            "n_docs long, sum_doclen long, avgdl double",
+        ).coalesce(1).write.mode("overwrite").parquet(tmp),
+    )
     salt_threshold = int(min(
         mt.get("salt_threshold", 1_000_000),
         mi.get("salt_threshold", 1_000_000),
@@ -383,13 +387,14 @@ def _merge_core(
         json.dump(meta, f)
 
     # 6. hot-term sketch from the merged dictionary
-    (
+    hot = (
         spark.read.parquet(pt.dictionary)
         .filter(F.col("df") > salt_threshold)
         .select("term", "df")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(pt.hot_terms)
+    )
+    _swap_rewrite(
+        pt.hot_terms,
+        lambda tmp: hot.coalesce(1).write.mode("overwrite").parquet(tmp),
     )
 
     # 7. manifest lineage for the touched buckets (metrics from the

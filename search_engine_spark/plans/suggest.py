@@ -79,15 +79,20 @@ def build_suggest(spark: SparkSession, index_dir: str) -> dict:
         "df",
     )
     out = os.path.join(index_dir, SUGGEST_DIR)
-    (
+    from search_engine_spark.plans.publish import publish_dir
+
+    publish_dir(
+        out,
         # range-partition + sort => globally clustered variant ranges,
         # so every probe prunes to a handful of row groups; the write
-        # itself stays parallel (one file per range)
-        variants.repartitionByRange("variant")
+        # itself stays parallel (one file per range); atomic publish so
+        # a rebuild over a LIVE index never leaves suggestions missing
+        lambda tmp: variants.repartitionByRange("variant")
         .sortWithinPartitions("variant", "term")
         .write.mode("overwrite")
         .option("parquet.block.size", str(1024 * 1024))
-        .parquet(out)
+        .parquet(tmp),
+        suffix=".rebuild",
     )
     n = spark.read.parquet(out).count()
     return {"suggest_rows": int(n)}
