@@ -135,16 +135,27 @@ def _stage_a_stats(
     # bucket-partitioned, one file per bucket, term-sorted within the
     # file: query-time term lookups prune to the term's bucket dir and
     # then to the matching parquet row groups (J1 at scale)
-    (
-        dictionary.repartition(n_buckets, "bucket")
+    # atomic publish (plans/publish.py): _stage_a_stats also runs
+    # against LIVE indexes (extend, compaction) — a concurrent reader
+    # must never observe these tables missing or partially written
+    from search_engine_spark.plans.publish import publish_dir
+
+    publish_dir(
+        paths.dictionary,
+        lambda tmp: dictionary.repartition(n_buckets, "bucket")
         .sortWithinPartitions("bucket", "term")
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(paths.dictionary)
+        .parquet(tmp),
+        suffix=".stage_a",
     )
 
     docs = flat.select("doc_id", "doclen").dropDuplicates(["doc_id"])
-    docs.write.mode("overwrite").parquet(paths.docs)
+    publish_dir(
+        paths.docs,
+        lambda tmp: docs.write.mode("overwrite").parquet(tmp),
+        suffix=".stage_a",
+    )
 
     # avgdl derived as exact-integer-sum / count (NOT F.avg's running
     # double mean): the integer sum is associative, so a tiered merge
@@ -158,18 +169,24 @@ def _stage_a_stats(
         "avgdl",
         F.col("sum_doclen").cast("double") / F.col("n_docs").cast("double"),
     )
-    stats.coalesce(1).write.mode("overwrite").parquet(paths.stats)
+    publish_dir(
+        paths.stats,
+        lambda tmp: stats.coalesce(1).write.mode("overwrite").parquet(tmp),
+        suffix=".stage_a",
+    )
 
     # Hot-term sketch for stage-B salting (SURVEY.md section 4): the
     # df-histogram head lives with the index so stage B needs no full
     # dictionary scan. Tiny by construction (stopword-cardinality).
-    (
+    hot = (
         spark.read.parquet(paths.dictionary)
         .filter(F.col("df") > salt_threshold)
         .select("term", "df")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(paths.hot_terms)
+    )
+    publish_dir(
+        paths.hot_terms,
+        lambda tmp: hot.coalesce(1).write.mode("overwrite").parquet(tmp),
+        suffix=".stage_a",
     )
 
     # Collection constants -> driver-side JSON: stage B and the query

@@ -111,9 +111,19 @@ def load_tombstones(index_dir: str) -> np.ndarray:
         if parent is not None:
             return load_tombstones(parent)
         return np.empty(0, dtype=np.int64)
+    import pyarrow.lib
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(out, columns=["doc_id"])
+    try:
+        tbl = pq.read_table(out, columns=["doc_id"])
+    except (pyarrow.lib.ArrowInvalid, FileNotFoundError, OSError):
+        # torn read of a delete APPEND in flight: Spark creates the
+        # directory before committing the first part file, so a reader
+        # can list it while it holds no parquet parts (found by the
+        # concurrent-reader compaction test). Tombstones are monotonic
+        # — appearing one poll later is correct behavior, crashing is
+        # not.
+        return np.empty(0, dtype=np.int64)
     if tbl.num_rows == 0:
         return np.empty(0, dtype=np.int64)
     return np.unique(tbl["doc_id"].to_numpy(zero_copy_only=False))

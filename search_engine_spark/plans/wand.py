@@ -35,6 +35,7 @@ from __future__ import annotations
 import heapq
 import math
 import os
+import time
 
 import numpy as np
 import pandas as pd
@@ -114,6 +115,28 @@ class LocalSearcher:
 
     def __init__(self, index_dir: str, *, cache_terms: int = 256,
                  load_boosts: bool = True):
+        # Retry-once open: lifecycle mutations (compact / merge-into /
+        # boost installs) publish each table ATOMICALLY via dir
+        # exchange (plans/publish.py), but a reader that LISTED the old
+        # directory and then opens a listed file after the swap still
+        # 404s (list-then-open race). One re-open sees a consistent
+        # post-swap state; a second failure is real corruption and
+        # propagates. Exercised by
+        # tests/test_deletes.py::test_concurrent_reader_survives_compaction.
+        import pyarrow.lib as _palib
+
+        for _attempt in (0, 1):
+            try:
+                self._open(index_dir, cache_terms=cache_terms,
+                           load_boosts=load_boosts)
+                return
+            except (FileNotFoundError, OSError, _palib.ArrowInvalid):
+                if _attempt:
+                    raise
+                time.sleep(0.05)
+
+    def _open(self, index_dir: str, *, cache_terms: int,
+              load_boosts: bool) -> None:
         self.root = index_dir
         st = pq.read_table(os.path.join(index_dir, "stats")).to_pandas()
         self.n_docs = int(st.n_docs.iloc[0])

@@ -337,3 +337,45 @@ def test_swap_rewrite_publishes_new_and_cleans_tmp(tmp_path):
     assert (live / "new.parquet").read_text() == "new"
     assert not (live / "old.parquet").exists()
     assert not stale.exists()
+
+
+def test_concurrent_reader_survives_compaction(spark, documents,
+                                               tmp_path_factory):
+    """The atomic-publish property end to end: a reader that re-OPENS
+    the index in a loop while compact_index rewrites every table must
+    never hit a missing/half-written directory. (Mixed-generation
+    RESULTS during the window are acceptable; exceptions are not.)"""
+    import threading
+
+    from search_engine_spark.plans.build_index import build_index
+    from search_engine_spark.plans.wand import LocalSearcher
+
+    d = str(tmp_path_factory.mktemp("live_idx"))
+    build_index(spark, documents, d, n_buckets=4, segment_size=64,
+                stem=False, salt_threshold=50, max_salts=4)
+
+    errors: list = []
+    stop = threading.Event()
+
+    def reader_loop():
+        while not stop.is_set():
+            try:
+                s = LocalSearcher(d)  # fresh open — stresses the paths
+                s.search("spark join", k=5, stem=False)
+                s.search("the", k=5, stem=False, mode="or")
+            except Exception as e:  # noqa: BLE001 — the assertion IS "no exception"
+                errors.append(repr(e))
+                return
+
+    t = threading.Thread(target=reader_loop, daemon=True)
+    t.start()
+    try:
+        delete_docs(spark, d, [1, 2, 3, 5, 8, 13])
+        compact_index(spark, d, segment_size=64, max_salts=4)
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert errors == [], errors
+    # and the compacted index still answers
+    hits = LocalSearcher(d).search("spark join", k=5, stem=False)
+    assert all(doc not in (1, 2, 3, 5, 8, 13) for doc, _ in hits)
