@@ -150,6 +150,12 @@ def main() -> None:
     mi.add_argument("--index-dir", required=True,
                     help="target index (modified in place)")
     mi.add_argument("--incoming", required=True)
+    mi.add_argument("--rebuild-suggest", action="store_true",
+                    help="rebuild the SymSpell suggestion table after "
+                         "the fold when the target serves one (it "
+                         "derives from dictionary dfs, which the fold "
+                         "changes — otherwise the summary reports "
+                         "suggest_stale: true)")
 
     fo = sub.add_parser("fold",
                         help="fold every pending streaming epoch shard "
@@ -162,6 +168,11 @@ def main() -> None:
                     help="serving index (bootstrapped from the first "
                          "epoch if missing)")
     fo.add_argument("--shards-dir", required=True)
+    fo.add_argument("--rebuild-suggest", action="store_true",
+                    help="rebuild the SymSpell suggestion table after "
+                         "folding when the target serves one (the fold "
+                         "changes dictionary dfs; otherwise the "
+                         "summary reports suggest_stale: true)")
 
     pr = sub.add_parser("pagerank",
                         help="compute PageRank over a (src, dst) edge "
@@ -321,10 +332,24 @@ def main() -> None:
         from search_engine_spark.plans.merge import merge_into
 
         summary = merge_into(spark, args.index_dir, args.incoming)
+        if summary.get("suggest_stale") and args.rebuild_suggest:
+            from search_engine_spark.plans.suggest import build_suggest
+
+            summary["suggest_rebuilt"] = build_suggest(
+                spark, args.index_dir
+            )["suggest_rows"]
+            summary["suggest_stale"] = False
     elif args.cmd == "fold":
         from search_engine_spark.streaming.incremental import fold_shards
 
         summary = fold_shards(spark, args.shards_dir, args.index_dir)
+        if summary.get("suggest_stale") and args.rebuild_suggest:
+            from search_engine_spark.plans.suggest import build_suggest
+
+            summary["suggest_rebuilt"] = build_suggest(
+                spark, args.index_dir
+            )["suggest_rows"]
+            summary["suggest_stale"] = False
     elif args.cmd == "pagerank":
         import os
 
