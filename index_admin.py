@@ -263,6 +263,9 @@ def main() -> None:
     tb.add_argument("--weights", default="0,0.25,0.5,1,2,4",
                     help="comma-separated grid")
     tb.add_argument("-k", type=int, default=10)
+    tb.add_argument("--metric", default="ndcg",
+                    choices=["ndcg", "mrr", "recall", "ap"],
+                    help="macro-averaged metric the grid optimizes")
 
     sb = sub.add_parser("set-boosts",
                         help="install an arbitrary (doc_id, boost) "
@@ -458,14 +461,16 @@ def main() -> None:
         rows = tune_blend(
             spark.read.parquet(args.candidates),
             spark.read.parquet(args.qrels),
-            weights, k=args.k,
+            weights, k=args.k, metric=args.metric,
         ).collect()
+        mean_key = f"mean_{args.metric}"
         summary = {
             "ok": True,
             "k": args.k,
+            "metric": args.metric,
             "grid": [
                 {"w": r["w"], "n_queries": r["n_queries"],
-                 "mean_ndcg": r["mean_ndcg"]}
+                 mean_key: r[mean_key]}
                 for r in rows
             ],
             "best_w": rows[0]["w"] if rows else None,

@@ -249,6 +249,7 @@ def tune_blend(
     qrels: DataFrame,
     weights: list,
     k: int = 10,
+    metric: str = "ndcg",
 ) -> DataFrame:
     """Grid-search a linear score blend — ranking experiments as ONE
     data-parallel job instead of a per-config rerun.
@@ -257,8 +258,9 @@ def tune_blend(
     top-N per query with a second signal (static prior, recency,
     embedding score…). For every w in ``weights`` the ranking
     ``base_score + w * boost`` (ties doc_id asc) is evaluated with
-    nDCG@k against ``qrels`` and macro-averaged; returns
-    (w, n_queries, mean_ndcg) sorted best-first.
+    the chosen ``metric`` ("ndcg" | "mrr" | "recall" | "ap") against
+    ``qrels`` and macro-averaged; returns (w, n_queries, mean_<metric>)
+    sorted best-first.
 
     Plan shape: candidates × broadcast(weights) (a |grid|-row frame),
     one window per (w, query_id) group — the sweep costs |grid| ×
@@ -296,17 +298,24 @@ def tune_blend(
         .crossJoin(wdf)
         .select(key.alias("query_id"), "doc_id", "rel")
     )
-    per = ndcg_at_k(results, qrels_w, k).select(
+    metric_fns = {"ndcg": ndcg_at_k, "mrr": mrr_at_k,
+                  "recall": recall_at_k, "ap": ap_at_k}
+    if metric not in metric_fns:
+        raise ValueError(
+            f"metric must be one of {sorted(metric_fns)}, got {metric!r}"
+        )
+    per = metric_fns[metric](results, qrels_w, k).select(
         F.split("query_id", "\x1f")[0].alias("w_str"),
-        "ndcg",
+        metric,
     )
+    mean_col = f"mean_{metric}"
     return (
         per.groupBy("w_str")
         .agg(F.count(F.lit(1)).alias("n_queries"),
-             F.round(F.avg("ndcg"), 6).alias("mean_ndcg"))
+             F.round(F.avg(metric), 6).alias(mean_col))
         .select(
             F.col("w_str").cast("double").alias("w"),
-            "n_queries", "mean_ndcg",
+            "n_queries", mean_col,
         )
-        .orderBy(F.desc("mean_ndcg"), F.asc("w"))
+        .orderBy(F.desc(mean_col), F.asc("w"))
     )

@@ -311,3 +311,52 @@ def test_tune_blend_recovers_planted_weight(spark):
         assert by_w[w_val] == pytest.approx(
             want["mean_ndcg"], abs=1e-6
         )
+
+
+def test_tune_blend_alternate_metrics(spark):
+    """metric= selects which eval plan the grid optimizes; each result
+    must equal the plain metric plan on the explicitly blended run."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.ireval import tune_blend
+
+    rng = random.Random(11)
+    rows = [
+        (f"q{q}", d, rng.uniform(0, 1), rng.uniform(0, 1))
+        for q in range(6) for d in range(20)
+    ]
+    cands = spark.createDataFrame(
+        rows, "query_id string, doc_id long, base_score double, "
+              "boost double"
+    )
+    qrels_rows = [(f"q{q}", d, 1) for q in range(6)
+                  for d in rng.sample(range(20), 4)]
+    qrels = spark.createDataFrame(
+        qrels_rows, "query_id string, doc_id long, rel int"
+    )
+    for metric, fn in (("mrr", mrr_at_k), ("recall", recall_at_k),
+                       ("ap", ap_at_k)):
+        out = {r["w"]: r[f"mean_{metric}"]
+               for r in tune_blend(cands, qrels, [0.0, 3.0], k=8,
+                                   metric=metric).collect()}
+        for w_val in (0.0, 3.0):
+            blended = cands.withColumn(
+                "s", F.col("base_score") + w_val * F.col("boost")
+            )
+            rw = W.partitionBy("query_id").orderBy(
+                F.desc("s"), F.asc("doc_id")
+            )
+            results = (
+                blended.withColumn("rank", F.row_number().over(rw))
+                .where(F.col("rank") <= 8)
+                .select("query_id", "doc_id", "rank")
+            )
+            want = fn(results, qrels, k=8).agg(
+                F.round(F.avg(metric), 6)
+            ).collect()[0][0]
+            assert out[w_val] == pytest.approx(want, abs=1e-6), metric
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        tune_blend(cands, qrels, [0.5], metric="f1")
