@@ -2564,10 +2564,18 @@ def q_hybrid_rrf_topk(spark, sf_dir):
         F.col("vec_id").alias("doc_id"),
         F.round(_cosine_cols(F.col("embedding"), F.col("qv")), 6).alias("c"),
     )
+    # Bound FIRST (TakeOrderedAndProject — a distributed per-partition
+    # top-k + driver merge of 20-row heads), THEN rank the <=20
+    # survivors: a row_number window over the raw cosine table would
+    # funnel every embedding through one task at 100x (round-4 verdict
+    # item #2). The lexical side is already bounded by
+    # bm25_exhaustive(k=20).
     wv = W.orderBy(F.desc("c"), F.asc("doc_id"))
-    vec = cos.select(
-        "doc_id", F.row_number().over(wv).alias("vec_rank")
-    ).filter(F.col("vec_rank") <= 20)
+    vec = (
+        cos.orderBy(F.desc("c"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", F.row_number().over(wv).alias("vec_rank"))
+    )
 
     fused = (
         lex.join(vec, "doc_id", "full_outer")
@@ -3901,9 +3909,14 @@ QUERIES = {
     "except_regression": q_except_regression,
     "bm25_topk_or": q_bm25_topk_or,
     "sessionization": q_sessionization,
-    "avg_price_by_brand": q_avg_price_by_brand,
-    "orders_with_late_ship": q_orders_with_late_ship,
-    "customer_order_counts": q_customer_order_counts,
+    # -- round-5 rotation: lang_id + content_fingerprints last
+    # driver-green in r02 (the <=2-rounds-stale policy, round-4
+    # verdict item #6); hybrid_rrf_topk re-implemented this round
+    # (bounded top-k before ranking, verdict item #2) so the driver
+    # must re-verify it --
+    "lang_id": q_lang_id,
+    "content_fingerprints": q_content_fingerprints,
+    "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "cosine_pairs_topk": q_cosine_pairs_topk,
     "shipping_priority": q_shipping_priority,
@@ -3922,8 +3935,10 @@ QUERIES = {
     "local_supplier_volume": q_local_supplier_volume,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
-    "lang_id": q_lang_id,
-    "content_fingerprints": q_content_fingerprints,
+    # -- driver-green in r04: rotated past the window to make room --
+    "avg_price_by_brand": q_avg_price_by_brand,
+    "orders_with_late_ship": q_orders_with_late_ship,
+    "customer_order_counts": q_customer_order_counts,
     # -- round-3 entries kept in-window (newest value oracles) --
     "source_collapsed_topk": q_source_collapsed_topk,
     "domain_mixture": q_domain_mixture,
@@ -3939,7 +3954,6 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "bigram_pmi": q_bigram_pmi,
     "unigram_lm_quality": q_unigram_lm_quality,
-    "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "symspell_suggest": q_symspell_suggest,
     "fuzzy_term_match": q_fuzzy_term_match,
     # -- driver-green in r03: rotated past the window (fresh rows exist) --

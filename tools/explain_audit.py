@@ -185,6 +185,55 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # eval metrics: keyed equi-joins + bounded per-query windows only
     "ranking_eval": (["Window", "HashAggregate"],
                      ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # round 5 — hybrid RRF: both ranking windows run over frames
+    # already bounded to top-20 (TakeOrderedAndProject), never a
+    # partitionless row_number over the whole embeddings table
+    # (round-4 verdict item #2); the structural gate below walks the
+    # plan tree and rejects any Window without a limit beneath it
+    "hybrid_rrf_topk": (["TakeOrderedAndProject"], ["CartesianProduct"]),
+}
+
+
+def _windows_bounded(plan: str) -> list[str]:
+    """Structural gate: every Window node in the physical-plan tree
+    must have a bounding operator (TakeOrderedAndProject / *Limit) in
+    its subtree — i.e. row_number ranking is only ever applied to a
+    frame some other operator already reduced. A partitionless window
+    straight over a table scan funnels the whole table through one
+    task at scale; this parser catches that shape regardless of which
+    substrings happen to appear elsewhere in the plan."""
+    lines = plan.splitlines()
+    try:
+        start = next(i for i, ln in enumerate(lines)
+                     if ln.startswith("== Physical Plan ==")) + 1
+    except StopIteration:
+        return ["no physical plan section in formatted explain"]
+    tree: list[tuple[int, str]] = []
+    for ln in lines[start:]:
+        if not ln.strip():
+            break  # blank line separates the tree from node details
+        body = ln.lstrip(" :+-")
+        tree.append((len(ln) - len(body), body))
+    probs = []
+    for i, (depth, body) in enumerate(tree):
+        if not body.lstrip("* ").startswith("Window"):
+            continue
+        subtree = []
+        for d2, b2 in tree[i + 1:]:
+            if d2 <= depth:
+                break
+            subtree.append(b2)
+        if not any("TakeOrderedAndProject" in b or "Limit" in b
+                   for b in subtree):
+            probs.append(f"Window at tree depth {depth} has no "
+                         "limit/top-k below it (unbounded window input)")
+    return probs
+
+
+# query -> structural checker run on the formatted plan text in
+# addition to the substring CHECKS
+STRUCTURAL: dict[str, list] = {
+    "hybrid_rrf_topk": [_windows_bounded],
 }
 
 
@@ -215,6 +264,8 @@ def audit(spark, sf_dir: str, only=None, verbose: bool = True) -> list[str]:
             for frag in forbid:
                 if frag in plan:
                     probs.append(f"forbidden {frag!r} present")
+            for checker in STRUCTURAL.get(name, ()):
+                probs.extend(checker(plan))
             if verbose:
                 status = "ok  " if not probs else "FAIL"
                 print(f"{status} {name}: "
