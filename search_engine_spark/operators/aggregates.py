@@ -61,8 +61,21 @@ def postings_from_text(
         raise ValueError(f"field must be 'body' or 'title', got {field!r}")
     if field == "title" and not html_col:
         raise ValueError("field='title' needs html_col")
-    cols = ([id_col, html_col] if field == "title"
-            else [id_col, text_col] + ([html_col] if html_col else []))
+    if field == "title":
+        cols = [F.col(id_col), F.col(html_col)]
+    else:
+        cols = [F.col(id_col), F.col(text_col)]
+        if html_col:
+            # html is the extraction FALLBACK (used only when text is
+            # null) but it is the fattest column in the corpus — ship
+            # it across Arrow only for the rows that need it. The
+            # parquet scan still reads the column JVM-side; the IPC
+            # transfer and the Python-side buffers drop it, which at
+            # mostly-extracted corpora halves stage A's per-doc bytes.
+            cols.append(
+                F.when(F.col(text_col).isNull(), F.col(html_col))
+                .alias(html_col)
+            )
     narrow = df.select(*cols)  # column pruning BEFORE the opaque UDF
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

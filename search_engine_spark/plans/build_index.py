@@ -61,7 +61,7 @@ from search_engine_spark.plans.manifest import Manifest
 SEGMENT_SCHEMA = (
     "bucket int, term string, salt int, seg int, n int, doc_ids binary,"
     " tfs binary, doclens binary, max_tfnorm double, first_doc long,"
-    " last_doc long, n_bytes int"
+    " last_doc long, n_bytes int, tf_sum long"
 )
 
 DEFAULT_SEGMENT_SIZE = 4096
@@ -95,7 +95,9 @@ def _stage_a(
     html_col: str | None,
     salt_threshold: int,
     field: str = "body",
+    timings: dict | None = None,
 ) -> None:
+    t0 = time.time()
     flat = postings_from_text(
         source, id_col=id_col, text_col=text_col, html_col=html_col,
         stem=stem, field=field,
@@ -109,11 +111,21 @@ def _stage_a(
     # FATTEST table in the pipeline (tokenized postings with term
     # strings, 53% of total shuffle bytes measured at 120k docs) spent
     # on pruning that row-group stats provide for free.
+    # zstd (not the default snappy) on the fattest table in the
+    # pipeline: flat is written once and re-read by stage B and the
+    # stats derivations, so every byte saved on disk is saved ~3x in
+    # page-cache/bus traffic — the N->4N scaling limiter on a
+    # shared-memory box (BENCH/BASELINE.md calibration).
     flat.sortWithinPartitions("bucket", "term", "doc_id").write.mode(
         "overwrite"
-    ).parquet(paths.flat)
+    ).option("compression", "zstd").parquet(paths.flat)
+    if timings is not None:
+        timings["stage_a_flat_s"] = round(time.time() - t0, 3)
+    t1 = time.time()
     _stage_a_stats(spark, paths, n_buckets=n_buckets,
                    salt_threshold=salt_threshold, stem=stem)
+    if timings is not None:
+        timings["stage_a_stats_s"] = round(time.time() - t1, 3)
 
 
 def _stage_a_stats(
@@ -128,27 +140,10 @@ def _stage_a_stats(
     (possibly appended-to) flat postings — shared by the fresh build
     and extend_index."""
     flat = spark.read.parquet(paths.flat)
-    dictionary = flat.groupBy("term", "bucket").agg(
-        F.count("*").cast("long").alias("df"),
-        F.sum("tf").cast("long").alias("cf"),
-    )
-    # bucket-partitioned, one file per bucket, term-sorted within the
-    # file: query-time term lookups prune to the term's bucket dir and
-    # then to the matching parquet row groups (J1 at scale)
     # atomic publish (plans/publish.py): _stage_a_stats also runs
     # against LIVE indexes (extend, compaction) — a concurrent reader
     # must never observe these tables missing or partially written
     from search_engine_spark.plans.publish import publish_dir
-
-    publish_dir(
-        paths.dictionary,
-        lambda tmp: dictionary.repartition(n_buckets, "bucket")
-        .sortWithinPartitions("bucket", "term")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(tmp),
-        suffix=".stage_a",
-    )
 
     docs = flat.select("doc_id", "doclen").dropDuplicates(["doc_id"])
     publish_dir(
@@ -175,14 +170,50 @@ def _stage_a_stats(
         suffix=".stage_a",
     )
 
-    # Hot-term sketch for stage-B salting (SURVEY.md section 4): the
-    # df-histogram head lives with the index so stage B needs no full
-    # dictionary scan. Tiny by construction (stopword-cardinality).
-    hot = (
-        spark.read.parquet(paths.dictionary)
-        .filter(F.col("df") > salt_threshold)
-        .select("term", "df")
-    )
+    # Hot-term sketch for stage-B salting (SURVEY.md section 4). The
+    # EXACT dictionary is now derived from the segments table AFTER
+    # stage B (_derive_dictionary) — that saved a second full pass
+    # over the flat term column — so salting can no longer read exact
+    # df here. It doesn't need to: salting is a SKEW defense, not a
+    # correctness input (each term lives in exactly one bucket and is
+    # segmented by exactly one stage-B run, so any deterministic
+    # per-term salt count yields a correct index). Sources, by
+    # freshness:
+    #   * a previous dictionary (extend/compact/fold on a live index):
+    #     exact df of the prior generation — at most one epoch stale;
+    #   * fresh build: estimate df from the FIRST flat file(s), scaled
+    #     by total/sampled row counts from the parquet footers. Hot
+    #     terms are the Zipf head — they appear in every split, which
+    #     is exactly when file-sampling is reliable. An undercount
+    #     costs one under-split reducer group (bounded slowdown), an
+    #     overcount a few extra salts; never a wrong index.
+    dict_done = os.path.exists(os.path.join(paths.dictionary, "_SUCCESS"))
+    if dict_done:
+        hot = (
+            spark.read.parquet(paths.dictionary)
+            .filter(F.col("df") > salt_threshold)
+            .select("term", "df")
+        )
+    else:
+        files = _flat_data_files(paths.flat)
+        if files:
+            k = max(1, min(len(files), -(-len(files) // 64)))
+            sample = files[:k]
+            total_rows = sum(
+                _pqmeta_rows(f) for f in files
+            )
+            sample_rows = max(sum(_pqmeta_rows(f) for f in sample), 1)
+            scale = total_rows / sample_rows
+            hot = (
+                spark.read.parquet(*sample)
+                .groupBy("term")
+                .agg(F.count("*").cast("double").alias("c"))
+                .withColumn("df", (F.col("c") * F.lit(scale)).cast("long"))
+                .filter(F.col("df") > salt_threshold)
+                .select("term", "df")
+            )
+        else:
+            hot = spark.createDataFrame([], "term string, df long")
     publish_dir(
         paths.hot_terms,
         lambda tmp: hot.coalesce(1).write.mode("overwrite").parquet(tmp),
@@ -213,6 +244,75 @@ def _stage_a_stats(
         meta["stem"] = bool(stem)
     with open(paths.meta, "w") as f:
         json.dump(meta, f)
+
+
+def _derive_dictionary(
+    spark: SparkSession, paths: IndexPaths, *, n_buckets: int
+) -> bool:
+    """Exact dictionary (term, df, cf) derived from the SEGMENTS table
+    instead of a second full pass over the flat postings.
+
+    Live segments are, by the build invariant, exactly the flat rows
+    (stage B rebuilds whole buckets from flat; compaction rewrites
+    flat first; merges append both sides consistently), so
+    df = Σ n and cf = Σ tf_sum over a term's segments are the same
+    exact integers the old flat groupBy computed — while reading the
+    ~50x smaller segments table with the blob columns pruned away.
+
+    Returns False (no write) when any segment predates the tf_sum
+    column (pre-upgrade index being partially rebuilt): callers then
+    fall back to the legacy flat aggregation."""
+    from search_engine_spark.plans.publish import publish_dir
+
+    seg = spark.read.option("mergeSchema", "true").parquet(paths.postings)
+    if "tf_sum" not in seg.columns:
+        return False
+    if seg.filter(F.col("tf_sum").isNull()).limit(1).count():
+        return False
+    dictionary = (
+        seg.groupBy("term")
+        .agg(
+            F.sum("n").cast("long").alias("df"),
+            F.sum("tf_sum").cast("long").alias("cf"),
+        )
+        .withColumn("bucket", _bucket_expr(F.col("term"), n_buckets))
+    )
+    # bucket-partitioned, one file per bucket, term-sorted within the
+    # file: query-time term lookups prune to the term's bucket dir and
+    # then to the matching parquet row groups (J1 at scale)
+    publish_dir(
+        paths.dictionary,
+        lambda tmp: dictionary.repartition(n_buckets, "bucket")
+        .sortWithinPartitions("bucket", "term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp),
+        suffix=".dict",
+    )
+    return True
+
+
+def _dictionary_from_flat(
+    spark: SparkSession, paths: IndexPaths, *, n_buckets: int
+) -> None:
+    """Legacy exact-dictionary pass over the flat postings — only used
+    when segments predate the tf_sum column (pre-upgrade indexes)."""
+    from search_engine_spark.plans.publish import publish_dir
+
+    flat = spark.read.parquet(paths.flat)
+    dictionary = flat.groupBy("term", "bucket").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    publish_dir(
+        paths.dictionary,
+        lambda tmp: dictionary.repartition(n_buckets, "bucket")
+        .sortWithinPartitions("bucket", "term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp),
+        suffix=".dict",
+    )
 
 
 def _read_meta(spark: SparkSession, paths: IndexPaths) -> dict:
@@ -385,6 +485,88 @@ def _make_partial_builder(salts_bc):
     return build
 
 
+def _flat_data_files(flat_dir: str) -> list[str]:
+    """Committed data files of a (non-hive-layout) flat table."""
+    return sorted(
+        os.path.join(flat_dir, f)
+        for f in os.listdir(flat_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+def _pqmeta_rows(path: str) -> int:
+    """Row count from the parquet footer (driver-side, no Spark job)."""
+    import pyarrow.parquet as _pq
+
+    return int(_pq.ParquetFile(path).metadata.num_rows)
+
+
+def _make_flat_scanner(builder, pending_bc):
+    """Stage B's flat scan executed INSIDE the Python task (pyarrow)
+    instead of JVM parquet scan -> Arrow IPC -> Python.
+
+    The partial builder consumes one row per posting with the term as
+    a string — the fattest stream in the whole build. Routing it
+    through the JVM scan materializes every posting twice (columnar ->
+    Arrow) and copies it once more across the worker pipe; reading the
+    parquet directly with pyarrow inside the task hands the SAME
+    Arrow batches to the builder with zero JVM materialization and
+    zero pipe transfer. On a shared-memory box this is the largest
+    single bytes/doc cut in stage B (the N->4N scaling limiter —
+    BENCH/BASELINE.md); on a real cluster it removes one executor-
+    local copy per posting, nothing else (tasks still read from the
+    distributed store).
+
+    Bucket pruning (resume/extend) is preserved: parquet row-group
+    statistics on the sorted `bucket` column — the same stats the JVM
+    scan used — skip non-pending row groups, and a straddling row
+    group is row-filtered vectorized. Task retries just re-read
+    (idempotent); speculative duplicates are impossible because the
+    output goes through the normal Spark shuffle commit protocol."""
+    COLS = ["term", "doc_id", "tf", "doclen"]
+
+    def scan(path_batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        pending = pending_bc.value
+        pend = None if pending is None else np.asarray(pending, np.int64)
+
+        def rows() -> Iterator[pd.DataFrame]:
+            for pdf in path_batches:
+                for path in pdf["path"]:
+                    pf = pq.ParquetFile(path)
+                    md = pf.metadata
+                    bidx = pf.schema_arrow.get_field_index("bucket")
+                    rgs = []
+                    for rg in range(md.num_row_groups):
+                        if pend is not None:
+                            st = md.row_group(rg).column(bidx).statistics
+                            if (st is not None and st.min is not None
+                                    and st.max is not None):
+                                lo = int(np.searchsorted(pend, st.min))
+                                if lo >= pend.size or pend[lo] > st.max:
+                                    continue  # no pending bucket inside
+                        rgs.append(rg)
+                    if not rgs:
+                        continue
+                    cols = COLS if pend is None else ["bucket"] + COLS
+                    for batch in pf.iter_batches(
+                        batch_size=1 << 18, row_groups=rgs, columns=cols
+                    ):
+                        out = batch.to_pandas()
+                        if pend is not None:
+                            keep = np.isin(out["bucket"].to_numpy(), pend)
+                            if not keep.all():
+                                out = out[keep]
+                            out = out.drop(columns=["bucket"])
+                        if len(out):
+                            yield out
+
+        yield from builder(rows())
+
+    return scan
+
+
 def _make_merge_segmenter(segment_size: int, avgdl: float, n_buckets: int):
     """Reduce-side SPIMI merge: input partials sorted by (term, salt,
     first_doc). Per (term, salt) group the partials are decoded and
@@ -436,6 +618,11 @@ def _make_merge_segmenter(segment_size: int, avgdl: float, n_buckets: int):
                     int(doc.size), dblob, tblob, lblob,
                     float(tfnorm(tf, dl).max()), int(doc[0]), int(doc[-1]),
                     len(dblob) + len(tblob) + len(lblob),
+                    # tf_sum: per-segment collection-frequency share —
+                    # the dictionary's exact cf is now derived from the
+                    # SEGMENTS table (sum over a term's segments)
+                    # instead of a second full pass over flat postings
+                    int(tf.sum()),
                 )
             )
             cur_seg += 1
@@ -544,6 +731,7 @@ def _make_merge_segmenter(segment_size: int, avgdl: float, n_buckets: int):
 _SEG_COLS = [
     "bucket", "term", "salt", "seg", "n", "doc_ids",
     "tfs", "doclens", "max_tfnorm", "first_doc", "last_doc", "n_bytes",
+    "tf_sum",
 ]
 
 
@@ -557,17 +745,14 @@ def _stage_b(
     salt_threshold: int,
     max_salts: int,
     run_id: str,
+    timings: dict | None = None,
+    derive_dictionary: bool = True,
 ) -> None:
     t0 = time.time()
     meta = _read_meta(spark, paths)
     avgdl = float(meta["avgdl"])
     n_buckets_total = int(meta["n_buckets"])
 
-    flat = (
-        spark.read.parquet(paths.flat)
-        .filter(F.col("bucket").isin(pending_buckets))  # row-group pruning
-        .select("term", "doc_id", "tf", "doclen")
-    )
     # Hot-term sketch (stopword skew), read driver-side (no Spark job)
     # and broadcast into the map-side partial builder: n_salts =
     # ceil(df / salt_threshold), capped. Salts spread one hot term's
@@ -587,7 +772,37 @@ def _stage_b(
     # external sort, shuffle serialization, and Arrow transfer all
     # shrink by the postings-per-partial factor.
     n_parts = max(spark.sparkContext.defaultParallelism * 2, len(pending_buckets))
-    partials = flat.mapInPandas(_make_partial_builder(salts_bc), PARTIAL_SCHEMA)
+    builder = _make_partial_builder(salts_bc)
+    old_layout = any(
+        p.startswith("bucket=") for p in os.listdir(paths.flat)
+    )
+    if old_layout:  # pragma: no cover - pre-upgrade hive-layout flat
+        flat = (
+            spark.read.parquet(paths.flat)
+            .filter(F.col("bucket").isin(pending_buckets))  # rg pruning
+            .select("term", "doc_id", "tf", "doclen")
+        )
+        partials = flat.mapInPandas(builder, PARTIAL_SCHEMA)
+    else:
+        # task-side pyarrow scan (_make_flat_scanner): distribute the
+        # committed flat FILES, one per task; each task reads its file
+        # directly and feeds the partial builder in-process — no JVM
+        # materialization / pipe copy of the per-posting stream
+        files = _flat_data_files(paths.flat)
+        all_pending = len(set(pending_buckets)) >= n_buckets_total
+        pending_bc = spark.sparkContext.broadcast(
+            None if all_pending
+            else sorted({int(b) for b in pending_buckets})
+        )
+        if files:
+            paths_df = spark.createDataFrame(
+                [(f,) for f in files], "path string"
+            ).repartition(len(files))
+            partials = paths_df.mapInPandas(
+                _make_flat_scanner(builder, pending_bc), PARTIAL_SCHEMA
+            )
+        else:  # empty corpus
+            partials = spark.createDataFrame([], PARTIAL_SCHEMA)
     merger = _make_merge_segmenter(segment_size, avgdl, n_buckets_total)
     segments = (
         partials.repartition(n_parts, "term", "salt")
@@ -617,6 +832,8 @@ def _stage_b(
         .parquet(paths.postings)
     )
     wall = time.time() - t0
+    if timings is not None:
+        timings["stage_b_segments_s"] = round(wall, 3)
 
     # lineage metrics per bucket, read back from the committed segments
     seg = spark.read.parquet(paths.postings).filter(
@@ -649,6 +866,10 @@ def _stage_b(
             )
         )
     Manifest(spark, paths.root).append(rows)
+    if derive_dictionary and not _derive_dictionary(
+        spark, paths, n_buckets=n_buckets_total
+    ):  # pragma: no cover - pre-tf_sum segments in untouched buckets
+        _dictionary_from_flat(spark, paths, n_buckets=n_buckets_total)
 
 
 def build_index(
@@ -668,6 +889,7 @@ def build_index(
     limit_buckets: int | None = None,
     run_id: str | None = None,
     field: str = "body",
+    timings: dict | None = None,
 ) -> dict:
     """Build (or resume) the compressed inverted index at index_dir.
 
@@ -683,9 +905,11 @@ def build_index(
         shutil.rmtree(index_dir)
     os.makedirs(index_dir, exist_ok=True)
 
+    # the dictionary is a stage-B output now (derived from segments);
+    # stage-A completeness is flat + docs + stats
     stage_a_done = resume and all(
         os.path.exists(os.path.join(p, "_SUCCESS"))
-        for p in (paths.flat, paths.dictionary, paths.docs, paths.stats)
+        for p in (paths.flat, paths.docs, paths.stats)
     )
     if not stage_a_done:
         _stage_a(
@@ -693,6 +917,7 @@ def build_index(
             n_buckets=n_buckets, stem=stem,
             id_col=id_col, text_col=text_col, html_col=html_col,
             salt_threshold=salt_threshold, field=field,
+            timings=timings,
         )
 
     manifest = Manifest(spark, index_dir)
@@ -705,14 +930,23 @@ def build_index(
         pending = sorted(r.bucket for r in pending_df.collect())
     else:
         pending = list(range(n_all))  # fresh build: no manifest scan
+    complete = limit_buckets is None or len(pending) <= limit_buckets
     if limit_buckets is not None:
         pending = pending[:limit_buckets]
     if pending:
         _stage_b(
             spark, paths, pending,
             segment_size=segment_size, salt_threshold=salt_threshold,
-            max_salts=max_salts, run_id=run_id,
+            max_salts=max_salts, run_id=run_id, timings=timings,
+            derive_dictionary=complete,
         )
+    elif complete and not os.path.exists(
+        os.path.join(paths.dictionary, "_SUCCESS")
+    ):
+        # resumed run that crashed after stage B but before the
+        # dictionary derivation: finish the derivation alone
+        if not _derive_dictionary(spark, paths, n_buckets=n_all):
+            _dictionary_from_flat(spark, paths, n_buckets=n_all)
     return {
         "run_id": run_id,
         "buckets_built": len(pending),

@@ -80,6 +80,7 @@ from search_engine_spark.plans.publish import publish_dir
 _SEG_ORDER = [
     "bucket", "term", "salt", "seg", "n", "doc_ids",
     "tfs", "doclens", "max_tfnorm", "first_doc", "last_doc", "n_bytes",
+    "tf_sum",
 ]
 # salt stride between merge generations: strictly above the builder's
 # max_salts cap (32), so a generation's shifted salts can never
@@ -307,11 +308,14 @@ def _merge_core(
     gen_t = int(mt.get("salt_generation", 0))
     gen_i = int(mi.get("salt_generation", 0))
     salt_shift = _SALT_STRIDE * (gen_t + 1)
-    segs_i = spark.read.parquet(pi.postings).select(*_SEG_ORDER)
+    segs_i = spark.read.parquet(pi.postings)
+    if "tf_sum" not in segs_i.columns:  # pragma: no cover - pre-upgrade
+        segs_i = segs_i.withColumn("tf_sum", F.lit(None).cast("long"))
+    segs_i = segs_i.select(*_SEG_ORDER)
     seg_schema = (
         "bucket int, term string, salt int, seg int, n int,"
         " doc_ids binary, tfs binary, doclens binary, max_tfnorm double,"
-        " first_doc long, last_doc long, n_bytes int"
+        " first_doc long, last_doc long, n_bytes int, tf_sum long"
     )
     (
         segs_i.mapInPandas(_make_rebase(offset, salt_shift), seg_schema)

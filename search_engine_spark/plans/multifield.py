@@ -246,6 +246,274 @@ def search_fielded(
     return [(int(docs[i]), float(scores[i])) for i in order_k]
 
 
+def _raw_postings(fs: LocalSearcher, term: str):
+    """Merged doc-sorted (docs, tfs, doclens) for one term in one
+    field index — RAW values (BM25F saturates a combined pseudo-tf,
+    so the cached per-field idf*tfnorm contributions don't apply).
+    Tombstone-masked like every serving decode."""
+    from search_engine_spark.functions.codec import (
+        decode_postings,
+        decode_varints,
+    )
+    from search_engine_spark.plans.deletes import mask_deleted
+
+    segs = fs._segments(term)
+    d_parts, t_parts, l_parts = [], [], []
+    for row in segs.itertuples(index=False):
+        cand, ctf = decode_postings(row.doc_ids, row.tfs)
+        cdl = decode_varints(row.doclens).astype(np.int64)
+        cand, ctf, cdl = mask_deleted(fs._deleted, cand, ctf, cdl)
+        if cand.size:
+            d_parts.append(cand)
+            t_parts.append(ctf)
+            l_parts.append(cdl)
+    if not d_parts:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    d = np.concatenate(d_parts)
+    t = np.concatenate(t_parts)
+    l = np.concatenate(l_parts)
+    order = np.argsort(d, kind="stable")
+    return d[order], t[order].astype(np.int64), l[order]
+
+
+def search_bm25f(
+    index_dir: str,
+    qtext_or_terms,
+    *,
+    k: int = 10,
+    stem: bool = True,
+    mode: str = "or",
+    field_weights: dict[str, float] | None = None,
+    body_weight: float = 1.0,
+    exclude=None,
+) -> list[tuple[int, float]]:
+    """True BM25F top-k (Zaragoza et al., TREC-13) over the body index
+    plus its fields/* indexes — the SERVING twin of the pinned oracle
+    math (entry_queries.q_bm25f_topk):
+
+        tf~_t(d) = Σ_f w_f · tf_{t,f,d} / B_{f,d},
+        B_{f,d}  = (1-b) + b·len_f(d)/avgdl_f
+        score    = Σ_t idf_t · tf~/(k1 + tf~)
+
+    i.e. per-field length-normalized tfs are combined into ONE
+    pseudo-tf BEFORE the k1 saturation (one shared saturation —
+    distinct from MultiFieldSearcher's most-fields sum, which
+    saturates per field and double-counts repetition across fields).
+
+    Pinned conventions: idf_t uses df = |docs containing t in ANY
+    field| (decoded, tombstone-masked) against the BODY index's
+    n_docs; candidates are disjunctive under mode='or' (any term, any
+    field), conjunctive under 'and' (every present term in >= 1
+    field); exclude suppresses docs containing the term in ANY field;
+    scores are pure BM25F (no static boost — the additive prior is
+    BM25-calibrated, same rule as LMD). Exhaustive over the query
+    terms' postings by design: one shared saturation spans several
+    indexes, so per-index baked impacts bound only their own field
+    (the same argument search_fielded documents; Lucene's
+    BM25FQuery/CombinedFieldQuery evaluates the same way)."""
+    if mode not in ("and", "or"):
+        raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+    if field_weights is None:
+        field_weights = {"title": 2.0}
+    if isinstance(qtext_or_terms, str):
+        qterms = analyze_query(qtext_or_terms, stem=stem)
+    else:
+        qterms = list(dict.fromkeys(qtext_or_terms))
+    if not qterms:
+        return []
+    from search_engine_spark import B, K1
+
+    body = LocalSearcher(index_dir)
+    legs: list[tuple[LocalSearcher, float]] = [(body, float(body_weight))]
+    for name, w in sorted(field_weights.items()):
+        fdir = os.path.join(index_dir, "fields", name)
+        if not os.path.isdir(fdir):
+            raise FileNotFoundError(
+                f"{fdir} missing — build the {name} field index first"
+            )
+        legs.append((LocalSearcher(fdir), float(w)))
+
+    if isinstance(exclude, str):
+        exclude = analyze_query(exclude, stem=stem)
+    excl_parts = []
+    for t in dict.fromkeys(exclude or []):
+        for fs, _w in legs:
+            if t in fs._df:
+                excl_parts.append(_raw_postings(fs, t)[0])
+    excl = (np.unique(np.concatenate(excl_parts))
+            if excl_parts else None)
+
+    n = body.n_docs
+    doc_parts, contrib_parts = [], []
+    n_present = 0
+    for t in qterms:
+        # per-field length-normalized tf, combined on the doc union
+        f_docs, f_wtf = [], []
+        for fs, w in legs:
+            if t not in fs._df:
+                continue
+            d, tf, dl = _raw_postings(fs, t)
+            if d.size == 0:
+                continue
+            bf = (1.0 - B) + B * dl.astype(np.float64) / fs.avgdl
+            f_docs.append(d)
+            f_wtf.append(w * tf.astype(np.float64) / bf)
+        if not f_docs:
+            if mode == "and":
+                return []
+            continue
+        n_present += 1
+        ad = np.concatenate(f_docs)
+        aw = np.concatenate(f_wtf)
+        u, inv = np.unique(ad, return_inverse=True)
+        wtf = np.zeros(u.size, dtype=np.float64)
+        np.add.at(wtf, inv, aw)
+        df_any = u.size
+        idf_t = math.log(1.0 + (n - df_any + 0.5) / (df_any + 0.5))
+        doc_parts.append(u)
+        contrib_parts.append(idf_t * wtf / (K1 + wtf))
+    if not doc_parts:
+        return []
+    all_docs = np.concatenate(doc_parts)
+    all_contrib = np.concatenate(contrib_parts)
+    u_docs, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(u_docs.size, dtype=np.float64)
+    np.add.at(scores, inv, all_contrib)
+    counts = np.bincount(inv, minlength=u_docs.size)
+    m = np.ones(u_docs.size, dtype=bool)
+    if excl is not None:
+        m &= ~body._in_sorted(excl, u_docs)
+    if mode == "and":
+        m &= counts == n_present
+    u_docs, scores = u_docs[m], scores[m]
+    if not u_docs.size:
+        return []
+    order = np.lexsort((u_docs, -scores))[:k]
+    return [(int(u_docs[i]), float(scores[i])) for i in order]
+
+
+def search_bm25f_distributed(
+    spark,
+    index_dir: str,
+    qtext_or_terms,
+    *,
+    k: int = 10,
+    stem: bool = True,
+    mode: str = "or",
+    field_weights: dict[str, float] | None = None,
+    body_weight: float = 1.0,
+    exclude=None,
+    offset: int = 0,
+):
+    """Distributed twin of search_bm25f — the same pinned BM25F math
+    as a DataFrame plan over the per-field IndexReaders: per-field
+    bucket-pruned decode → w_f·tf/B_f → one groupBy(term, doc_id)
+    combine into the shared pseudo-tf → broadcast df_any → codegen
+    saturation + idf → groupBy(doc_id) top-k. Property-tested ≡ local
+    in tests/test_multifield.py."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark import B, K1
+    from search_engine_spark.plans.index_query import IndexReader
+
+    if mode not in ("and", "or"):
+        raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+    if field_weights is None:
+        field_weights = {"title": 2.0}
+    if isinstance(qtext_or_terms, str):
+        qterms = analyze_query(qtext_or_terms, stem=stem)
+    else:
+        qterms = list(dict.fromkeys(qtext_or_terms))
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not qterms:
+        return empty
+    if isinstance(exclude, str):
+        exclude = analyze_query(exclude, stem=stem)
+
+    body = IndexReader(spark, index_dir)
+    legs = [(body, float(body_weight))]
+    for name, w in sorted(field_weights.items()):
+        legs.append(
+            (IndexReader(spark, os.path.join(index_dir, "fields", name)),
+             float(w))
+        )
+
+    def _leg_decoded(rd: IndexReader, terms: list[str]):
+        rows = rd.lookup_terms(terms)
+        found = [t for t in terms if t in {r.term for r in rows}]
+        if not found:
+            return None
+        buckets = sorted({r.bucket for r in rows})
+        return rd.decoded_postings(found, buckets)
+
+    parts = []
+    for rd, w in legs:
+        dec = _leg_decoded(rd, qterms)
+        if dec is None:
+            continue
+        parts.append(
+            dec.select(
+                "term", "doc_id",
+                (
+                    F.lit(w) * F.col("tf").cast("double")
+                    / (F.lit(1.0 - B)
+                       + F.lit(B) * F.col("doclen").cast("double")
+                       / F.lit(rd.avgdl))
+                ).alias("wtf_part"),
+            )
+        )
+    if not parts:
+        return empty
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    pseudo = union.groupBy("term", "doc_id").agg(
+        F.sum("wtf_part").alias("wtf")
+    )
+    present = [r.term for r in pseudo.select("term").distinct().collect()]
+    if mode == "and" and set(qterms) - set(present):
+        return empty
+    n_present = len(present)
+    n_docs = body.n_docs
+    dfs = pseudo.groupBy("term").agg(F.count("*").alias("df_any"))
+    scored = pseudo.join(F.broadcast(dfs), "term").withColumn(
+        "partial",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df_any") + F.lit(0.5))
+            / (F.col("df_any") + F.lit(0.5))
+        )
+        * F.col("wtf") / (F.lit(K1) + F.col("wtf")),
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("partial").alias("score"),
+        F.count("*").alias("n_matched"),
+    )
+    if mode == "and":
+        agg = agg.filter(F.col("n_matched") == n_present)
+    for t in dict.fromkeys(exclude or []):
+        for rd, _w in legs:
+            dec = _leg_decoded(rd, [t])
+            if dec is not None:
+                agg = agg.join(
+                    dec.select("doc_id").distinct(), "doc_id", "left_anti"
+                )
+    ranked = agg.select("doc_id", "score")
+    if offset:
+        from pyspark.sql import Window
+
+        w_ = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            ranked.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(offset + k)
+            .withColumn("_rn", F.row_number().over(w_))
+            .filter(F.col("_rn") > offset)
+            .drop("_rn")
+        )
+    return ranked.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def search_fielded_distributed(
     spark, index_dir: str, qtext: str, *, k: int = 10,
     stem: bool = True, offset: int = 0, restrict=None,

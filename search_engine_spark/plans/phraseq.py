@@ -225,35 +225,32 @@ def search_mixed(
             f"match the query analysis (stem={stem})"
         )
 
+    # Clause evaluation order (round 5 — mixed_p50 tightening):
+    # score-bearing positive phrases go FIRST, rarest-token first
+    # (their match lists must be evaluated in FULL anyway — phrase df
+    # is global — but a rare phrase's empty result short-circuits the
+    # whole query before any stopword frame is built); then proximity
+    # FILTERS and finally NOT-phrases, both RESTRICTED to the
+    # already-shrunk allow-list. Filters contribute nothing to the
+    # score and NOT-docs outside the candidate set are unobservable,
+    # so restricting them is semantics-preserving — and it turns a
+    # stopword NOT-phrase ('-"of the"') from a corpus-scale positional
+    # scan into a lookup over |allow| candidates.
+    def _min_df(toks: tuple[str, ...]) -> int:
+        known = [searcher._df[t] for t in toks if t in searcher._df]
+        return min(known) if known else 0
+
+    positives = [p for p in phrases if not p[2] and p[3] is None]
+    prox = [p for p in phrases if p[3] is not None and not p[2]]
+    negatives = [p for p in phrases if p[2]]
+    positives.sort(key=lambda p: _min_df(p[0]))
+    prox.sort(key=lambda p: _min_df(p[0]))
+
     pos_lists: list[tuple[np.ndarray, np.ndarray, float, tuple[str, ...]]] = []
     neg_arrs: list[np.ndarray] = []
-    allow: np.ndarray | None = None
-    for toks, boost, neg, slop in phrases:
-        if slop is not None:
-            # proximity FILTER clause: constrains candidates, scores 0
-            nd = np.asarray(
-                [dd for dd, _ in phraser.near_counts(
-                    toks[0], toks[1], slop
-                )],
-                dtype=np.int64,
-            )
-            if neg:
-                if nd.size:
-                    neg_arrs.append(nd)
-                continue
-            if nd.size == 0:
-                return []
-            allow = nd if allow is None else np.intersect1d(
-                allow, nd, assume_unique=True
-            )
-            if allow.size == 0:
-                return []
-            continue
+    allow: np.ndarray | None = site  # site: pre-filter rides candidates
+    for toks, boost, neg, slop in positives:
         d, t = phraser.phrase_counts_arrays(list(toks))
-        if neg:
-            if d.size:
-                neg_arrs.append(d)
-            continue
         if d.size == 0:
             return []  # a conjunctive clause with zero matches
         pos_lists.append((d, t, boost, toks))
@@ -262,16 +259,40 @@ def search_mixed(
         )
         if allow.size == 0:
             return []
-    if allow is not None and site is not None:
-        allow = np.intersect1d(allow, site, assume_unique=True)
+    for toks, boost, neg, slop in prox:
+        nd = np.asarray(
+            [dd for dd, _ in phraser.near_counts(
+                toks[0], toks[1], slop, restrict=allow
+            )],
+            dtype=np.int64,
+        )
+        if nd.size == 0:
+            return []
+        allow = nd if allow is None else np.intersect1d(
+            allow, nd, assume_unique=True
+        )
         if allow.size == 0:
             return []
+    for toks, boost, neg, slop in negatives:
+        if slop is not None:
+            nd = np.asarray(
+                [dd for dd, _ in phraser.near_counts(
+                    toks[0], toks[1], slop, restrict=allow
+                )],
+                dtype=np.int64,
+            )
+        else:
+            nd, _ = phraser.phrase_counts_arrays(
+                list(toks), restrict=allow
+            )
+        if nd.size:
+            neg_arrs.append(nd)
     neg_docs = (
         np.unique(np.concatenate(neg_arrs)) if neg_arrs else None
     )
 
     if not pos_lists:
-        if allow is not None:
+        if prox:
             # proximity-filter clauses only: a plain boolean query
             # over the restricted candidate set (fully pruned — no
             # phrase score to add), or a pure filter match

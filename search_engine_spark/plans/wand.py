@@ -48,6 +48,11 @@ from search_engine_spark.plans.deletes import load_tombstones, mask_deleted
 from search_engine_spark.plans.scoring import analyze_query
 
 
+class _LmdNoBounds(Exception):
+    """Pruned LMD preconditions unmet (missing docs footer stats or a
+    pre-cf dictionary) — route the exhaustive fallback."""
+
+
 def _overlap_bound(of: np.ndarray, ol: np.ndarray, ob: np.ndarray,
                    s_first: np.ndarray, s_last: np.ndarray) -> np.ndarray:
     """Per driving segment [s_first, s_last]: an upper bound on the best
@@ -264,6 +269,13 @@ class LocalSearcher:
         # (plans/federate): dict-like term -> global masked cf; None
         # means search_lmd sums this index's own decoded postings
         self._lmd_cf = None
+        # LM-Dirichlet serving caches (pruned path): per-(term, mu)
+        # decoded contribution lists + the docs-table doclen range
+        # (parquet footer stats, computed lazily) that the derived
+        # per-segment LMD bounds need
+        self._lmd_cache: dict[tuple, tuple] = {}
+        self._lmd_dl_range: tuple[int, int] | None = None
+        self._dict_cf_cache: dict[str, int | None] = {}
         boosts_dir = os.path.join(index_dir, "boosts")
         # fail LOUDLY on a corrupt boosts table — serving with a bad
         # prior mis-ranks every query. fsck passes load_boosts=False
@@ -331,6 +343,7 @@ class LocalSearcher:
         self._deleted = load_tombstones(self.root)
         self._decoded_cache.clear()
         self._seg_decoded.clear()
+        self._lmd_cache.clear()
 
     def prefix_terms(
         self, prefix: str, limit: int = 1000
@@ -444,17 +457,26 @@ class LocalSearcher:
             score = Σ_matched [ln(1 + tf/(μ·p_t)) + ln(μ/(μ+dl))]
             p_t   = cf_t / total_tokens
 
-        Exhaustive by DESIGN, not oversight: the baked per-segment
-        bounds are BM25 max_tfnorm impacts, which bound a different
-        similarity — block-max skipping for LMD would need
-        per-similarity impacts baked at build time, exactly why
-        Lucene's impacts are recorded per-similarity. Serving cost is
-        therefore the OR-scatter of the query terms' postings
-        (vectorized decode + one np.unique reduction), which is also
-        what the BM25 path pays for Zipf-head queries. cf_t comes
-        from the decoded (tombstone-masked) postings and
-        total_tokens from the build-time collection stats, so on a
-        compacted index both match the dictionary exactly.
+        Serving routes a BLOCK-MAX PRUNED path (round 5): the stored
+        per-segment impact is BM25's max_tfnorm — a different
+        similarity — but it is INVERTIBLE into an LMD-valid bound:
+        tfnorm = u(k1+1)/(u+k1) is monotone in the length-normalized
+        tf u = tf/(1-b+b·dl/avgdl), so max_tfnorm = M gives every doc
+        in the segment u <= k1·M/(k1+1-M) and hence
+        tf <= min(U·(1-b+b·dl_max/avgdl), dl_max) with dl_max from the
+        docs table's parquet footer stats. Segment bound =
+        ln(1+tf_ub/(μ·p_t)) + ln(μ/(μ+dl_min)) — one derived impact,
+        no rebuild, pruning exact (strict '<', same argument as BM25).
+        Scores are accumulated per candidate in ORIGINAL query-term
+        order, bit-identical to the exhaustive reduction.
+
+        The exhaustive path remains the fallback wherever the
+        dictionary cf may not equal the decoded masked cf (live
+        tombstones without a federated cf override, pre-meta eager
+        indexes) — there p_t must come from the decoded postings and
+        no pre-decode bound exists. cf_t otherwise comes from the
+        dictionary (bit-equal to the decoded sum on a tombstone-free
+        index; fsck invariant) or the federated _lmd_cf override.
 
         exclude / restrict carry the standard NOT-term and
         filter-clause semantics (removal-only, applied before
@@ -480,6 +502,16 @@ class LocalSearcher:
         excl = self._excluded_docs(exclude) if exclude else None
 
         mu = float(mu)
+        prunable = (not self._eager) and (
+            self._lmd_cf is not None or self._deleted.size == 0
+        )
+        if prunable:
+            try:
+                return self._search_lmd_pruned(
+                    qterms, k=k, mode=mode, mu=mu, excl=excl, allow=allow
+                )
+            except _LmdNoBounds:  # docs footer stats missing
+                pass
         total = float(self.sum_doclen)
         doc_parts, contrib_parts = [], []
         for t in qterms:
@@ -544,6 +576,213 @@ class LocalSearcher:
             cand, ctf = mask_deleted(self._deleted, cand, ctf)
             total += int(ctf.sum())
         return total
+
+    def _dict_cf(self, term: str) -> int | None:
+        """Exact collection frequency from the dictionary (row-group
+        pruned read of the cf column, LRU-cached). None for absent
+        terms or pre-cf dictionaries."""
+        cache = self._dict_cf_cache
+        if term in cache:
+            v = cache.pop(term)
+            cache[term] = v
+            return v
+        import pyarrow.compute as pc
+
+        from search_engine_spark.functions.hashing import term_bucket
+
+        b = term_bucket(term, self.n_buckets)
+        val: int | None = None
+        for path, rg, lo, hi in self._dict_rg.get(b, ()):
+            if (lo is None or lo <= term) and (hi is None or term <= hi):
+                tbl = self._dict_files[path].read_row_groups(
+                    [rg], columns=["term", "cf"]
+                )
+                sel = tbl.filter(pc.equal(tbl["term"], term))
+                if sel.num_rows:
+                    raw = sel["cf"][0].as_py()
+                    val = None if raw is None else int(raw)
+                    break
+        if len(cache) >= self._DICT_CACHE:
+            cache.pop(next(iter(cache)))
+        cache[term] = val
+        return val
+
+    def _dl_range(self) -> tuple[int, int]:
+        """(dl_min, dl_max) over the docs table, from parquet footer
+        statistics only (no data read). Superset-safe: tombstoned docs
+        may hold the extremes — bounds derived from them stay valid
+        upper bounds for live docs."""
+        if self._lmd_dl_range is not None:
+            return self._lmd_dl_range
+        docs_dir = os.path.join(self.root, "docs")
+        lo, hi = None, None
+        for f in sorted(os.listdir(docs_dir)):
+            if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                continue
+            pf = pq.ParquetFile(os.path.join(docs_dir, f))
+            idx = pf.schema_arrow.get_field_index("doclen")
+            md = pf.metadata
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or st.min is None or st.max is None:
+                    raise _LmdNoBounds()
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            raise _LmdNoBounds()
+        self._lmd_dl_range = (int(lo), int(hi))
+        return self._lmd_dl_range
+
+    def _lmd_seg_bounds(self, max_tfnorm: np.ndarray, p_t: float,
+                        mu: float) -> np.ndarray:
+        """Per-segment LMD upper bounds derived from the baked BM25
+        max_tfnorm impacts (see search_lmd docstring). Vectorized over
+        one term's segment metadata."""
+        dl_min, dl_max = self._dl_range()
+        m = max_tfnorm.astype(np.float64)
+        denom = (K1 + 1.0) - m
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = np.where(denom > 1e-12, K1 * m / denom, np.inf)
+        tf_ub = np.minimum(
+            u * (1.0 - B + B * dl_max / self.avgdl), float(dl_max)
+        )
+        return (
+            np.log1p(tf_ub / (mu * p_t)) + math.log(mu / (mu + dl_min))
+        )
+
+    def _lmd_full(self, term: str, mu: float, p_t: float):
+        """Merged sorted (doc_ids, LMD contributions) over all of
+        `term`'s segments, cached per (term, mu) — the LMD analogue of
+        _load_full. Contributions bake p_t in; p_t is a corpus
+        constant per term (dictionary cf or federated override), so
+        the cache is query-independent."""
+        key = (term, mu)
+        hit = self._lru_hit(self._lmd_cache, key)
+        if hit is not None:
+            return hit
+        segs = self._segments(term)
+        d_parts, c_parts = [], []
+        for row in segs.itertuples(index=False):
+            cand, ctf = decode_postings(row.doc_ids, row.tfs)
+            cdl = decode_varints(row.doclens).astype(np.int64)
+            cand, ctf, cdl = mask_deleted(self._deleted, cand, ctf, cdl)
+            if cand.size:
+                d_parts.append(cand)
+                c_parts.append(
+                    np.log1p(ctf.astype(np.float64) / (mu * p_t))
+                    + np.log(mu / (mu + cdl.astype(np.float64)))
+                )
+        if not d_parts:
+            out = (np.empty(0, np.int64), np.empty(0, np.float64))
+        else:
+            d = np.concatenate(d_parts)
+            c = np.concatenate(c_parts)
+            order = np.argsort(d, kind="stable")
+            out = (d[order], c[order])
+        if len(self._lmd_cache) >= self._cache_terms:
+            self._lmd_cache.pop(next(iter(self._lmd_cache)))
+        self._lmd_cache[key] = out
+        return out
+
+    def _search_lmd_pruned(self, qterms: list[str], *, k: int,
+                           mode: str, mu: float, excl, allow):
+        """Block-max pruned LM-Dirichlet top-k (mirrors _search_or's
+        candidate machinery with derived LMD impacts). Per-candidate
+        scores are accumulated in ORIGINAL query-term order from each
+        term's full contribution list, so results are bit-identical to
+        the exhaustive reduction (x+0.0 is a no-op for finite x)."""
+        total = float(self.sum_doclen)
+        p_t: dict[str, float] = {}
+        for t in qterms:
+            cf = (self._lmd_cf[t] if self._lmd_cf is not None
+                  else self._dict_cf(t))
+            if cf is None or cf <= 0:
+                raise _LmdNoBounds()  # pre-cf dictionary -> exhaustive
+            p_t[t] = float(cf) / total
+        n_present = len(qterms)
+        msm_eff = n_present if mode == "and" else 1
+        # candidate generation order: rarest first (better pruning);
+        # scoring order stays the ORIGINAL qterms order
+        gen_terms = sorted(qterms, key=lambda t: (self._df[t], t))
+        per_term = [(t, self._segments(t)) for t in gen_terms]
+        bounds = [
+            self._lmd_seg_bounds(
+                segs.max_tfnorm.to_numpy(), p_t[t], mu
+            ) if len(segs) else np.empty(0, np.float64)
+            for t, segs in per_term
+        ]
+        entries = []  # (ub, gen_idx, row)
+        for i, (t, segs) in enumerate(per_term):
+            if len(segs) == 0:
+                continue
+            s_first = segs.first_doc.to_numpy()
+            s_last = segs.last_doc.to_numpy()
+            ub = bounds[i].copy()
+            for j, (u, osegs) in enumerate(per_term):
+                if j == i or len(osegs) == 0:
+                    continue
+                ov = _overlap_bound(
+                    osegs.first_doc.to_numpy(), osegs.last_doc.to_numpy(),
+                    bounds[j], s_first, s_last,
+                )
+                if msm_eff < n_present:
+                    # OR / partial msm: a candidate may NOT match term
+                    # j (contribution 0), so a negative bound must not
+                    # lower the upper bound
+                    ov = np.maximum(ov, 0.0)
+                ub = ub + ov
+            for r, row in enumerate(segs.itertuples(index=False)):
+                entries.append((float(ub[r]), i, row))
+        entries.sort(key=lambda e: -e[0])
+
+        heap: list[tuple[float, int]] = []
+
+        def offer(doc: int, score: float) -> None:
+            item = (score, -doc)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+
+        skipped = 0
+        full = {t: self._lmd_full(t, mu, p_t[t]) for t in qterms}
+        for n_done, (ub, i, row) in enumerate(entries):
+            if len(heap) == k and ub < heap[0][0]:  # strict: tie-safe
+                skipped += len(entries) - n_done
+                break
+            cand, _ = decode_postings(row.doc_ids, row.tfs)
+            cand = mask_deleted(self._deleted, cand)[0]
+            if not cand.size:
+                continue
+            keep = self._eligible(cand, excl, allow)
+            # first-containing-term ownership (in generation order):
+            # dedup across generating segments of different terms
+            scores = np.zeros(cand.size, dtype=np.float64)
+            n_hit = np.zeros(cand.size, dtype=np.int32)
+            hits_by_term: dict[str, np.ndarray] = {}
+            for t in qterms:  # ORIGINAL order: bit-identical sums
+                od, oc = full[t]
+                if od.size == 0:
+                    hits_by_term[t] = np.zeros(cand.size, dtype=bool)
+                    continue
+                pos = np.searchsorted(od, cand)
+                pos_c = np.clip(pos, 0, od.size - 1)
+                hit = od[pos_c] == cand
+                scores = scores + np.where(hit, oc[pos_c], 0.0)
+                n_hit += hit
+                hits_by_term[t] = hit
+            for j in range(i):
+                keep &= ~hits_by_term[per_term[j][0]]
+            keep &= n_hit >= msm_eff
+            ca, sa = cand[keep], scores[keep]
+            if ca.size > k:
+                order_k = np.lexsort((ca, -sa))[:k]
+                ca, sa = ca[order_k], sa[order_k]
+            for doc, sc in zip(ca, sa):
+                offer(int(doc), float(sc))
+        self.last_segments_skipped = skipped
+        out = sorted(heap, key=lambda it: (-it[0], -it[1]))
+        return [(-nd, s) for s, nd in out]
 
     def search_grouped(
         self, qtext_or_groups, *, k: int = 10, stem: bool = True,

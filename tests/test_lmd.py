@@ -182,3 +182,50 @@ def test_cli_lmd(index_dir, ground):
         cwd=REPO, capture_output=True, text=True, timeout=420,
     )
     assert r.returncode == 2
+
+
+def test_pruned_routes_and_is_bitidentical_to_exhaustive(index_dir):
+    """Round-5 pruned LMD (derived impacts from the BM25 max_tfnorm
+    inversion): must route on a tombstone-free index, and return
+    BIT-identical (score-exact) results to the exhaustive reduction.
+    The exhaustive twin is forced by planting a tombstone for an
+    absent doc_id — masking is then a no-op but the route condition
+    (live tombstones, no cf override) sends it down the old path."""
+    import numpy as np
+
+    pruned = LocalSearcher(index_dir)
+    exhaustive = LocalSearcher(index_dir)
+    exhaustive._deleted = np.array([10**15], dtype=np.int64)
+
+    queries = CASES + [
+        (["the", "of", "a"], "or"),
+        (["the", "data"], "and"),
+        (["window"], "or"),
+    ]
+    routed = False
+    for qterms, mode in queries:
+        pruned.last_segments_skipped = -1
+        a = pruned.search_lmd(qterms, k=7, stem=False, mode=mode)
+        if pruned.last_segments_skipped != -1:
+            routed = True
+        b = exhaustive.search_lmd(qterms, k=7, stem=False, mode=mode)
+        assert a == b  # exact float equality, not approx
+    assert routed, "pruned LMD path never routed on a clean index"
+
+
+def test_pruned_respects_exclude_restrict_identically(index_dir,
+                                                      documents_pdf):
+    import numpy as np
+
+    pruned = LocalSearcher(index_dir)
+    exhaustive = LocalSearcher(index_dir)
+    exhaustive._deleted = np.array([10**15], dtype=np.int64)
+    allow = [int(d) for d in documents_pdf.doc_id if d % 2 == 0]
+    for mode in ("and", "or"):
+        a = pruned.search_lmd(["the", "data"], k=10, stem=False,
+                              mode=mode, exclude=["spark"],
+                              restrict=allow)
+        b = exhaustive.search_lmd(["the", "data"], k=10, stem=False,
+                                  mode=mode, exclude=["spark"],
+                                  restrict=allow)
+        assert a == b
