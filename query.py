@@ -294,16 +294,22 @@ def main() -> None:
                          "urlmap warc_ts <= TS (inclusive) are "
                          "eligible — Lucene [a TO b] range semantics "
                          "with --after-ts")
-    ap.add_argument("--similarity", choices=["bm25", "lmd"],
+    ap.add_argument("--similarity", choices=["bm25", "lmd", "bm25f"],
                     default="bm25",
                     help="ranking function: bm25 (default, block-max "
-                         "pruned) or lmd — query likelihood with "
-                         "Dirichlet smoothing, mu=2000 (exhaustive "
-                         "scatter; the baked segment bounds are BM25 "
-                         "impacts, so LMD serves unpruned). lmd is a "
-                         "single-query ranked mode over plain term "
+                         "pruned); lmd — query likelihood with "
+                         "Dirichlet smoothing, mu=2000 (block-max "
+                         "pruned via bounds derived from the baked "
+                         "BM25 impacts; exhaustive fallback under "
+                         "live tombstones); bm25f — true BM25F "
+                         "(Zaragoza TREC-13: per-field length-"
+                         "normalized tfs combined into one pseudo-tf "
+                         "before the k1 saturation) over body + "
+                         "fields/* with --title-weight/--anchor-"
+                         "weight (default title=2). lmd/bm25f are "
+                         "single-query ranked modes over plain term "
                          "queries (local + --distributed twin) and "
-                         "scores pure LMD (no static boost)")
+                         "score the pure similarity (no static boost)")
     ap.add_argument("--no-static-boost", action="store_true",
                     help="ignore the index's static boost table "
                          "(<index>/boosts, written by index_admin.py "
@@ -369,11 +375,8 @@ def main() -> None:
     if args.also:
         blocked = [
             (args.distributed, "--distributed"),
-            (args.phrase, "--phrase"),
             (args.title_weight is not None, "--title-weight"),
             (args.anchor_weight is not None, "--anchor-weight"),
-            (args.qtext is not None and '"' in args.qtext,
-             "quoted phrase clauses"),
         ]
         bad = [name for hit, name in blocked if hit]
         if bad:
@@ -450,15 +453,23 @@ def main() -> None:
         return out
     if args.msm < 1:
         ap.error("--msm must be >= 1")
-    if args.similarity == "lmd":
+    if args.similarity in ("lmd", "bm25f"):
         if args.batch or args.phrase:
-            ap.error("--similarity lmd is a single-query ranked mode")
+            ap.error(f"--similarity {args.similarity} is a "
+                     "single-query ranked mode")
         if args.msm > 1 or args.synonyms:
-            ap.error("--similarity lmd serves plain term queries "
-                     "(no --msm/--synonyms)")
+            ap.error(f"--similarity {args.similarity} serves plain "
+                     "term queries (no --msm/--synonyms)")
         if args.qtext and any(c in args.qtext for c in '|^"'):
-            ap.error("--similarity lmd serves plain term queries "
-                     "(grouped/boosted/phrase syntax is BM25-only)")
+            ap.error(f"--similarity {args.similarity} serves plain "
+                     "term queries (grouped/boosted/phrase syntax is "
+                     "BM25-only)")
+    if args.similarity == "bm25f":
+        if args.site or args.after_ts or args.before_ts:
+            ap.error("--similarity bm25f does not take filter clauses "
+                     "yet (--site/--after-ts/--before-ts)")
+        if args.also:
+            ap.error("--similarity bm25f serves one index (no --also)")
     if args.msm > 1:
         if args.mode != "or":
             ap.error("--msm applies to --mode or (AND already requires "
@@ -563,6 +574,56 @@ def main() -> None:
         for rank, (term, df) in enumerate(terms[: args.k], 1):
             print(f"{rank}\t{term}\t{df}")
         print(json.dumps({"n": min(len(terms), args.k), "n_queries": 1,
+                          "wall_s": round(time.time() - t0, 4)}))
+        return
+
+    if args.similarity == "bm25f":
+        # true BM25F (shared-saturation pseudo-tf over body + fields):
+        # weights from --title-weight/--anchor-weight, default the
+        # canonical title=2 when no flag names a field
+        weights = {}
+        if args.title_weight is not None:
+            weights["title"] = args.title_weight
+        if args.anchor_weight is not None:
+            weights["anchor"] = args.anchor_weight
+        if not weights:
+            weights = {"title": 2.0}
+        for name in weights:
+            if not os.path.isdir(
+                os.path.join(args.index_dir, "fields", name)
+            ):
+                hint = ("build_index.py --title-index" if name == "title"
+                        else "index_admin.py build-anchor")
+                ap.error(f"--similarity bm25f needs the {name} field "
+                         f"index — build it with {hint}")
+        from search_engine_spark.plans.multifield import (
+            search_bm25f,
+            search_bm25f_distributed,
+        )
+
+        t0 = time.time()
+        qpos, qneg = split_not_terms(args.qtext)
+        if args.distributed:
+            from search_engine_spark.session import get_spark
+
+            spark = get_spark("query")
+            res_df = search_bm25f_distributed(
+                spark, args.index_dir, qpos, k=args.k,
+                stem=not args.no_stem, mode=args.mode,
+                field_weights=weights, exclude=qneg or None,
+                offset=args.offset,
+            )
+            hits = [(r.doc_id, r.score) for r in res_df.collect()]
+            spark.stop()
+        else:
+            hits = search_bm25f(
+                args.index_dir, qpos, k=args.k + args.offset,
+                stem=not args.no_stem, mode=args.mode,
+                field_weights=weights, exclude=qneg or None,
+            )[args.offset:]
+        for rank, (doc_id, score) in enumerate(hits, 1 + args.offset):
+            print(f"{rank}\t{doc_id}\t{score:.6f}")
+        print(json.dumps({"n": len(hits), "n_queries": 1,
                           "wall_s": round(time.time() - t0, 4)}))
         return
 
@@ -744,10 +805,6 @@ def main() -> None:
                      "not apply")
         if args.similarity != "bm25":
             ap.error("field-scoped clauses are BM25-only")
-        if args.also:
-            ap.error("--also federated serving does not support "
-                     "field-scoped clauses yet — fold the shards "
-                     "first")
     if args.qtext and '"' in args.qtext and ":" in args.qtext:
         # a known-field clause in the UNQUOTED remainder of a phrase
         # query would silently re-tokenize as plain terms — error out
@@ -784,6 +841,16 @@ def main() -> None:
                 ).collect()
             ][args.offset:]
             spark.stop()
+        elif args.also:
+            try:
+                results[""] = [
+                    (d, float(tf))
+                    for d, tf in _fed().search_phrase(
+                        args.qtext, k=kk, restrict=site_ids
+                    )
+                ][args.offset:]
+            except ValueError as e:
+                ap.error(str(e))
         else:
             from search_engine_spark.plans.positions import PhraseSearcher
 
@@ -804,11 +871,6 @@ def main() -> None:
             ap.error("field-scoped clauses inside a batch are served "
                      "locally — drop --distributed (single fielded "
                      "queries do have a --distributed twin)")
-        if args.also and any('"' in t or _has_fielded(t)
-                             for t in raw.values()):
-            ap.error("--also federated serving covers plain/grouped "
-                     "batch lines — quoted phrase or field-scoped "
-                     "lines need the shards folded first")
         _validate_boosts(*(t for t in raw.values() if '"' not in t))
         split = {qid: split_not_terms(text) for qid, text in raw.items()}
         queries = {qid: pos for qid, (pos, _) in split.items()}
@@ -853,19 +915,26 @@ def main() -> None:
                         search_mixed,
                     )
 
-                    if phraser is None and os.path.exists(os.path.join(
-                        args.index_dir, "positions_meta.json"
-                    )):
-                        from search_engine_spark.plans.positions import (
-                            PhraseSearcher,
-                        )
-
-                        phraser = PhraseSearcher(args.index_dir)
                     try:
-                        results[qid] = search_mixed(
-                            s, phraser, raw[qid], k=kk, stem=stem,
-                            restrict=site_ids,
-                        )[args.offset:]
+                        if args.also:
+                            results[qid] = s.search_mixed(
+                                raw[qid], k=kk, stem=stem,
+                                restrict=site_ids,
+                            )[args.offset:]
+                        else:
+                            if phraser is None and os.path.exists(
+                                os.path.join(args.index_dir,
+                                             "positions_meta.json")
+                            ):
+                                from search_engine_spark.plans.positions import (  # noqa: E501
+                                    PhraseSearcher,
+                                )
+
+                                phraser = PhraseSearcher(args.index_dir)
+                            results[qid] = search_mixed(
+                                s, phraser, raw[qid], k=kk, stem=stem,
+                                restrict=site_ids,
+                            )[args.offset:]
                     except ValueError as e:
                         ap.error(str(e))
                 elif _has_fielded(raw[qid]):
@@ -876,11 +945,18 @@ def main() -> None:
                     )
 
                     try:
-                        results[qid] = search_fielded(
-                            args.index_dir, raw[qid], k=kk, stem=stem,
-                            restrict=site_ids,
-                            static_boosts=not args.no_static_boost,
-                        )[args.offset:]
+                        if args.also:
+                            results[qid] = s.search_fielded(
+                                raw[qid], k=kk, stem=stem,
+                                restrict=site_ids,
+                                static_boosts=not args.no_static_boost,
+                            )[args.offset:]
+                        else:
+                            results[qid] = search_fielded(
+                                args.index_dir, raw[qid], k=kk,
+                                stem=stem, restrict=site_ids,
+                                static_boosts=not args.no_static_boost,
+                            )[args.offset:]
                     except ValueError as e:
                         ap.error(str(e))
                 elif "|" in text or "^" in text:
@@ -1017,11 +1093,17 @@ def main() -> None:
             )
 
             try:
-                results[""] = search_fielded(
-                    args.index_dir, args.qtext, k=kk, stem=stem,
-                    restrict=site_ids,
-                    static_boosts=not args.no_static_boost,
-                )[args.offset:]
+                if args.also:
+                    results[""] = s.search_fielded(
+                        args.qtext, k=kk, stem=stem, restrict=site_ids,
+                        static_boosts=not args.no_static_boost,
+                    )[args.offset:]
+                else:
+                    results[""] = search_fielded(
+                        args.index_dir, args.qtext, k=kk, stem=stem,
+                        restrict=site_ids,
+                        static_boosts=not args.no_static_boost,
+                    )[args.offset:]
             except ValueError as e:
                 ap.error(str(e))
         elif '"' in args.qtext:
@@ -1035,17 +1117,23 @@ def main() -> None:
             if args.mode != "and" or args.msm > 1:
                 ap.error("quoted phrase clauses use conjunctive clause "
                          "semantics — --mode or / --msm do not apply")
-            phraser = (
-                PhraseSearcher(args.index_dir)
-                if os.path.exists(os.path.join(args.index_dir,
-                                               "positions_meta.json"))
-                else None
-            )
             try:
-                results[""] = search_mixed(
-                    s, phraser, args.qtext, k=kk, stem=stem,
-                    synonyms=syn_map, restrict=site_ids,
-                )[args.offset:]
+                if args.also:
+                    results[""] = s.search_mixed(
+                        args.qtext, k=kk, stem=stem,
+                        synonyms=syn_map, restrict=site_ids,
+                    )[args.offset:]
+                else:
+                    phraser = (
+                        PhraseSearcher(args.index_dir)
+                        if os.path.exists(os.path.join(
+                            args.index_dir, "positions_meta.json"))
+                        else None
+                    )
+                    results[""] = search_mixed(
+                        s, phraser, args.qtext, k=kk, stem=stem,
+                        synonyms=syn_map, restrict=site_ids,
+                    )[args.offset:]
             except ValueError as e:
                 ap.error(str(e))
         elif syn_map is not None:

@@ -188,6 +188,8 @@ class FederatedSearcher:
         gcf = _GlobalCF(self.subs)
         self._gdf = gdf
         self._suggesters: list | None = None
+        self._phrasers_cache: list | None = None
+        self._field_subs: dict[str, list[LocalSearcher]] | None = None
         for s in self.subs:
             if self.avgdl > s.avgdl:
                 s._tfnorm_scale *= self.avgdl / s.avgdl
@@ -293,6 +295,147 @@ class FederatedSearcher:
                          restrict=self._local_ids(i, restrict))
             for i, s in enumerate(self.subs)
         ]
+        return self._merged(per_sub, k)
+
+    # -- positional / field surfaces (round 5) ---------------------------
+
+    def _phrasers(self) -> list:
+        """Per-sub PhraseSearchers, built lazily (every sub must carry
+        a positional table — the same precondition the single-index
+        phrase path has)."""
+        if self._phrasers_cache is None:
+            from search_engine_spark.plans.positions import PhraseSearcher
+
+            ps = []
+            for s in self.subs:
+                if not os.path.exists(
+                    os.path.join(s.root, "positions_meta.json")
+                ):
+                    raise ValueError(
+                        f"{s.root} has no positional table — rebuild "
+                        "with --positions (every federated sub needs "
+                        "one for phrase serving)"
+                    )
+                ps.append(PhraseSearcher(s.root))
+            self._phrasers_cache = ps
+        return self._phrasers_cache
+
+    def search_phrase(self, query, k: int = 10, *,
+                      restrict=None) -> list[tuple[int, int]]:
+        """Exact-phrase top-k (GLOBAL doc_id, phrase_tf) across the
+        federation. Phrase tf is intrinsic to the document (no
+        collection statistics), so per-sub search + the (tf desc,
+        global doc_id asc) k-way merge is bit-identical to the folded
+        index's search_phrase — the plain every-doc-lives-in-exactly-
+        one-sub argument."""
+        per_sub = [
+            p.search_phrase(query, k=k,
+                            restrict=self._local_ids(i, restrict))
+            for i, p in enumerate(self._phrasers())
+        ]
+        allhits = [
+            (d + self.offsets[i], tf)
+            for i, hits in enumerate(per_sub) for d, tf in hits
+        ]
+        allhits.sort(key=lambda t: (-t[1], t[0]))
+        return allhits[:k]
+
+    def search_mixed(self, qtext: str, *, k: int = 10,
+                     stem: bool = True, synonyms=None, restrict=None,
+                     after=None) -> list[tuple[int, float]]:
+        """Mixed phrase+boolean queries (plans/phraseq grammar) across
+        the federation. The one constant a per-sub evaluation would
+        get wrong is each positive phrase's df (its idf must count
+        matches across ALL subs, as the folded index would); it is
+        computed first — one tombstone-masked match count per sub,
+        summed — and installed as phraseq's phrase_df override. Every
+        other constant already rides the globally-rebased sub
+        searchers (n_docs/avgdl/df overrides from __init__);
+        proximity filters and NOT-phrases are score-free doc sets, so
+        per-sub evaluation is exact as-is."""
+        from search_engine_spark.plans.phraseq import (
+            parse_mixed_query,
+            search_mixed,
+        )
+
+        phrases, _rest = parse_mixed_query(qtext, stem=stem)
+        positive = [p for p in phrases if not p[2] and p[3] is None]
+        phrasers = self._phrasers() if phrases else []
+        phrase_df: dict[tuple[str, ...], int] = {}
+        for toks, _boost, _neg, _slop in positive:
+            phrase_df[toks] = sum(
+                p.phrase_counts_arrays(list(toks))[0].size
+                for p in phrasers
+            )
+        per_sub = [
+            search_mixed(
+                s, phrasers[i] if phrasers else None, qtext, k=k,
+                stem=stem, synonyms=synonyms,
+                restrict=self._local_ids(i, restrict),
+                after=self._local_after(i, after),
+                phrase_df=phrase_df or None,
+            )
+            for i, s in enumerate(self.subs)
+        ]
+        return self._merged(per_sub, k)
+
+    def search_fielded(self, qtext: str, *, k: int = 10,
+                       stem: bool = True, restrict=None,
+                       static_boosts: bool = True,
+                       ) -> list[tuple[int, float]]:
+        """Field-scoped conjunctions (title:spark join) across the
+        federation. Each FIELD is itself a family of per-sub ordinary
+        indexes, so the same constants-rebasing recipe the body got in
+        __init__ applies per field: global n_docs/sum_doclen/avgdl
+        from exact additive integers, a summed-df override, and the
+        avgdl-monotonicity tfnorm rescale — then each sub serves the
+        whole clause set locally and the (score desc, global doc_id
+        asc) merge reproduces the folded index's ranking."""
+        from search_engine_spark.plans.multifield import (
+            known_fields,
+            search_fielded,
+        )
+
+        fields = known_fields(self.subs[0].root)
+        for s in self.subs[1:]:
+            if known_fields(s.root) != fields:
+                raise ValueError(
+                    "federated subs disagree on built field indexes "
+                    f"({sorted(fields)} vs "
+                    f"{sorted(known_fields(s.root))}) — fold or build "
+                    "the missing fields first"
+                )
+        if self._field_subs is None:
+            self._field_subs = {}
+            for name in sorted(fields - {"body"}):
+                fs = [
+                    LocalSearcher(os.path.join(s.root, "fields", name))
+                    for s in self.subs
+                ]
+                n = sum(x.n_docs for x in fs)
+                sdl = sum(x.sum_doclen for x in fs)
+                avg = float(sdl) / float(n) if n else 0.0
+                gdf = _GlobalDF(fs)
+                for x in fs:
+                    if avg > x.avgdl:
+                        x._tfnorm_scale *= avg / x.avgdl
+                    x.avgdl = avg
+                    x.n_docs = n
+                    x.sum_doclen = sdl
+                    x._idf_df = gdf
+                self._field_subs[name] = fs
+        per_sub = []
+        for i, s in enumerate(self.subs):
+            searchers = {"body": s}
+            for name, fs in self._field_subs.items():
+                searchers[name] = fs[i]
+            per_sub.append(
+                search_fielded(
+                    s.root, qtext, k=k, stem=stem,
+                    restrict=self._local_ids(i, restrict),
+                    static_boosts=static_boosts, searchers=searchers,
+                )
+            )
         return self._merged(per_sub, k)
 
     def _owner(self, doc_id: int) -> int:

@@ -38,6 +38,7 @@ integrity story (fsck works on it unchanged).
 
 from __future__ import annotations
 
+import math
 import os
 import re
 
@@ -150,6 +151,7 @@ def _fielded_split(clauses):
 def search_fielded(
     index_dir: str, qtext: str, *, k: int = 10, stem: bool = True,
     restrict=None, static_boosts: bool = True,
+    searchers: dict[str, LocalSearcher] | None = None,
 ) -> list[tuple[int, float]]:
     """Field-scoped conjunctive search (Lucene `title:spark join`):
     every positive clause must match IN ITS FIELD; score = the sum of
@@ -174,10 +176,15 @@ def search_fielded(
         return []
     body_pos, body_neg, fpos, fneg = _fielded_split(clauses)
 
-    body = LocalSearcher(index_dir)
+    # injectable searcher set (federated serving pre-builds per-sub
+    # searchers with GLOBAL per-field stats installed — plans/federate)
+    if searchers is None:
+        searchers = {}
+    if "body" not in searchers:
+        searchers["body"] = LocalSearcher(index_dir)
+    body = searchers["body"]
     if not static_boosts:
         body.clear_static_boosts()
-    searchers: dict[str, LocalSearcher] = {"body": body}
 
     def _fs(name: str) -> LocalSearcher:
         if name not in searchers:

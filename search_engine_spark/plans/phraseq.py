@@ -186,6 +186,7 @@ def search_mixed(
     fast: bool = True,
     synonyms: dict[str, list[str]] | None = None,
     restrict=None,
+    phrase_df: dict[tuple[str, ...], int] | None = None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score) for a mixed phrase+boolean query —
     see the module docstring for syntax and semantics.
@@ -194,7 +195,10 @@ def search_mixed(
     plans.positions.PhraseSearcher over the SAME index (None allowed
     when the query carries no multi-token phrase). Static boosts are
     applied once, inside the boolean engine (or directly for pure-
-    phrase queries)."""
+    phrase queries). phrase_df: per-phrase df override keyed by the
+    analyzed token tuple — federated serving (plans/federate) installs
+    the GLOBAL match count there so each sub scores with the idf the
+    folded index would use."""
     from search_engine_spark.plans.scoring import (
         expand_synonyms,
         parse_grouped_query,
@@ -340,7 +344,8 @@ def search_mixed(
             dl = np.full(docs.size, searcher.avgdl)
         n = searcher.n_docs
         for d, t, boost, _toks in pos_lists:
-            dfp = d.size
+            dfp = (phrase_df.get(_toks, d.size) if phrase_df
+                   else d.size)
             idf_p = math.log(1.0 + (n - dfp + 0.5) / (dfp + 0.5))
             pos = np.searchsorted(d, docs)
             pos = np.minimum(pos, d.size - 1)

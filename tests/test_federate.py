@@ -250,3 +250,105 @@ def test_stem_mismatch_refused(spark, tmp_path, dirs):
                 max_salts=4)
     with pytest.raises(ValueError, match="analyzer"):
         FederatedSearcher([a, d])
+
+
+@pytest.fixture(scope="module")
+def posidx(spark, dirs):
+    """dirs + positional tables and a 'head' field index (first two
+    body tokens) on every index — the round-5 federated phrase /
+    mixed / fielded surfaces need both, on subs AND the fresh-built
+    reference."""
+    from search_engine_spark.plans.positions import build_positions
+
+    a, b, full = dirs
+    a_src = _corpus(spark, 0, 60)
+    b_src = _corpus(spark, 60, 100)
+    union = a_src.unionByName(
+        b_src.withColumn("doc_id", F.col("doc_id") + F.lit(60)))
+
+    def head(src):
+        return src.select(
+            "doc_id",
+            F.array_join(
+                F.slice(F.split(F.col("text"), " "), 1, 2), " "
+            ).alias("text"),
+        )
+
+    if not os.path.exists(os.path.join(full, "positions_meta.json")):
+        kw = dict(n_buckets=2, segment_size=32, stem=False,
+                  salt_threshold=40, max_salts=4)
+        for d, s_ in ((a, a_src), (b, b_src), (full, union)):
+            build_positions(spark, s_, d, n_buckets=2, stem=False)
+            build_index(spark, head(s_),
+                        os.path.join(d, "fields", "head"), **kw)
+    return a, b, full
+
+
+def test_federated_phrase_equals_fresh_build(posidx):
+    from search_engine_spark.plans.positions import PhraseSearcher
+
+    a, b, full = posidx
+    fed = FederatedSearcher([a, b])
+    ref = PhraseSearcher(full)
+    for q in ["the join", "join fast", "doc number63", "fast scan",
+              "absent phrase"]:
+        assert fed.search_phrase(q, k=15) == ref.search_phrase(q, k=15), q
+    ids = [1, 59, 60, 61, 95]
+    assert fed.search_phrase("the join", k=10, restrict=ids) == \
+        ref.search_phrase("the join", k=10, restrict=ids)
+
+
+def test_federated_mixed_equals_fresh_build(posidx):
+    from search_engine_spark.plans.phraseq import search_mixed
+    from search_engine_spark.plans.positions import PhraseSearcher
+
+    a, b, full = posidx
+    fed = FederatedSearcher([a, b])
+    sref, pref = LocalSearcher(full), PhraseSearcher(full)
+    for q in ['"the join" spark', '"fast scan" -number7',
+              '"doc number63"', 'spark -"the join"',
+              '"join fast"~2 spark', '"the join"^2 spark|doc']:
+        got = fed.search_mixed(q, k=15, stem=False)
+        want = search_mixed(sref, pref, q, k=15, stem=False)
+        assert got == want, q  # bit-identical scores AND order
+    # pagination across the federation
+    fullpage = search_mixed(sref, pref, '"the join" spark', k=100,
+                            stem=False)
+    got, after = [], None
+    while True:
+        page = fed.search_mixed('"the join" spark', k=7, stem=False,
+                                after=after)
+        if not page:
+            break
+        got.extend(page)
+        after = page[-1]
+    assert got == fullpage
+
+
+def test_federated_fielded_equals_fresh_build(posidx):
+    from search_engine_spark.plans.multifield import search_fielded
+
+    a, b, full = posidx
+    fed = FederatedSearcher([a, b])
+    for q in ["head:doc spark", "head:spark^2 join",
+              "the -head:doc", "head:doc head:spark"]:
+        got = fed.search_fielded(q, k=15, stem=False)
+        want = search_fielded(full, q, k=15, stem=False)
+        assert got == want, q
+    ids = [1, 59, 60, 61, 95]
+    assert fed.search_fielded("head:doc spark", k=10, stem=False,
+                              restrict=ids) == \
+        search_fielded(full, "head:doc spark", k=10, stem=False,
+                       restrict=ids)
+
+
+def test_federated_phrase_needs_positions_everywhere(spark, tmp_path,
+                                                     posidx):
+    a, b, full = posidx
+    d = str(tmp_path / "nopos")
+    build_index(spark, _corpus(spark, 100, 120), d, n_buckets=2,
+                segment_size=32, stem=False, salt_threshold=40,
+                max_salts=4)
+    fed = FederatedSearcher([a, d])
+    with pytest.raises(ValueError, match="positional"):
+        fed.search_phrase("the join", k=5)

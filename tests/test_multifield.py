@@ -244,3 +244,147 @@ def test_distributed_multifield_not_and_offset(spark, index_dir):
     assert [d for d, _ in got] == [d for d, _ in want[k:2 * k]]
     for (_, a), (_, b) in zip(got, want[k:2 * k]):
         assert a == pytest.approx(b, abs=1e-9)
+
+
+def _brute_bm25f(corpus_pdf, qterms, k=30, w_title=2.0, mode="or"):
+    """Independent true-BM25F reference (Zaragoza TREC-13): per-field
+    length-normalized tfs combine into ONE pseudo-tf before the k1
+    saturation; idf over docs containing the term in ANY field,
+    against the body index's n_docs (the serving convention)."""
+    body = {int(r.doc_id): _TOK.findall(r.text)
+            for r in corpus_pdf.itertuples()}
+    title = {int(r.doc_id): _TOK.findall(extract_title(r.html))
+             for r in corpus_pdf.itertuples()}
+
+    def field(tfmap):
+        tf = {d: Counter(ts) for d, ts in tfmap.items() if ts}
+        n = len(tf)
+        avgdl = sum(sum(c.values()) for c in tf.values()) / n
+        return tf, n, avgdl
+
+    btf, bn, bavg = field(body)
+    ttf, tn, tavg = field(title)
+    qterms = list(dict.fromkeys(qterms))
+
+    def wtf(d, t):
+        out = 0.0
+        c = btf.get(d)
+        if c and c[t]:
+            dl = sum(c.values())
+            out += 1.0 * c[t] / ((1.0 - B) + B * dl / bavg)
+        tc = ttf.get(d)
+        if tc and tc[t]:
+            dl = sum(tc.values())
+            out += w_title * tc[t] / ((1.0 - B) + B * dl / tavg)
+        return out
+
+    docs_any = sorted(set(btf) | set(ttf))
+    df_any = {
+        t: sum(1 for d in docs_any if wtf(d, t) > 0) for t in qterms
+    }
+    present = [t for t in qterms if df_any[t] > 0]
+    if mode == "and" and len(present) < len(qterms):
+        return []
+    out = []
+    for d in docs_any:
+        s, matched = 0.0, 0
+        for t in present:
+            w = wtf(d, t)
+            if w > 0:
+                matched += 1
+                idf = math.log(
+                    1.0 + (bn - df_any[t] + 0.5) / (df_any[t] + 0.5)
+                )
+                s += idf * w / (K1 + w)
+        if matched == 0 or (mode == "and" and matched < len(present)):
+            continue
+        out.append((-s, d))
+    out.sort()
+    return [(d, -ns) for ns, d in out[:k]]
+
+
+@pytest.mark.parametrize("qtext,mode", [
+    ("the fast", "or"), ("spark join", "and"), ("window", "or"),
+    ("the spark data", "or"),
+])
+def test_bm25f_local_matches_bruteforce(index_dir, corpus_pdf, qtext,
+                                        mode):
+    from search_engine_spark.plans.multifield import search_bm25f
+
+    got = search_bm25f(index_dir, qtext, k=30, stem=False, mode=mode,
+                       field_weights={"title": W})
+    want = _brute_bm25f(corpus_pdf, qtext.split(), k=30, w_title=W,
+                        mode=mode)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_bm25f_distributed_equals_local(spark, index_dir):
+    from search_engine_spark.plans.multifield import (
+        search_bm25f,
+        search_bm25f_distributed,
+    )
+
+    for qtext, mode in (("the fast", "or"), ("spark join", "and")):
+        want = search_bm25f(index_dir, qtext, k=15, stem=False,
+                            mode=mode, field_weights={"title": W})
+        got = [
+            (r.doc_id, r.score)
+            for r in search_bm25f_distributed(
+                spark, index_dir, qtext, k=15, stem=False, mode=mode,
+                field_weights={"title": W},
+            ).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (_, a), (_, b) in zip(got, want):
+            assert a == pytest.approx(b, rel=1e-9)
+
+
+def test_bm25f_exclude_and_absent_terms(index_dir, corpus_pdf):
+    from search_engine_spark.plans.multifield import search_bm25f
+
+    # absent term: AND unsatisfiable, OR drops it
+    assert search_bm25f(index_dir, "the zzqq_absent", k=5, stem=False,
+                        mode="and", field_weights={"title": W}) == []
+    got = search_bm25f(index_dir, "the zzqq_absent", k=10, stem=False,
+                       mode="or", field_weights={"title": W})
+    want = _brute_bm25f(corpus_pdf, ["the"], k=10, w_title=W)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    # exclude suppresses docs containing the term in ANY field
+    got_x = search_bm25f(index_dir, "the fast", k=30, stem=False,
+                         mode="or", field_weights={"title": W},
+                         exclude=["spark"])
+    body = {int(r.doc_id) for r in corpus_pdf.itertuples()
+            if "spark" in _TOK.findall(r.text)
+            or "spark" in _TOK.findall(extract_title(r.html))}
+    assert all(d not in body for d, _ in got_x)
+
+
+def test_bm25f_cli(index_dir):
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "query.py", "--index-dir", index_dir,
+         "--similarity", "bm25f", "--no-stem", "--mode", "or",
+         "the fast", "-k", "5"],
+        cwd=repo, capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = r.stdout.strip().splitlines()[:-1]
+    from search_engine_spark.plans.multifield import search_bm25f
+
+    want = search_bm25f(index_dir, "the fast", k=5, stem=False,
+                        mode="or", field_weights={"title": 2.0})
+    assert [int(x.split("\t")[1]) for x in lines] == \
+        [d for d, _ in want]
+    # grouped syntax is a usage error in bm25f mode
+    r = subprocess.run(
+        [sys.executable, "query.py", "--index-dir", index_dir,
+         "--similarity", "bm25f", "spark|join"],
+        cwd=repo, capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 2
