@@ -102,6 +102,12 @@ def main() -> None:
     c.add_argument("--index-dir", required=True)
     c.add_argument("--segment-size", type=int, default=4096)
     c.add_argument("--max-salts", type=int, default=32)
+    c.add_argument("--generations", action="store_true",
+                   help="run inside a whole-index generation "
+                        "transaction: one atomic symlink swap commits "
+                        "every table together (concurrent readers see "
+                        "old-or-new, never mixed). Auto-enabled once "
+                        "the index is generation-managed")
 
     s = sub.add_parser("stats", help="index introspection (no Spark job)")
     s.add_argument("--index-dir", required=True)
@@ -150,6 +156,9 @@ def main() -> None:
     mi.add_argument("--index-dir", required=True,
                     help="target index (modified in place)")
     mi.add_argument("--incoming", required=True)
+    mi.add_argument("--generations", action="store_true",
+                    help="commit the fold as one whole-index "
+                         "generation (see compact --generations)")
     mi.add_argument("--rebuild-suggest", action="store_true",
                     help="rebuild the SymSpell suggestion table after "
                          "the fold when the target serves one (it "
@@ -334,7 +343,9 @@ def main() -> None:
     elif args.cmd == "merge-into":
         from search_engine_spark.plans.merge import merge_into
 
-        summary = merge_into(spark, args.index_dir, args.incoming)
+        summary = merge_into(spark, args.index_dir, args.incoming,
+                             generations=True if args.generations
+                             else None)
         if summary.get("suggest_stale") and args.rebuild_suggest:
             from search_engine_spark.plans.suggest import build_suggest
 
@@ -540,6 +551,7 @@ def main() -> None:
         summary = compact_index(
             spark, args.index_dir,
             segment_size=args.segment_size, max_salts=args.max_salts,
+            generations=True if args.generations else None,
         )
     summary["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(summary))

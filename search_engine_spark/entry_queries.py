@@ -3862,61 +3862,85 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 # fuzzy_term_match — are all driver-r3 green) -> r03-green tail.
 # ---------------------------------------------------------------------------
 QUERIES = {
-    # -- anchors (driver-green every round: harness regression canaries) --
-    "term_frequency": q_term_frequency,
+    # -- round-5 window (first 50 = what the driver checks):
+    # anchors + the entries whose newest driver-green row is
+    # r03 or older (the <=2-rounds-stale rotation policy) --
     "bm25_topk": q_bm25_topk,
+    "lm_dirichlet_topk": q_lm_dirichlet_topk,
+    "fielded_topk": q_fielded_topk,
+    "bm25f_topk": q_bm25f_topk,
+    "phrase_boolean_topk": q_phrase_boolean_topk,
+    "content_fingerprints": q_content_fingerprints,
+    "lang_id": q_lang_id,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "bigram_pmi": q_bigram_pmi,
+    "bm25_boosted_query": q_bm25_boosted_query,
+    "bm25_facet_counts": q_bm25_facet_counts,
+    "bm25_grouped_query": q_bm25_grouped_query,
+    "bm25_not_query": q_bm25_not_query,
+    "bm25_single_term": q_bm25_single_term,
+    "contains_term_stats": q_contains_term_stats,
+    "dedup_exact_text": q_dedup_exact_text,
+    "doc_lengths": q_doc_lengths,
+    "document_frequency": q_document_frequency,
+    "domain_mixture": q_domain_mixture,
+    "dup_ngram_quality": q_dup_ngram_quality,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_norms": q_embedding_norms,
+    "filtered_ann_topk": q_filtered_ann_topk,
+    "fuzzy_term_match": q_fuzzy_term_match,
+    "hourly_event_counts": q_hourly_event_counts,
+    "hybrid_rrf_topk": q_hybrid_rrf_topk,
+    "ivf_cosine_topk": q_ivf_cosine_topk,
+    "lang_counts": q_lang_counts,
+    "latest_event_per_user": q_latest_event_per_user,
+    "lsh_cosine_topk": q_lsh_cosine_topk,
+    "media_frame_sample": q_media_frame_sample,
+    "more_like_this": q_more_like_this,
+    "multifield_bm25": q_multifield_bm25,
+    "multimodal_features": q_multimodal_features,
+    "near_query": q_near_query,
+    "phrase_match_counts": q_phrase_match_counts,
+    "phrase_snippets": q_phrase_snippets,
+    "phrase_topk": q_phrase_topk,
+    "prefix_term_stats": q_prefix_term_stats,
+    "pricing_summary": q_pricing_summary,
+    "quality_score": q_quality_score,
+    "revenue_by_nation": q_revenue_by_nation,
+    "source_collapsed_topk": q_source_collapsed_topk,
+    "stratified_sample": q_stratified_sample,
+    "symspell_suggest": q_symspell_suggest,
+    "token_stats": q_token_stats,
+    "top_customers_per_nation": q_top_customers_per_nation,
+    "unigram_lm_quality": q_unigram_lm_quality,
+    "union_partial_runs": q_union_partial_runs,
+    "url_canonical_dedup": q_url_canonical_dedup,
+    # -- rotated out this round: every entry below has an
+    # r04 driver-green row (see CORRECTNESS_r04.json) --
+    "term_frequency": q_term_frequency,
     "collection_stats": q_collection_stats,
     "intersect_and": q_intersect_and,
-    # -- round-4 re-check: sequence_packing's implementation changed
-    # (sharded two-pass prefix sum) -> the driver must re-verify it --
     "sequence_packing": q_sequence_packing,
-    # -- rows-only by design (driver records the weaker check) --
     "near_dup_lsh": q_near_dup_lsh,
     "bm25_stemmed_topk": q_bm25_stemmed_topk,
-    # -- round-4 additions (never driver-checked -> must sit inside
-    # the window): link graph + static-score serving, msm, synonyms,
-    # true BM25F --
     "pagerank_top": q_pagerank_top,
     "bm25_pagerank_blend": q_bm25_pagerank_blend,
     "bm25_msm_topk": q_bm25_msm_topk,
     "synonym_expanded_topk": q_synonym_expanded_topk,
-    "bm25f_topk": q_bm25f_topk,
     "recency_boosted_topk": q_recency_boosted_topk,
     "top_ngram_mass": q_top_ngram_mass,
-    # -- round-4 session-2 additions (never driver-checked -> in-window):
-    # PII scrubbing, dedup keep-policy, site: filter clause --
     "pii_redaction": q_pii_redaction,
     "dup_cluster_representatives": q_dup_cluster_representatives,
     "bm25_site_topk": q_bm25_site_topk,
-    # -- round-4 session-3: the anchor FIELD pipeline + the bigram
-    # phrase-acceleration table's build aggregation --
     "anchor_text_agg": q_anchor_text_agg,
     "bigram_postings": q_bigram_postings,
-    # -- round-4 session-4: mixed phrase+boolean scoring (phraseq) --
-    "phrase_boolean_topk": q_phrase_boolean_topk,
-    # -- round-4 session-5: crawl-timestamp window filter clause +
-    # regex/wildcard dictionary scans --
     "bm25_ts_window_topk": q_bm25_ts_window_topk,
     "regex_term_stats": q_regex_term_stats,
-    "lm_dirichlet_topk": q_lm_dirichlet_topk,
-    "fielded_topk": q_fielded_topk,
-    # -- round-4 session-7: distributed BPE vocabulary learning +
-    # offline ranking-evaluation metrics --
     "bpe_pair_counts": q_bpe_pair_counts,
     "ranking_eval": q_ranking_eval,
-    # -- veterans whose last green row is r01/r02: rotated back into the
-    # window so no entry's green row is more than two rounds stale --
     "except_regression": q_except_regression,
     "bm25_topk_or": q_bm25_topk_or,
     "sessionization": q_sessionization,
-    # -- round-5 rotation: lang_id + content_fingerprints last
-    # driver-green in r02 (the <=2-rounds-stale policy, round-4
-    # verdict item #6); hybrid_rrf_topk re-implemented this round
-    # (bounded top-k before ranking, verdict item #2) so the driver
-    # must re-verify it --
-    "lang_id": q_lang_id,
-    "content_fingerprints": q_content_fingerprints,
-    "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "cosine_pairs_topk": q_cosine_pairs_topk,
     "shipping_priority": q_shipping_priority,
@@ -3935,54 +3959,9 @@ QUERIES = {
     "local_supplier_volume": q_local_supplier_volume,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
-    # -- driver-green in r04: rotated past the window to make room --
     "avg_price_by_brand": q_avg_price_by_brand,
     "orders_with_late_ship": q_orders_with_late_ship,
     "customer_order_counts": q_customer_order_counts,
-    # -- round-3 entries kept in-window (newest value oracles) --
-    "source_collapsed_topk": q_source_collapsed_topk,
-    "domain_mixture": q_domain_mixture,
-    "filtered_ann_topk": q_filtered_ann_topk,
-    "contains_term_stats": q_contains_term_stats,
-    "lsh_cosine_topk": q_lsh_cosine_topk,
-    "ivf_cosine_topk": q_ivf_cosine_topk,
-    "multifield_bm25": q_multifield_bm25,
-    "more_like_this": q_more_like_this,
-    "bm25_grouped_query": q_bm25_grouped_query,
-    "bm25_boosted_query": q_bm25_boosted_query,
-    "url_canonical_dedup": q_url_canonical_dedup,
-    "stratified_sample": q_stratified_sample,
-    "bigram_pmi": q_bigram_pmi,
-    "unigram_lm_quality": q_unigram_lm_quality,
-    "symspell_suggest": q_symspell_suggest,
-    "fuzzy_term_match": q_fuzzy_term_match,
-    # -- driver-green in r03: rotated past the window (fresh rows exist) --
-    "multimodal_features": q_multimodal_features,
-    "embedding_near_dup": q_embedding_near_dup,
-    "phrase_match_counts": q_phrase_match_counts,
-    "phrase_topk": q_phrase_topk,
-    "dup_ngram_quality": q_dup_ngram_quality,
-    "phrase_snippets": q_phrase_snippets,
-    "near_query": q_near_query,
-    "media_frame_sample": q_media_frame_sample,
-    "prefix_term_stats": q_prefix_term_stats,
-    "document_frequency": q_document_frequency,
-    "doc_lengths": q_doc_lengths,
-    "bm25_single_term": q_bm25_single_term,
-    "bm25_not_query": q_bm25_not_query,
-    "bm25_facet_counts": q_bm25_facet_counts,
-    "lang_counts": q_lang_counts,
-    "dedup_exact_text": q_dedup_exact_text,
-    "quality_score": q_quality_score,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "embedding_norms": q_embedding_norms,
-    "latest_event_per_user": q_latest_event_per_user,
-    "hourly_event_counts": q_hourly_event_counts,
-    "pricing_summary": q_pricing_summary,
-    "revenue_by_nation": q_revenue_by_nation,
-    "top_customers_per_nation": q_top_customers_per_nation,
-    "token_stats": q_token_stats,
-    "union_partial_runs": q_union_partial_runs,
 }
 
 ORACLES = {

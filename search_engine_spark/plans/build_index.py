@@ -901,7 +901,20 @@ def build_index(
     paths = IndexPaths(index_dir)
     run_id = run_id or uuid.uuid4().hex[:12]
 
-    if not resume and os.path.isdir(index_dir):
+    if not resume and os.path.islink(index_dir):
+        # generation-managed index (plans/publish): drop the link and
+        # every retained generation, then build a plain fresh dir
+        import glob as _glob
+        import re as _re
+
+        target = os.path.realpath(index_dir)
+        os.unlink(index_dir)
+        shutil.rmtree(target, ignore_errors=True)
+        pat = _re.compile(_re.escape(os.path.abspath(index_dir)) + r"\.g\d+$")
+        for p in _glob.glob(os.path.abspath(index_dir) + ".g*"):
+            if pat.match(p):
+                shutil.rmtree(p, ignore_errors=True)
+    elif not resume and os.path.isdir(index_dir):
         shutil.rmtree(index_dir)
     os.makedirs(index_dir, exist_ok=True)
 

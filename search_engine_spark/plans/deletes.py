@@ -209,9 +209,58 @@ def compact_index(
     segment_size: int = DEFAULT_SEGMENT_SIZE,
     max_salts: int = 32,
     run_id: str | None = None,
+    generations: bool | None = None,
 ) -> dict:
     """Physically remove tombstoned docs and converge to the index a
     fresh build over the surviving corpus would produce.
+
+    generations: run the whole multi-table rewrite inside a
+    whole-index generation transaction (plans/publish.GenerationTxn)
+    and commit with ONE atomic symlink swap — a concurrent reader sees
+    either the entire old index or the entire new one, never a mixed
+    set of tables. None (default) auto-enables when the index is
+    already generation-managed; pass True once to convert a legacy
+    in-place directory. Tombstones appended WHILE a compaction runs
+    are dropped with the table at the end in both modes (the
+    compaction's snapshot is the tombstone set it started from)."""
+    from search_engine_spark.plans.publish import (
+        begin_generation,
+        is_generationed,
+    )
+
+    if generations is None:
+        generations = is_generationed(index_dir)
+    if generations:
+        if load_tombstones(index_dir).size == 0:
+            return {"run_id": run_id or uuid.uuid4().hex[:12],
+                    "tombstones_applied": 0, "buckets_rebuilt": 0}
+        txn = begin_generation(index_dir)
+        try:
+            out = _compact_apply(
+                spark, txn.work, segment_size=segment_size,
+                max_salts=max_salts, run_id=run_id,
+            )
+        except BaseException:
+            txn.abort()
+            raise
+        txn.commit()
+        return out
+    return _compact_apply(
+        spark, index_dir, segment_size=segment_size,
+        max_salts=max_salts, run_id=run_id,
+    )
+
+
+def _compact_apply(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    segment_size: int = DEFAULT_SEGMENT_SIZE,
+    max_salts: int = 32,
+    run_id: str | None = None,
+) -> dict:
+    """compact_index's table rewrites, against a PLAIN directory (the
+    live path in legacy mode, the generation clone otherwise).
 
     Steps (each one resumable-in-spirit: the only non-atomic moment is
     the directory swap, and the .compact temp dir holds a complete

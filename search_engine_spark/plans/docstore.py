@@ -70,7 +70,9 @@ class DocStore:
         import pyarrow.parquet as pq
 
         from search_engine_spark.plans.deletes import load_tombstones
+        from search_engine_spark.plans.publish import resolve_root
 
+        index_dir = resolve_root(index_dir)  # pin one generation
         self.root = index_dir
         path = os.path.join(index_dir, "docstore")
         self._files: dict[str, pq.ParquetFile] = {}

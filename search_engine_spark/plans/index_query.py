@@ -74,8 +74,10 @@ class IndexReader:
     def __init__(self, spark: SparkSession, index_dir: str):
         from search_engine_spark.plans.build_index import _read_meta
 
+        from search_engine_spark.plans.publish import resolve_root
+
         self.spark = spark
-        self.paths = IndexPaths(index_dir)
+        self.paths = IndexPaths(resolve_root(index_dir))
         meta = _read_meta(spark, self.paths)
         self.n_docs = int(meta["n_docs"])
         self.avgdl = float(meta["avgdl"])

@@ -435,12 +435,48 @@ def merge_into(
     incoming_dir: str,
     *,
     run_id: str | None = None,
+    generations: bool | None = None,
 ) -> dict:
     """Fold a BUILT incoming index into the target IN PLACE —
     O(incoming + touched-term metadata), never a rebuild of the
-    target's segments (module docstring). Not atomic: a crashed merge
-    is recovered by re-running stage B from the (appended) flat — the
-    flat table is written first and remains the source of truth."""
+    target's segments (module docstring).
+
+    generations=None auto-enables the whole-index generation
+    transaction when the target is generation-managed (True converts
+    a legacy directory): the multi-table fold then runs against a
+    clone and commits with one atomic symlink swap — concurrent
+    readers see old-or-new, never mixed tables. In legacy mode the
+    fold is not atomic: a crashed merge is recovered by re-running
+    stage B from the (appended) flat — the flat table is written
+    first and remains the source of truth."""
+    from search_engine_spark.plans.publish import (
+        begin_generation,
+        is_generationed,
+    )
+
+    if generations is None:
+        generations = is_generationed(target_dir)
+    if generations:
+        txn = begin_generation(target_dir)
+        try:
+            out = _merge_into_apply(spark, txn.work, incoming_dir,
+                                    run_id=run_id)
+        except BaseException:
+            txn.abort()
+            raise
+        txn.commit()
+        return out
+    return _merge_into_apply(spark, target_dir, incoming_dir,
+                             run_id=run_id)
+
+
+def _merge_into_apply(
+    spark: SparkSession,
+    target_dir: str,
+    incoming_dir: str,
+    *,
+    run_id: str | None = None,
+) -> dict:
     run_id = run_id or uuid.uuid4().hex[:12]
     _check_compat(spark, target_dir, incoming_dir)
     offset = _max_allocated_id(spark, target_dir) + 1

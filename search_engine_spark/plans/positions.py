@@ -418,6 +418,9 @@ class PhraseSearcher:
     _CACHE = 512
 
     def __init__(self, index_dir: str):
+        from search_engine_spark.plans.publish import resolve_root
+
+        index_dir = resolve_root(index_dir)  # pin one generation
         with open(os.path.join(index_dir, "positions_meta.json")) as f:
             meta = json.load(f)
         self.root = index_dir

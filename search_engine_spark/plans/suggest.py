@@ -105,6 +105,9 @@ class Suggester:
         import pyarrow.dataset as ds
         import pyarrow.parquet as pq
 
+        from search_engine_spark.plans.publish import resolve_root
+
+        index_dir = resolve_root(index_dir)  # pin one generation
         path = os.path.join(index_dir, SUGGEST_DIR)
         if not os.path.isdir(path):
             raise FileNotFoundError(

@@ -142,6 +142,13 @@ class LocalSearcher:
 
     def _open(self, index_dir: str, *, cache_terms: int,
               load_boosts: bool) -> None:
+        # pin a generation (plans/publish): on a generation-managed
+        # index every table open below — and every LAZY one later
+        # (docstore, bigrams, suggest) — must land inside ONE
+        # immutable snapshot, so resolve the symlink exactly once
+        from search_engine_spark.plans.publish import resolve_root
+
+        index_dir = resolve_root(index_dir)
         self.root = index_dir
         st = pq.read_table(os.path.join(index_dir, "stats")).to_pandas()
         self.n_docs = int(st.n_docs.iloc[0])
