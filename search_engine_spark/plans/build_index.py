@@ -980,9 +980,18 @@ def extend_index(
     max_salts: int = 32,
     run_id: str | None = None,
     field: str = "body",
+    generations: bool | None = None,
 ) -> dict:
     """Incrementally add documents to an existing index and converge to
     the index a full rebuild over the union corpus would produce.
+
+    generations=None auto-enables the whole-index generation
+    transaction when the index is generation-managed (plans/publish):
+    the multi-table extend then runs against a clone and commits with
+    one atomic symlink swap — concurrent readers never observe an
+    appended-but-not-restatted index. A crashed generationed extend
+    leaves the live index untouched (re-run re-tokenizes the new docs
+    against a fresh clone).
     field="title" extends a title field index (fields/title) with the
     same mechanics — the per-field tables are ordinary indexes.
 
@@ -1005,6 +1014,28 @@ def extend_index(
     doc_id) postings (caught by the codec's strictly-increasing
     guard; regression-tested in tests/test_cli_extend.py).
     """
+    from search_engine_spark.plans.publish import (
+        begin_generation,
+        is_generationed,
+    )
+
+    if generations is None:
+        generations = is_generationed(index_dir)
+    if generations:
+        txn = begin_generation(index_dir)
+        try:
+            out = extend_index(
+                spark, new_source, txn.work, id_col=id_col,
+                text_col=text_col, html_col=html_col, stem=stem,
+                segment_size=segment_size, max_salts=max_salts,
+                run_id=run_id, field=field, generations=False,
+            )
+        except BaseException:
+            txn.abort()
+            raise
+        txn.commit()
+        return out
+
     paths = IndexPaths(index_dir)
     run_id = run_id or uuid.uuid4().hex[:12]
     meta = _read_meta(spark, paths)

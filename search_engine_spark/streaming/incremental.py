@@ -59,7 +59,8 @@ def start_incremental_ingest(
 
 
 def merge_staged_epochs(spark: SparkSession, staging_dir: str,
-                        index_dir: str, **stage_b_kwargs) -> dict:
+                        index_dir: str, generations: bool | None = None,
+                        **stage_b_kwargs) -> dict:
     """Fold the staged per-epoch postings_flat deltas into an existing
     index: append the delta rows to the flat table's bucket partitions,
     recompute the derived tables, invalidate + rebuild the affected
@@ -83,6 +84,29 @@ def merge_staged_epochs(spark: SparkSession, staging_dir: str,
     epochs = sorted(glob.glob(os.path.join(staging_dir, "epoch=*")))
     if not epochs:
         return {"epochs_merged": 0, "buckets_rebuilt": 0}
+    # whole-index generation transaction (plans/publish): the fold is
+    # a multi-table mutation — on a generation-managed index run it
+    # against a clone and commit with one atomic symlink swap. The
+    # staged epochs are consumed only after a successful commit, so a
+    # crashed generationed fold replays cleanly.
+    from search_engine_spark.plans.publish import (
+        begin_generation,
+        is_generationed,
+    )
+
+    if generations is None:
+        generations = is_generationed(index_dir)
+    if generations:
+        txn = begin_generation(index_dir)
+        try:
+            out = merge_staged_epochs(spark, staging_dir, txn.work,
+                                      generations=False,
+                                      **stage_b_kwargs)
+        except BaseException:
+            txn.abort()
+            raise
+        txn.commit()
+        return out
     paths = IndexPaths(index_dir)
     meta = _read_meta(spark, paths)
     n_buckets = int(meta["n_buckets"])

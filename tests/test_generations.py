@@ -188,3 +188,66 @@ def test_fresh_build_over_generationed_dir(spark, documents, idx):
     assert not os.path.isdir(idx + ".g0")
     assert not os.path.isdir(idx + ".g1")
     assert LocalSearcher(idx).search("spark", k=3, stem=False)
+
+
+def test_extend_generationed(spark, documents, idx):
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.plans.build_index import extend_index
+
+    # convert via a compaction first
+    delete_docs(spark, idx, [0])
+    compact_index(spark, idx, segment_size=64, max_salts=4,
+                  generations=True)
+    pre_gen = resolve_root(idx)
+    reader = LocalSearcher(idx)
+    pre = reader.search("spark", k=5, stem=False)
+    new_docs = (documents.limit(40)
+                .withColumn("doc_id", F.col("doc_id") + F.lit(100000)))
+    out = extend_index(spark, new_docs, idx, stem=False,
+                       segment_size=64, max_salts=4)
+    assert out["buckets_rebuilt"] > 0
+    assert resolve_root(idx) != pre_gen  # committed a new generation
+    # pinned reader: pre-extend snapshot intact
+    assert reader.search("spark", k=5, stem=False) == pre
+    # fresh reader: extended corpus visible
+    s2 = LocalSearcher(idx)
+    assert s2.n_docs > reader.n_docs
+
+
+def test_fold_generationed(spark, documents, idx, tmp_path):
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.streaming.incremental import (
+        merge_staged_epochs,
+    )
+
+    delete_docs(spark, idx, [1])
+    compact_index(spark, idx, segment_size=64, max_salts=4,
+                  generations=True)
+    pre_gen = resolve_root(idx)
+    # stage one epoch of flat-delta rows shaped like the index's flat
+    from search_engine_spark.operators.aggregates import (
+        postings_from_text,
+    )
+    from search_engine_spark.plans.build_index import _bucket_expr
+    from pyspark.sql import functions as F2
+
+    meta = json.load(open(os.path.join(resolve_root(idx),
+                                       "index_meta.json")))
+    staging = str(tmp_path / "staging")
+    delta_src = (documents.limit(25)
+                 .withColumn("doc_id", F.col("doc_id") + F.lit(200000)))
+    delta = postings_from_text(delta_src, stem=False).withColumn(
+        "bucket", _bucket_expr(F2.col("term"), int(meta["n_buckets"]))
+    )
+    delta.write.mode("overwrite").parquet(
+        os.path.join(staging, "epoch=0"))
+    reader = LocalSearcher(idx)
+    out = merge_staged_epochs(spark, staging, idx, segment_size=64,
+                              max_salts=4)
+    assert out["epochs_merged"] == 1
+    assert resolve_root(idx) != pre_gen
+    assert LocalSearcher(idx).n_docs > reader.n_docs
+    # consumed epochs are gone (post-commit)
+    assert not os.path.isdir(os.path.join(staging, "epoch=0"))
