@@ -212,7 +212,17 @@ def main() -> None:
             .write.mode("append" if args.extend else "overwrite")
             .parquet(urlmap_path)
         )
-    if args.positions:
+    if args.positions or (
+        args.extend
+        and os.path.exists(
+            os.path.join(args.index_dir, "positions_meta.json")
+        )
+    ):
+        # auto-extend whenever the table exists, even without
+        # --positions — same contract as the bigram table below: a
+        # stale positional table would silently miss new docs'
+        # phrases (and fsck I7 flags exactly that tf-without-npos
+        # divergence; found by the generationed --extend verify drive)
         from search_engine_spark.plans.positions import build_positions
 
         if args.extend:
@@ -275,7 +285,15 @@ def main() -> None:
                 html_col=html_col,
             )
         summary["bigrams_built"] = True
-    if args.title_index:
+    if args.title_index or (
+        args.extend
+        and os.path.isdir(
+            os.path.join(args.index_dir, "fields", "title", "postings")
+        )
+    ):
+        # auto-extend the title field whenever it exists — a stale
+        # field index would rank new docs by body only (same staleness
+        # contract as positions/bigrams above)
         if args.input_format != "pages":
             ap.error("--title-index needs pages input (html column)")
         if args.extend:
@@ -303,7 +321,12 @@ def main() -> None:
                 n_buckets=args.n_buckets, stem=not args.no_stem,
             )
         summary["title_index_built"] = True
-    if args.store_text:
+    if args.store_text or (
+        args.extend
+        and os.path.isdir(os.path.join(args.index_dir, "docstore"))
+    ):
+        # auto-extend the docstore too: a stale one would 404 snippet
+        # fetches for every new doc
         from search_engine_spark.plans.docstore import build_docstore
 
         # pages-format text == extract_text(html) (generator invariant;

@@ -691,13 +691,56 @@ class LocalSearcher:
         self._lmd_cache[key] = out
         return out
 
+    def _lmd_scatter(self, qterms, full, k, mode, excl, allow):
+        """Vectorized union scatter over cached per-term contribution
+        lists — the LMD serving hot path (the exhaustive reduction
+        minus the decode). Accumulation runs in ORIGINAL query-term
+        order, so scores are bit-identical to the exhaustive path
+        (x+0.0 is a no-op for finite x)."""
+        parts = [full[t] for t in qterms if full[t][0].size]
+        if not parts:
+            return []
+        n_present = len(parts)
+        union = np.unique(np.concatenate([p[0] for p in parts]))
+        scores = np.zeros(union.size, dtype=np.float64)
+        counts = np.zeros(union.size, dtype=np.int32)
+        for od, oc in parts:  # qterms order preserved by construction
+            pos = np.searchsorted(union, od)
+            pos_c = np.minimum(pos, union.size - 1)
+            hit = union[pos_c] == od
+            # od strictly increasing per term -> unique hit indices
+            scores[pos_c[hit]] += oc[hit]
+            counts[pos_c[hit]] += 1
+        m = self._eligible(union, excl, allow)
+        if mode == "and":
+            m &= counts == n_present
+        union, scores = union[m], scores[m]
+        self.last_segments_skipped = 0
+        if not union.size:
+            return []
+        order = np.lexsort((union, -scores))[:k]
+        return [(int(union[i]), float(scores[i])) for i in order]
+
     def _search_lmd_pruned(self, qterms: list[str], *, k: int,
                            mode: str, mu: float, excl, allow):
-        """Block-max pruned LM-Dirichlet top-k (mirrors _search_or's
-        candidate machinery with derived LMD impacts). Per-candidate
-        scores are accumulated in ORIGINAL query-term order from each
-        term's full contribution list, so results are bit-identical to
-        the exhaustive reduction (x+0.0 is a no-op for finite x)."""
+        """LM-Dirichlet serving with derived impacts (see search_lmd).
+
+        Two regimes, chosen by what decode work is avoidable:
+
+        * multi-term queries (and any warm query): every matched
+          term's contribution list is needed in full, so the plan is
+          decode-once-into-the-(term,mu)-cache + vectorized scatter —
+          the same reduction the exhaustive path runs, minus repeated
+          decode. Warm p50 is the scatter cost alone.
+        * single-term COLD queries: the classic impact-ordered top-k.
+          Segments are visited in descending derived-LMD-bound order
+          (BM25 max_tfnorm inverted into a valid LMD bound,
+          _lmd_seg_bounds) and a segment whose bound cannot beat the
+          k-th heap score is SKIPPED WITHOUT DECODING — the Zipf-head
+          term's long tail of low-tf segments never leaves parquet.
+
+        Both regimes return results bit-identical to the exhaustive
+        reduction (accumulation order preserved; tie-break strict)."""
         total = float(self.sum_doclen)
         p_t: dict[str, float] = {}
         for t in qterms:
@@ -705,88 +748,56 @@ class LocalSearcher:
                   else self._dict_cf(t))
             if cf is None or cf <= 0:
                 raise _LmdNoBounds()  # pre-cf dictionary -> exhaustive
+        # recompute AFTER the presence loop so a raise above leaves no
+        # partial state; cf values are re-read from the LRU caches
+        for t in qterms:
+            cf = (self._lmd_cf[t] if self._lmd_cf is not None
+                  else self._dict_cf(t))
             p_t[t] = float(cf) / total
-        n_present = len(qterms)
-        msm_eff = n_present if mode == "and" else 1
-        # candidate generation order: rarest first (better pruning);
-        # scoring order stays the ORIGINAL qterms order
-        gen_terms = sorted(qterms, key=lambda t: (self._df[t], t))
-        per_term = [(t, self._segments(t)) for t in gen_terms]
-        bounds = [
-            self._lmd_seg_bounds(
-                segs.max_tfnorm.to_numpy(), p_t[t], mu
-            ) if len(segs) else np.empty(0, np.float64)
-            for t, segs in per_term
-        ]
-        entries = []  # (ub, gen_idx, row)
-        for i, (t, segs) in enumerate(per_term):
-            if len(segs) == 0:
-                continue
-            s_first = segs.first_doc.to_numpy()
-            s_last = segs.last_doc.to_numpy()
-            ub = bounds[i].copy()
-            for j, (u, osegs) in enumerate(per_term):
-                if j == i or len(osegs) == 0:
-                    continue
-                ov = _overlap_bound(
-                    osegs.first_doc.to_numpy(), osegs.last_doc.to_numpy(),
-                    bounds[j], s_first, s_last,
-                )
-                if msm_eff < n_present:
-                    # OR / partial msm: a candidate may NOT match term
-                    # j (contribution 0), so a negative bound must not
-                    # lower the upper bound
-                    ov = np.maximum(ov, 0.0)
-                ub = ub + ov
-            for r, row in enumerate(segs.itertuples(index=False)):
-                entries.append((float(ub[r]), i, row))
-        entries.sort(key=lambda e: -e[0])
 
+        single_cold = (
+            len(qterms) == 1
+            and (qterms[0], mu) not in self._lmd_cache
+            and excl is None and allow is None
+        )
+        if not single_cold:
+            full = {t: self._lmd_full(t, mu, p_t[t]) for t in qterms}
+            return self._lmd_scatter(qterms, full, k, mode, excl, allow)
+
+        # impact-ordered single-term top-k: bound-sorted segment scan
+        t = qterms[0]
+        segs = self._segments(t)
+        if len(segs) == 0:
+            return []
+        bounds = self._lmd_seg_bounds(
+            segs.max_tfnorm.to_numpy(), p_t[t], mu
+        )
+        order = np.argsort(-bounds, kind="stable")
+        rows = list(segs.itertuples(index=False))
         heap: list[tuple[float, int]] = []
-
-        def offer(doc: int, score: float) -> None:
-            item = (score, -doc)
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
-
         skipped = 0
-        full = {t: self._lmd_full(t, mu, p_t[t]) for t in qterms}
-        for n_done, (ub, i, row) in enumerate(entries):
+        for n_done, r in enumerate(order):
+            ub = float(bounds[r])
             if len(heap) == k and ub < heap[0][0]:  # strict: tie-safe
-                skipped += len(entries) - n_done
+                skipped += order.size - n_done
                 break
-            cand, _ = decode_postings(row.doc_ids, row.tfs)
-            cand = mask_deleted(self._deleted, cand)[0]
+            row = rows[r]
+            cand, ctf = decode_postings(row.doc_ids, row.tfs)
+            cdl = decode_varints(row.doclens).astype(np.int64)
+            cand, ctf, cdl = mask_deleted(self._deleted, cand, ctf, cdl)
             if not cand.size:
                 continue
-            keep = self._eligible(cand, excl, allow)
-            # first-containing-term ownership (in generation order):
-            # dedup across generating segments of different terms
-            scores = np.zeros(cand.size, dtype=np.float64)
-            n_hit = np.zeros(cand.size, dtype=np.int32)
-            hits_by_term: dict[str, np.ndarray] = {}
-            for t in qterms:  # ORIGINAL order: bit-identical sums
-                od, oc = full[t]
-                if od.size == 0:
-                    hits_by_term[t] = np.zeros(cand.size, dtype=bool)
-                    continue
-                pos = np.searchsorted(od, cand)
-                pos_c = np.clip(pos, 0, od.size - 1)
-                hit = od[pos_c] == cand
-                scores = scores + np.where(hit, oc[pos_c], 0.0)
-                n_hit += hit
-                hits_by_term[t] = hit
-            for j in range(i):
-                keep &= ~hits_by_term[per_term[j][0]]
-            keep &= n_hit >= msm_eff
-            ca, sa = cand[keep], scores[keep]
-            if ca.size > k:
-                order_k = np.lexsort((ca, -sa))[:k]
-                ca, sa = ca[order_k], sa[order_k]
-            for doc, sc in zip(ca, sa):
-                offer(int(doc), float(sc))
+            sc = (np.log1p(ctf.astype(np.float64) / (mu * p_t[t]))
+                  + np.log(mu / (mu + cdl.astype(np.float64))))
+            if cand.size > k:
+                order_k = np.lexsort((cand, -sc))[:k]
+                cand, sc = cand[order_k], sc[order_k]
+            for doc, s in zip(cand, sc):
+                item = (float(s), -int(doc))
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
         self.last_segments_skipped = skipped
         out = sorted(heap, key=lambda it: (-it[0], -it[1]))
         return [(-nd, s) for s, nd in out]
