@@ -60,6 +60,7 @@ import re
 
 import numpy as np
 
+from search_engine_spark import K1
 from search_engine_spark.functions.codec import decode_postings, decode_varints
 from search_engine_spark.functions.text import analyze
 
@@ -354,24 +355,66 @@ def search_mixed(
         return out
 
     if groups:
-        # the boolean engine must score EVERY allow-member (the final
-        # rank adds phrase contributions), so k = |allow| — at that k
-        # block-max can never skip a segment (the heap must hold every
-        # candidate), making the exhaustive vectorized scatter path
-        # the strictly cheaper exact plan: no per-candidate heap,
-        # pure numpy over the query terms' cached lists
-        base = searcher.search_grouped(
-            groups, k=int(allow.size), boosts=boosts, exclude=excl_terms,
-            exclude_docs=neg_docs, restrict=allow, prune=False, fast=fast,
-        )
-        if not base:
-            return []
-        docs = np.asarray([h[0] for h in base], dtype=np.int64)
-        scores = np.asarray([h[1] for h in base], dtype=np.float64)
-        order = np.argsort(docs, kind="stable")
-        docs, scores = docs[order], scores[order]
-        scores = scores + phrase_contrib(docs)
-        return searcher._vector_topk(docs, scores, k, after)
+        def _rank(base, kk):
+            docs = np.asarray([h[0] for h in base], dtype=np.int64)
+            scores = np.asarray([h[1] for h in base], dtype=np.float64)
+            order = np.argsort(docs, kind="stable")
+            docs, scores = docs[order], scores[order]
+            scores = scores + phrase_contrib(docs)
+            return searcher._vector_topk(docs, scores, kk, None)
+
+        if after is not None:
+            # cursor pagination needs the full candidate frame — keep
+            # the exhaustive scoring path for paged queries
+            base = searcher.search_grouped(
+                groups, k=int(allow.size), boosts=boosts,
+                exclude=excl_terms, exclude_docs=neg_docs,
+                restrict=allow, prune=False, fast=fast,
+            )
+            if not base:
+                return []
+            docs = np.asarray([h[0] for h in base], dtype=np.int64)
+            scores = np.asarray([h[1] for h in base], dtype=np.float64)
+            order = np.argsort(docs, kind="stable")
+            docs, scores = docs[order], scores[order]
+            scores = scores + phrase_contrib(docs)
+            return searcher._vector_topk(docs, scores, k, after)
+
+        # iterative deepening (the MultiFieldSearcher exactness
+        # argument): fetch the top-m BOOLEAN candidates inside the
+        # allow-list, add phrase contributions, and STOP once the m-th
+        # boolean score plus the phrase-contribution upper bound
+        # cannot beat the current k-th total — any unfetched allow
+        # member has boolean score <= the m-th and phrase score <= the
+        # bound. Worst case degrades to scoring the whole allow-list
+        # (the previous plan's ALWAYS-case); a stopword phrase plus a
+        # selective boolean clause now stops at the first m.
+        p_bound = 0.0
+        n = searcher.n_docs
+        for d, _t, boost, _toks in pos_lists:
+            dfp = (phrase_df.get(_toks, d.size) if phrase_df
+                   else d.size)
+            idf_p = math.log(1.0 + (n - dfp + 0.5) / (dfp + 0.5))
+            p_bound += max(0.0, boost * idf_p) * (K1 + 1.0)
+        m = max(4 * k, 32)
+        while True:
+            mm = min(m, int(allow.size))
+            base = searcher.search_grouped(
+                groups, k=mm, boosts=boosts, exclude=excl_terms,
+                exclude_docs=neg_docs, restrict=allow, prune=prune,
+                fast=fast,
+            )
+            if not base:
+                return []
+            ranked = _rank(base, k)
+            if len(base) < mm or mm >= allow.size:
+                return ranked  # candidate set exhausted: exact
+            kth = ranked[k - 1][1] if len(ranked) >= k else -np.inf
+            # strict '<': a doc reaching exactly kth could still win
+            # its tie on doc_id
+            if base[-1][1] + p_bound < kth:
+                return ranked
+            m *= 4
 
     # pure phrase query (possibly with NOT-terms/NOT-phrases)
     cand = allow
