@@ -355,66 +355,23 @@ def search_mixed(
         return out
 
     if groups:
-        def _rank(base, kk):
-            docs = np.asarray([h[0] for h in base], dtype=np.int64)
-            scores = np.asarray([h[1] for h in base], dtype=np.float64)
-            order = np.argsort(docs, kind="stable")
-            docs, scores = docs[order], scores[order]
-            scores = scores + phrase_contrib(docs)
-            return searcher._vector_topk(docs, scores, kk, None)
-
-        if after is not None:
-            # cursor pagination needs the full candidate frame — keep
-            # the exhaustive scoring path for paged queries
-            base = searcher.search_grouped(
-                groups, k=int(allow.size), boosts=boosts,
-                exclude=excl_terms, exclude_docs=neg_docs,
-                restrict=allow, prune=False, fast=fast,
-            )
-            if not base:
-                return []
-            docs = np.asarray([h[0] for h in base], dtype=np.int64)
-            scores = np.asarray([h[1] for h in base], dtype=np.float64)
-            order = np.argsort(docs, kind="stable")
-            docs, scores = docs[order], scores[order]
-            scores = scores + phrase_contrib(docs)
-            return searcher._vector_topk(docs, scores, k, after)
-
-        # iterative deepening (the MultiFieldSearcher exactness
-        # argument): fetch the top-m BOOLEAN candidates inside the
-        # allow-list, add phrase contributions, and STOP once the m-th
-        # boolean score plus the phrase-contribution upper bound
-        # cannot beat the current k-th total — any unfetched allow
-        # member has boolean score <= the m-th and phrase score <= the
-        # bound. Worst case degrades to scoring the whole allow-list
-        # (the previous plan's ALWAYS-case); a stopword phrase plus a
-        # selective boolean clause now stops at the first m.
-        p_bound = 0.0
-        n = searcher.n_docs
-        for d, _t, boost, _toks in pos_lists:
-            dfp = (phrase_df.get(_toks, d.size) if phrase_df
-                   else d.size)
-            idf_p = math.log(1.0 + (n - dfp + 0.5) / (dfp + 0.5))
-            p_bound += max(0.0, boost * idf_p) * (K1 + 1.0)
-        m = max(4 * k, 32)
-        while True:
-            mm = min(m, int(allow.size))
-            base = searcher.search_grouped(
-                groups, k=mm, boosts=boosts, exclude=excl_terms,
-                exclude_docs=neg_docs, restrict=allow, prune=prune,
-                fast=fast,
-            )
-            if not base:
-                return []
-            ranked = _rank(base, k)
-            if len(base) < mm or mm >= allow.size:
-                return ranked  # candidate set exhausted: exact
-            kth = ranked[k - 1][1] if len(ranked) >= k else -np.inf
-            # strict '<': a doc reaching exactly kth could still win
-            # its tie on doc_id
-            if base[-1][1] + p_bound < kth:
-                return ranked
-            m *= 4
+        # restrict-driven evaluation: the phrase clauses pinned the
+        # candidate set (allow), so the boolean part is scored by
+        # PROBING each query term at the candidates (|allow|·log per
+        # term — independent of the Zipf head's posting-list length)
+        # instead of scattering every term's full list over its own
+        # union. Bit-identical scores to search_grouped for the
+        # surviving docs (same term order, same contribution arrays,
+        # boost applied before the phrase component — the order the
+        # previous plan produced).
+        docs, scores = searcher.score_grouped_candidates(
+            groups, allow, boosts=boosts, exclude=excl_terms,
+            exclude_docs=neg_docs,
+        )
+        if docs.size == 0:
+            return []
+        scores = scores + phrase_contrib(docs)
+        return searcher._vector_topk(docs, scores, k, after)
 
     # pure phrase query (possibly with NOT-terms/NOT-phrases)
     cand = allow

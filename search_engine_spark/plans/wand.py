@@ -884,6 +884,67 @@ class LocalSearcher:
             terms, base_terms, other_groups, idf, w, k, excl, after, allow
         )
 
+    def score_grouped_candidates(self, groups, cand: np.ndarray, *,
+                                 boosts=None, exclude=None,
+                                 exclude_docs=None):
+        """Grouped-boolean scores for a FIXED candidate array — the
+        restrict-driven evaluation plans/phraseq uses when a phrase
+        clause has already pinned the candidate set: instead of
+        scattering every query term's full posting list over its own
+        union (cost ~ posting mass), each term is probed AT the
+        candidates (|cand| searchsorteds into the cached list — cost
+        ~ |cand|·log per term, independent of the Zipf head's list
+        length). Scores are bit-identical to search_grouped's for the
+        surviving docs: same fixed term order, same contribution
+        arrays, same static-boost application.
+
+        Returns (docs, scores) for the candidates that satisfy the
+        boolean semantics (>= 1 term of EVERY group, no NOT matches),
+        doc_id-ascending. `cand` must be sorted unique int64."""
+        groups = [[t for t in dict.fromkeys(g) if t in self._df]
+                  for g in groups]
+        if not groups or any(not g for g in groups) or cand.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        boosts = boosts or {}
+        if isinstance(exclude, str):
+            exclude = analyze_query(exclude)
+        base = min(groups, key=lambda g: sum(self._df[t] for t in g))
+        base_terms = sorted(dict.fromkeys(base),
+                            key=lambda t: (self._df[t], t))
+        rest = sorted({t for g in groups for t in g} - set(base_terms),
+                      key=lambda t: (self._df[t], t))
+        terms = base_terms + rest
+        other_groups = [g for g in groups if g is not base]
+        excl = self._excluded_docs(exclude) if exclude else None
+        excl = self._merge_excl(excl, exclude_docs)
+        alive = ~self._in_sorted(excl, cand) if excl is not None \
+            else np.ones(cand.size, dtype=bool)
+        scores = np.zeros(cand.size, dtype=np.float64)
+        hits = {}
+        for t in terms:
+            od, oc = self._load_full(t, self._idf(t))
+            if od.size == 0:
+                hits[t] = np.zeros(cand.size, dtype=bool)
+                continue
+            pos = np.searchsorted(od, cand)
+            pos_c = np.minimum(pos, od.size - 1)
+            hit = od[pos_c] == cand
+            hits[t] = hit
+            wt = float(boosts.get(t, 1.0))
+            # x * 1.0 is bit-exact (matches _grouped_vec)
+            scores = scores + np.where(hit, oc[pos_c] * wt, 0.0)
+        base_mask = np.zeros(cand.size, dtype=bool)
+        for t in base_terms:
+            base_mask |= hits[t]
+        alive &= base_mask
+        for g in other_groups:
+            g_mask = np.zeros(cand.size, dtype=bool)
+            for t in g:
+                g_mask |= hits[t]
+            alive &= g_mask
+        ca = cand[alive]
+        return ca, self._boosted(ca, scores[alive])
+
     def _grouped_vec(self, terms, base_terms, other_groups, idf, w, k,
                      excl=None, after=None, allow=None):
         """Vectorized grouped evaluation: scatter-add every term's
