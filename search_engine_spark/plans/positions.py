@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from collections.abc import Iterator
 
 import numpy as np
@@ -420,7 +421,25 @@ class PhraseSearcher:
     def __init__(self, index_dir: str):
         from search_engine_spark.plans.publish import resolve_root
 
-        index_dir = resolve_root(index_dir)  # pin one generation
+        requested = index_dir
+        for attempt in (0, 1):
+            try:
+                self._open_pinned(resolve_root(requested))
+                # plain-dir opens must not race the one-time
+                # legacy->generation conversion commit (see
+                # LocalSearcher._open's recheck): retry once
+                if (self.root == os.path.abspath(requested)
+                        and resolve_root(requested) != self.root):
+                    raise FileNotFoundError(
+                        f"{requested}: generation committed during open"
+                    )
+                return
+            except (FileNotFoundError, OSError):
+                if attempt:
+                    raise
+                time.sleep(0.05)
+
+    def _open_pinned(self, index_dir: str) -> None:
         with open(os.path.join(index_dir, "positions_meta.json")) as f:
             meta = json.load(f)
         self.root = index_dir

@@ -148,6 +148,7 @@ class LocalSearcher:
         # immutable snapshot, so resolve the symlink exactly once
         from search_engine_spark.plans.publish import resolve_root
 
+        requested = index_dir
         index_dir = resolve_root(index_dir)
         self.root = index_dir
         st = pq.read_table(os.path.join(index_dir, "stats")).to_pandas()
@@ -289,6 +290,20 @@ class LocalSearcher:
         # (it audits the table itself and must not crash on corruption)
         if load_boosts and os.path.isdir(boosts_dir):
             self.load_static_boosts(boosts_dir)
+        # generation-pin validation for PLAIN-dir opens: the one-time
+        # legacy->generation conversion turns the live dir into a
+        # symlink mid-open, so a reader that resolved a plain path and
+        # then raced the commit has silently mixed tables (e.g. old
+        # postings with the new generation's dropped tombstone table —
+        # caught by the concurrent-reader generation test). Detect and
+        # retry (the __init__ retry loop re-opens post-commit). An
+        # open that pinned a .gN directory needs no recheck: that
+        # directory is immutable and retained through the next commit.
+        if self.root == os.path.abspath(requested) and \
+                resolve_root(requested) != self.root:
+            raise FileNotFoundError(
+                f"{requested}: generation committed during open"
+            )
 
     def load_static_boosts(self, source) -> None:
         """Attach a static document prior: (doc_id, boost) rows from a
